@@ -1,0 +1,28 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+sharding/pjit paths are exercised without TPU hardware.
+
+Note: the container's sitecustomize force-registers the TPU ('axon') PJRT
+plugin and clobbers JAX_PLATFORMS, so the env var alone is not enough —
+jax.config.update is authoritative as long as it runs before first backend
+use, which importing this conftest guarantees for the test session.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,113 @@
+"""Quant codec tests: block layout sizes, round-trip error bounds, and
+scalar oracles transcribing the exact C semantics
+(ggml/src/ggml-quants.c quantize_row_*_ref)."""
+
+import numpy as np
+import pytest
+
+from qwen2_audio_tpu.config import GGMLType
+from qwen2_audio_tpu.quant import codecs
+
+ALL_TYPES = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0]
+
+
+def scalar_q4_0(x):
+    """Literal transcription of quantize_row_q4_0_ref for oracle checking."""
+    x = x.reshape(-1, 32)
+    out = []
+    for blk in x:
+        amax, maxv = 0.0, 0.0
+        for v in blk:
+            if amax < abs(v):
+                amax, maxv = abs(v), v
+        d = maxv / -8.0
+        inv = 1.0 / d if d else 0.0
+        bs = bytearray(np.float16(d).tobytes())
+        for j in range(16):
+            x0 = np.float32(blk[j] * inv) + np.float32(8.5)
+            x1 = np.float32(blk[j + 16] * inv) + np.float32(8.5)
+            xi0 = min(15, int(x0))
+            xi1 = min(15, int(x1))
+            bs.append(xi0 | (xi1 << 4))
+        out.append(bytes(bs))
+    return np.frombuffer(b"".join(out), dtype=np.uint8)
+
+
+def scalar_q8_0(x):
+    """Literal transcription of quantize_row_q8_0_ref (roundf = half away from 0)."""
+    import math
+    x = x.reshape(-1, 32)
+    out = []
+    for blk in x:
+        amax = max(abs(v) for v in blk)
+        d = amax / 127.0
+        inv = 1.0 / d if d else 0.0
+        qs = []
+        for v in blk:
+            s = float(np.float32(v * inv))
+            qs.append(int(math.floor(abs(s) + 0.5) * (1 if s >= 0 else -1)))
+        out.append(bytes(np.float16(d).tobytes()
+                         + np.array(qs, dtype=np.int8).tobytes()))
+    return np.frombuffer(b"".join(out), dtype=np.uint8)
+
+
+def test_q4_0_matches_scalar_oracle(rng):
+    x = rng.standard_normal(32 * 17).astype(np.float32)
+    got = codecs.quantize_q4_0(x)
+    want = scalar_q4_0(x)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_q8_0_matches_scalar_oracle(rng):
+    x = rng.standard_normal(32 * 17).astype(np.float32)
+    got = codecs.quantize_q8_0(x)
+    want = scalar_q8_0(x)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("ttype", ALL_TYPES)
+def test_block_bytes(ttype, rng):
+    x = rng.standard_normal(32 * 5).astype(np.float32)
+    raw = codecs.quantize(x, ttype)
+    assert raw.size == 5 * codecs.BLOCK_BYTES[ttype]
+    assert raw.size == codecs.type_size_bytes(ttype, x.size)
+
+
+@pytest.mark.parametrize("ttype,max_rel", [
+    (GGMLType.Q4_0, 0.20), (GGMLType.Q4_1, 0.12),
+    (GGMLType.Q5_0, 0.10), (GGMLType.Q5_1, 0.06), (GGMLType.Q8_0, 0.01),
+])
+def test_roundtrip_error(ttype, max_rel, rng):
+    x = rng.standard_normal(32 * 64).astype(np.float32)
+    y = codecs.dequantize(codecs.quantize(x, ttype), ttype, x.size)
+    rms = np.sqrt(np.mean((x - y) ** 2)) / np.sqrt(np.mean(x ** 2))
+    assert rms < max_rel, f"{ttype}: rms rel err {rms}"
+
+
+@pytest.mark.parametrize("ttype", ALL_TYPES)
+def test_requantize_is_stable(ttype, rng):
+    """quantize(dequantize(quantize(x))) == quantize(x) byte-for-byte."""
+    x = rng.standard_normal(32 * 8).astype(np.float32)
+    raw1 = codecs.quantize(x, ttype)
+    y = codecs.dequantize(raw1, ttype, x.size)
+    raw2 = codecs.quantize(y, ttype)
+    np.testing.assert_array_equal(raw1, raw2)
+
+
+@pytest.mark.parametrize("ttype", ALL_TYPES)
+def test_zero_block(ttype):
+    x = np.zeros(64, dtype=np.float32)
+    y = codecs.dequantize(codecs.quantize(x, ttype), ttype, 64)
+    np.testing.assert_allclose(y, 0.0, atol=1e-7)
+
+
+def test_q4_0_nibble_layout(rng):
+    """Element j pairs with j+16 in one byte (ggml-common.h:144-149)."""
+    x = np.zeros(32, dtype=np.float32)
+    x[0] = -8.0   # becomes the signed absmax -> d = 1.0, q = 0
+    x[16] = 7.0   # q = 15
+    raw = codecs.quantize_q4_0(x)
+    d = raw[:2].view(np.float16)[0]
+    assert d == np.float16(1.0)
+    assert raw[2] & 0x0F == 0
+    assert raw[2] >> 4 == 15
