@@ -1,0 +1,182 @@
+"""Blockwise flash attention as a Pallas TPU kernel.
+
+Replaces the reference's attention path: the ggml fork computes full
+KQ = K@Q^T, materializes the (1500,1500) score matrix per head, softmaxes it,
+then V@KQ^T (src/qwen2-whisper.cpp:2095-2116; its flash-attn branch is stubbed
+out :2057-2078, and ggml's CUDA fattn kernels ggml/src/ggml-cuda/fattn*.cu are
+the GPU analog).  Here the scores tile never leaves VMEM: online softmax over
+KV tiles with running (m, l, acc) statistics in f32 scratch.
+
+Layout notes (TPU tiling):
+- head_dim is zero-padded to a multiple of 128 lanes (zeros change nothing:
+  QK^T gains 0-terms, V gains zero output columns that are sliced off);
+- sequence is zero-padded to the q/k block size; padded KEY positions are
+  masked with a large negative constant, padded QUERY rows are discarded
+  by the caller's slice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LANES = 128
+
+
+def _use_interpret() -> bool:
+    """Mosaic only lowers on TPU backends; elsewhere (the CPU test mesh)
+    run the kernel through the Pallas interpreter."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref,
+                 m_ref, l_ref, acc_ref,
+                 *, sm_scale: float, causal: bool, kv_valid: int,
+                 block_q: int, block_k: int):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # with causal masking, tiles entirely above the diagonal contribute nothing
+    run = True
+    if causal:
+        run = (qi + 1) * block_q - 1 >= ki * block_k
+
+    @pl.when(run)
+    def _run():
+        q = q_ref[0, 0]                     # (block_q, d)
+        k = k_ref[0, 0]                     # (block_k, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (block_q, block_k)
+        s *= sm_scale
+
+        # mask padded keys (and the upper triangle when causal)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        mask = col < kv_valid
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+            mask &= col <= row
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_ref[...]                 # (block_q, 128) broadcast lanes
+        l_prev = l_ref[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)       # (block_q, 1)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        m_ref[...] = m_next
+        l_ref[...] = l_next
+
+        acc_ref[...] *= alpha[:, :1]
+        v = v_ref[0, 0]                     # (block_k, d)
+        acc_ref[...] += jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _store():
+        l = l_ref[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "causal", "kv_valid", "block_q", "block_k"))
+def flash_attention(
+    q: jax.Array,       # (B, H, Tq, d)
+    k: jax.Array,       # (B, H, Tk, d)
+    v: jax.Array,       # (B, H, Tk, d)
+    *,
+    sm_scale: float,
+    causal: bool = False,
+    kv_valid: int | None = None,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> jax.Array:
+    """O = softmax(sm_scale * Q K^T) V, tiled; returns (B, H, Tq, d).
+
+    Tq/Tk may be arbitrary; they are padded internally. ``kv_valid`` is the
+    number of real key positions (defaults to Tk).
+    """
+    B, H, Tq, d = q.shape
+    Tk = k.shape[2]
+    kv_valid = Tk if kv_valid is None else kv_valid
+
+    block_q = min(block_q, max(_LANES, 1 << (Tq - 1).bit_length()))
+    block_k = min(block_k, max(_LANES, 1 << (Tk - 1).bit_length()))
+
+    d_pad = -d % _LANES
+    tq_pad = -Tq % block_q
+    tk_pad = -Tk % block_k
+    if d_pad or tq_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, tq_pad), (0, d_pad)))
+    if d_pad or tk_pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, tk_pad), (0, d_pad)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, tk_pad), (0, d_pad)))
+    Dq, TQ, TK = d + d_pad, Tq + tq_pad, Tk + tk_pad
+
+    grid = (B, H, TQ // block_q, TK // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel, sm_scale=sm_scale, causal=causal,
+            kv_valid=kv_valid, block_q=block_q, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((B, H, TQ, Dq), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, Dq),
+                             lambda b, h, i, j: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_k, Dq),
+                             lambda b, h, i, j: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_k, Dq),
+                             lambda b, h, i, j: (b, h, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, Dq),
+                                   lambda b, h, i, j: (b, h, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, _LANES), jnp.float32),  # running max
+                pltpu.VMEM((block_q, _LANES), jnp.float32),  # running sum
+                pltpu.VMEM((block_q, Dq), jnp.float32),      # output accum
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=_use_interpret(),
+    )(q, k, v)
+
+    return out[:, :, :Tq, :d]
+
+
+def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
+                            n_head: int) -> jax.Array:
+    """Encoder-layer entry point over merged-head activations (B, T, D).
+
+    Applies the reference's d_head^-0.5 scaling (src/qwen2-whisper.cpp:2030,
+    applied there as a Q pre-scale — mathematically identical on the logits).
+    """
+    B, T, D = q.shape
+    dh = D // n_head
+
+    def split(x):
+        return x.reshape(B, T, n_head, dh).transpose(0, 2, 1, 3)
+
+    out = flash_attention(split(q), split(k), split(v),
+                          sm_scale=float(dh) ** -0.5)
+    return out.transpose(0, 2, 1, 3).reshape(B, T, D)

@@ -1,0 +1,88 @@
+"""Flash attention kernel vs plain softmax reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from qwen2_audio_tpu.ops.flash_attention import (
+    flash_attention,
+    flash_attention_encoder,
+)
+
+
+def ref_attention(q, k, v, sm_scale, causal=False, kv_valid=None):
+    logits = np.einsum("bhqd,bhkd->bhqk", q, k).astype(np.float64) * sm_scale
+    Tk = k.shape[2]
+    if kv_valid is not None and kv_valid < Tk:
+        logits[..., kv_valid:] = -np.inf
+    if causal:
+        Tq = q.shape[2]
+        mask = np.tril(np.ones((Tq, Tk), bool), k=Tk - Tq)
+        logits = np.where(mask, logits, -np.inf)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", w, v).astype(np.float32)
+
+
+@pytest.mark.parametrize("Tq,Tk,d", [(256, 256, 64), (300, 300, 64),
+                                     (128, 384, 128)])
+def test_matches_reference(Tq, Tk, d, rng):
+    q = rng.standard_normal((2, 3, Tq, d)).astype(np.float32)
+    k = rng.standard_normal((2, 3, Tk, d)).astype(np.float32)
+    v = rng.standard_normal((2, 3, Tk, d)).astype(np.float32)
+    sm = d ** -0.5
+    got = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), sm_scale=sm))
+    want = ref_attention(q, k, v, sm)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_causal(rng):
+    q = rng.standard_normal((1, 2, 256, 64)).astype(np.float32)
+    k = rng.standard_normal((1, 2, 256, 64)).astype(np.float32)
+    v = rng.standard_normal((1, 2, 256, 64)).astype(np.float32)
+    got = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), sm_scale=0.125,
+                                     causal=True))
+    want = ref_attention(q, k, v, 0.125, causal=True)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_kv_valid_mask(rng):
+    """Padded key positions must not leak attention mass."""
+    q = rng.standard_normal((1, 1, 128, 64)).astype(np.float32)
+    k = rng.standard_normal((1, 1, 200, 64)).astype(np.float32)
+    v = rng.standard_normal((1, 1, 200, 64)).astype(np.float32)
+    # poison the tail
+    k[:, :, 150:] = 100.0
+    v[:, :, 150:] = 100.0
+    got = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), sm_scale=0.125,
+                                     kv_valid=150))
+    want = ref_attention(q[:, :, :, :], k[:, :, :150], v[:, :, :150], 0.125)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_encoder_entry_matches_sdpa(rng):
+    from qwen2_audio_tpu.models.encoder import _sdpa
+    B, T, D, H = 2, 300, 128, 2
+    q = rng.standard_normal((B, T, D)).astype(np.float32)
+    k = rng.standard_normal((B, T, D)).astype(np.float32)
+    v = rng.standard_normal((B, T, D)).astype(np.float32)
+    got = np.asarray(flash_attention_encoder(jnp.asarray(q), jnp.asarray(k),
+                                             jnp.asarray(v), H))
+    want = np.asarray(_sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), H))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_encoder_forward_flash_vs_einsum(rng):
+    from qwen2_audio_tpu.config import WhisperHParams
+    from qwen2_audio_tpu.models.encoder import (encoder_forward,
+                                                random_encoder_params)
+    hp = WhisperHParams(n_audio_ctx=256, n_audio_state=64, n_audio_head=4,
+                        n_audio_layer=2, n_mels=16)
+    params = random_encoder_params(rng, hp)
+    mel = rng.standard_normal((1, hp.n_mels, 2 * hp.n_audio_ctx)).astype(np.float32)
+    a = np.asarray(encoder_forward(params, jnp.asarray(mel), hp, use_flash=False))
+    b = np.asarray(encoder_forward(params, jnp.asarray(mel), hp, use_flash=True))
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)

@@ -1,0 +1,143 @@
+"""End-to-end runtime API tests: init_from_file -> full() -> accessors,
+mirroring the reference CLI flow (examples/main/main.cpp:455-589)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from qwen2_audio_tpu.audio import mel_filterbank
+from qwen2_audio_tpu.config import WhisperHParams, GGMLFType, GGMLType
+from qwen2_audio_tpu.io.export import write_encoder_checkpoint, quantize_checkpoint
+from qwen2_audio_tpu.models.encoder import random_encoder_params
+from qwen2_audio_tpu.runtime import (
+    ContextParams,
+    FullParams,
+    WhisperContext,
+    full_default_params,
+)
+
+HP = WhisperHParams(n_vocab=64, n_audio_ctx=1500, n_audio_state=64,
+                    n_audio_head=4, n_audio_layer=2, n_mels=16)
+
+
+@pytest.fixture(scope="module")
+def model_buf():
+    rng = np.random.default_rng(3)
+    params = random_encoder_params(rng, HP)
+    buf = io.BytesIO()
+    write_encoder_checkpoint(buf, params, HP, mel_filterbank(HP.n_mels),
+                             [b"tok%d" % i for i in range(60)])
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def ctx(model_buf):
+    return WhisperContext.init_from_buffer_with_params(model_buf)
+
+
+def test_init_and_accessors(ctx):
+    assert ctx.n_vocab() == 64
+    assert ctx.n_audio_ctx() == 1500
+    assert ctx.model_n_mels() == 16
+    assert not ctx.is_multilingual()
+    assert ctx.model_ftype() == 1
+    assert ctx.token_eot() == 50256
+    assert ctx.model_type_readable() == "unknown"
+
+
+def test_full_runs_encoder(ctx, rng):
+    samples = (0.1 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    rc = ctx.full(full_default_params(), samples)
+    assert rc == 0
+    assert ctx.state.embd_enc is not None
+    assert ctx.state.embd_enc.shape == (750, HP.n_audio_state)
+    assert ctx.n_len() > 0
+    assert ctx.state.timings.n_encode == 1
+    assert ctx.state.timings.t_encode_us > 0
+    assert ctx.state.timings.t_mel_us > 0
+
+
+def test_full_too_short_is_guarded(ctx, rng):
+    """< 1 s of mel frames returns 0 without encoding (reference :2359-2364)."""
+    before = ctx.state.timings.n_encode
+    rc = ctx.full(full_default_params(), np.zeros(800, np.float32))
+    assert rc == 0
+    assert ctx.state.timings.n_encode == before
+
+
+def test_full_offset_duration(ctx, rng):
+    samples = (0.1 * rng.standard_normal(16000 * 3)).astype(np.float32)
+    p = full_default_params()
+    p.offset_ms = 1000
+    rc = ctx.full(p, samples)
+    assert rc == 0
+
+
+def test_encoder_begin_callback_abort(ctx, rng):
+    p = full_default_params()
+    p.encoder_begin_callback = lambda c, s: False
+    rc = ctx.full(p, (0.1 * rng.standard_normal(32000)).astype(np.float32))
+    assert rc == -4
+
+
+def test_set_mel_validation(ctx):
+    assert ctx.set_mel(np.zeros((99, 100), np.float32)) == -1
+    assert ctx.set_mel(np.zeros((16, 3000), np.float32)) == 0
+    assert ctx.n_len() == 3000
+
+
+def test_encode_without_mel_fails():
+    pass  # covered by fresh-state test below
+
+
+def test_fresh_state_encode_fails(model_buf):
+    c = WhisperContext.init_from_buffer_with_params(model_buf)
+    assert c.encode(0) == -1  # no mel yet
+
+
+def test_full_parallel_batches(ctx, rng):
+    samples = (0.1 * rng.standard_normal(16000 * 4)).astype(np.float32)
+    rc = ctx.full_parallel(full_default_params(), samples, n_processors=2)
+    assert rc == 0
+    assert ctx.state.embd_enc.shape == (2 * 750, HP.n_audio_state)
+
+
+def test_print_emb_enc(ctx, rng, capsys):
+    ctx.full(full_default_params(), (0.1 * rng.standard_normal(32000)).astype(np.float32))
+    fp = ctx.print_emb_enc()
+    assert len(fp.split()) == 20
+
+
+def test_quantize_checkpoint_roundtrip(model_buf):
+    src = io.BytesIO(model_buf)
+    dst = io.BytesIO()
+    result = quantize_checkpoint(src, dst, GGMLFType.MOSTLY_Q8_0)
+    # attention / fc weights quantized; norms, biases, convs, pos embed not
+    assert result["layers.0.fc1.weight"] == int(GGMLType.Q8_0)
+    assert result["layers.0.self_attn.q_proj.weight"] == int(GGMLType.Q8_0)
+    assert result["conv1.weight"] == int(GGMLType.F16)
+    assert result["layer_norm.weight"] == int(GGMLType.F32)
+    assert result["embed_positions.weight"] == int(GGMLType.F32)
+
+    # the quantized file loads and encodes
+    dst.seek(0)
+    c = WhisperContext.init_from_buffer_with_params(dst.getvalue())
+    assert c.hparams.ftype == int(GGMLFType.MOSTLY_Q8_0)
+    rc = c.full(full_default_params(),
+                (0.1 * np.random.default_rng(0).standard_normal(32000)).astype(np.float32))
+    assert rc == 0
+    assert np.isfinite(c.state.embd_enc).all()
+
+
+def test_timings_print(ctx, capsys):
+    msgs = []
+    from qwen2_audio_tpu.utils.logging import log_set
+    log_set(lambda lvl, text, ud: msgs.append(text))
+    try:
+        ctx.print_timings()
+        ctx.reset_timings()
+        assert ctx.state.timings.n_encode == 0
+    finally:
+        log_set(None)
+    assert any("encode time" in m for m in msgs)
