@@ -1,0 +1,247 @@
+"""Qwen2 text decoder — the LM the reference fork targeted but never merged
+(SURVEY.md §0.2; its decode scaffolding whisper_kv_cache/whisper_batch at
+src/qwen2-whisper.cpp:449-500, 897-1084 is the spec this replaces).
+
+TPU-first design:
+- layer parameters are STACKED on a leading (n_layers, ...) axis and the
+  block runs under ``jax.lax.scan`` — one trace for all layers, fast compile;
+- the KV cache is a preallocated static-shape HBM ring (max_ctx), updated
+  functionally with ``lax.dynamic_update_slice`` (≙ the reference's ring-slot
+  cache with find_slot :966-1031, without data-dependent host control flow);
+- GQA: K/V heads are stored once (num_kv_heads) and logically broadcast
+  inside attention — no materialized repeat in HBM;
+- decode step and prefill are the same function (T is a static shape,
+  bucketed by the caller).
+
+Architecture (Qwen2): RMSNorm, rotary embeddings (theta 1e6), attention with
+Q/K/V biases + un-biased out-proj, SwiGLU MLP, tied-or-separate lm_head.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen2_audio_tpu.config import Qwen2DecoderConfig
+
+Params = dict[str, Any]
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache: (n_layers, B, max_ctx, n_kv_heads, head_dim)."""
+
+    k: jax.Array
+    v: jax.Array
+    pos: jax.Array          # () int32 — number of valid positions
+
+    @classmethod
+    def create(cls, cfg: Qwen2DecoderConfig, batch: int, max_ctx: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_hidden_layers, batch, max_ctx,
+                 cfg.num_key_value_heads, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   pos=jnp.zeros((), jnp.int32))
+
+    @property
+    def max_ctx(self) -> int:
+        return self.k.shape[2]
+
+    def reorder(self, beam_idx: jax.Array) -> "KVCache":
+        """Gather cache rows along batch — beam-search hypothesis reordering
+        (≙ whisper_kv_cache_seq_cp :1048-1064, as a gather, no copies)."""
+        return KVCache(k=self.k[:, beam_idx], v=self.v[:, beam_idx],
+                       pos=self.pos)
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def rope_angles(positions: jax.Array, head_dim: int, theta: float
+                ) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables for the given positions: (T, head_dim)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2,
+                                           dtype=jnp.float32) / head_dim))
+    ang = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    ang = jnp.concatenate([ang, ang], axis=-1)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, T, H, d). HF-style half-rotation."""
+    d = x.shape[-1]
+    x1, x2 = x[..., : d // 2], x[..., d // 2:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x * cos[None, :, None, :] + rotated * sin[None, :, None, :]
+            ).astype(x.dtype)
+
+
+def _gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                   q_pos0: jax.Array, kv_len: int) -> jax.Array:
+    """q: (B, T, Hq, d); k/v: (B, S, Hkv, d) full cache buffers.
+
+    Causal within the query block + cache-validity mask: key position j is
+    visible iff j <= q_pos0 + t (query t's absolute position).
+    """
+    B, T, Hq, d = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    g = Hq // Hkv
+    q = q.reshape(B, T, Hkv, g, d)
+    logits = jnp.einsum("bthgd,bshd->bhgts", q, k,
+                        preferred_element_type=jnp.float32)
+    logits *= d ** -0.5
+
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    visible = s_idx <= (q_pos0 + t_idx)
+    logits = jnp.where(visible[None, None, None], logits, -jnp.inf)
+
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgts,bshd->bthgd", w, v,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.reshape(B, T, Hq * d)
+
+
+def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
+           k_cache: jax.Array, v_cache: jax.Array,
+           cos: jax.Array, sin: jax.Array, pos0: jax.Array
+           ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One decoder block; returns (x_out, new_k_cache, new_v_cache)."""
+    B, T, D = x.shape
+    h = rms_norm(x, lp["ln1"]["w"], cfg.rms_norm_eps)
+
+    q = (h @ lp["q"]["w"] + lp["q"]["b"]).reshape(
+        B, T, cfg.num_attention_heads, cfg.head_dim)
+    k = (h @ lp["k"]["w"] + lp["k"]["b"]).reshape(
+        B, T, cfg.num_key_value_heads, cfg.head_dim)
+    v = (h @ lp["v"]["w"] + lp["v"]["b"]).reshape(
+        B, T, cfg.num_key_value_heads, cfg.head_dim)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k.astype(k_cache.dtype), (0, pos0, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v.astype(v_cache.dtype), (0, pos0, 0, 0))
+
+    attn = _gqa_attention(q, k_cache, v_cache, pos0, k_cache.shape[1])
+    x = x + attn @ lp["o"]["w"]
+
+    h = rms_norm(x, lp["ln2"]["w"], cfg.rms_norm_eps)
+    gated = jax.nn.silu(h @ lp["gate"]["w"]) * (h @ lp["up"]["w"])
+    return x + gated @ lp["down"]["w"], k_cache, v_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def decoder_forward(
+    params: Params,
+    cfg: Qwen2DecoderConfig,
+    inputs_embeds: jax.Array,        # (B, T, D)
+    cache: KVCache,
+    pos0: jax.Array | int,           # absolute position of inputs_embeds[:,0]
+) -> tuple[jax.Array, KVCache]:
+    """Run T positions through all layers; returns (logits (B,T,V), cache).
+
+    Same function serves prefill (T = prompt length) and decode (T = 1);
+    the cache is donated so updates alias in HBM.
+    """
+    x = inputs_embeds
+    T = x.shape[1]
+    pos0 = jnp.asarray(pos0, jnp.int32)
+    positions = pos0 + jnp.arange(T, dtype=jnp.int32)
+    cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+
+    def body(x, layer_in):
+        lp, kc, vc = layer_in
+        x, kc, vc = _layer(cfg, x, lp, kc, vc, cos, sin, pos0)
+        return x, (kc, vc)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+
+    x = rms_norm(x, params["ln_f"]["w"], cfg.rms_norm_eps)
+    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]["w"]
+    logits = (x @ head.astype(x.dtype)).astype(jnp.float32)
+    return logits, KVCache(k=new_k, v=new_v, pos=pos0 + T)
+
+
+def embed_tokens(params: Params, tokens: jax.Array) -> jax.Array:
+    return params["embed"][tokens]
+
+
+# --------------------------------------------------------------------------- #
+# parameter construction
+# --------------------------------------------------------------------------- #
+
+def random_decoder_params(rng: np.random.Generator, cfg: Qwen2DecoderConfig,
+                          dtype=jnp.float32, scale: float = 0.02) -> Params:
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    Hq, Hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    def t(*shape):
+        return jnp.asarray(rng.standard_normal(shape) * scale, dtype=dtype)
+
+    L = cfg.num_hidden_layers
+    layers = {
+        "ln1": {"w": jnp.ones((L, D), dtype)},
+        "q": {"w": t(L, D, Hq * dh), "b": t(L, Hq * dh)},
+        "k": {"w": t(L, D, Hkv * dh), "b": t(L, Hkv * dh)},
+        "v": {"w": t(L, D, Hkv * dh), "b": t(L, Hkv * dh)},
+        "o": {"w": t(L, Hq * dh, D)},
+        "ln2": {"w": jnp.ones((L, D), dtype)},
+        "gate": {"w": t(L, D, I)},
+        "up": {"w": t(L, D, I)},
+        "down": {"w": t(L, I, D)},
+    }
+    p = {"embed": t(cfg.vocab_size, D), "layers": layers,
+         "ln_f": {"w": jnp.ones(D, dtype)}}
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = {"w": t(D, cfg.vocab_size)}
+    return p
+
+
+def decoder_params_from_hf_state_dict(sd: dict, cfg: Qwen2DecoderConfig,
+                                      dtype=jnp.float32,
+                                      prefix: str = "model.") -> Params:
+    """Map HF Qwen2ForCausalLM (or the language_model inside Qwen2-Audio)
+    state-dict names onto the stacked pytree; linears transposed to [in,out]."""
+
+    def g(name):
+        return np.asarray(sd[name], dtype=np.float32)
+
+    L = cfg.num_hidden_layers
+
+    def stack(fmt, transpose=False):
+        arrs = [g(fmt.format(i=i)) for i in range(L)]
+        if transpose:
+            arrs = [a.T for a in arrs]
+        return jnp.asarray(np.stack(arrs), dtype=dtype)
+
+    layers = {
+        "ln1": {"w": stack(prefix + "layers.{i}.input_layernorm.weight")},
+        "q": {"w": stack(prefix + "layers.{i}.self_attn.q_proj.weight", True),
+              "b": stack(prefix + "layers.{i}.self_attn.q_proj.bias")},
+        "k": {"w": stack(prefix + "layers.{i}.self_attn.k_proj.weight", True),
+              "b": stack(prefix + "layers.{i}.self_attn.k_proj.bias")},
+        "v": {"w": stack(prefix + "layers.{i}.self_attn.v_proj.weight", True),
+              "b": stack(prefix + "layers.{i}.self_attn.v_proj.bias")},
+        "o": {"w": stack(prefix + "layers.{i}.self_attn.o_proj.weight", True)},
+        "ln2": {"w": stack(prefix + "layers.{i}.post_attention_layernorm.weight")},
+        "gate": {"w": stack(prefix + "layers.{i}.mlp.gate_proj.weight", True)},
+        "up": {"w": stack(prefix + "layers.{i}.mlp.up_proj.weight", True)},
+        "down": {"w": stack(prefix + "layers.{i}.mlp.down_proj.weight", True)},
+    }
+    p = {
+        "embed": jnp.asarray(g(prefix + "embed_tokens.weight"), dtype=dtype),
+        "layers": layers,
+        "ln_f": {"w": jnp.asarray(g(prefix + "norm.weight"), dtype=dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = {"w": jnp.asarray(g("lm_head.weight").T, dtype=dtype)}
+    return p

@@ -1,0 +1,311 @@
+"""Decoding engine: audio-conditioned Qwen2 generation with greedy and
+beam-search strategies, temperature fallback, and penalties.
+
+This realizes the decode path the reference fork scaffolded but never merged
+(whisper_full_params strategy/beam/penalty fields include/qwen2-whisper.h:359-437,
+kv-cache seq_cp semantics src/qwen2-whisper.cpp:1048-1064, temperature
+fallback thresholds :413-418).
+
+Flow (mirrors HF Qwen2-Audio semantics):
+    encoder output (750, 1280) --projector--> (750, D_text)
+    prompt embeds = [pre-audio tokens][audio embeds][post-audio tokens]
+    prefill -> greedy / beam decode with static-shape KV cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen2_audio_tpu.config import Qwen2DecoderConfig
+from qwen2_audio_tpu.models.qwen2_decoder import (
+    KVCache,
+    decoder_forward,
+    embed_tokens,
+)
+from qwen2_audio_tpu.runtime.sampling import (
+    length_penalty_score,
+    sample_token,
+    sequence_entropy,
+)
+from qwen2_audio_tpu.utils.timings import time_us
+
+
+@dataclasses.dataclass
+class DecoderBundle:
+    """Everything the runtime needs to decode text from audio embeddings.
+    Attached to WhisperContext.decoder by the Qwen2-Audio loader."""
+
+    cfg: Qwen2DecoderConfig
+    params: Any                          # decoder pytree
+    proj_w: jax.Array                    # (enc_dim, hidden)
+    proj_b: jax.Array                    # (hidden,)
+    eos_token_id: int
+    bos_tokens: list[int]                # tokens before the audio embeds
+    post_audio_tokens: list[int]         # tokens after the audio embeds
+    detokenize: Callable[[list[int]], str] | None = None
+    max_ctx: int = 2048
+    cache_dtype: Any = jnp.bfloat16
+
+    def project_audio(self, enc_out: np.ndarray) -> jax.Array:
+        """multi_modal_projector: Linear(enc_dim -> hidden) (HF
+        Qwen2AudioMultiModalProjector)."""
+        x = jnp.asarray(enc_out)
+        return x @ self.proj_w + self.proj_b
+
+    def text(self, ids: list[int]) -> str:
+        if self.detokenize is not None:
+            return self.detokenize(ids)
+        return " ".join(str(i) for i in ids)
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    tokens: list[list[int]]              # per batch element
+    logprobs: list[list[float]]
+    avg_logprob: list[float]
+
+
+def _prefill_embeds(bundle: DecoderBundle, audio_embeds: jax.Array,
+                    prompt_tokens: list[int]) -> jax.Array:
+    """[bos][audio][post-audio + user prompt] -> (1, T, D)."""
+    parts = []
+    if bundle.bos_tokens:
+        parts.append(embed_tokens(bundle.params,
+                                  jnp.asarray([bundle.bos_tokens]))[0])
+    parts.append(audio_embeds.astype(parts[0].dtype if parts else jnp.float32))
+    tail = list(bundle.post_audio_tokens) + list(prompt_tokens or [])
+    if tail:
+        parts.append(embed_tokens(bundle.params, jnp.asarray([tail]))[0])
+    return jnp.concatenate(parts, axis=0)[None]
+
+
+def greedy_decode(
+    bundle: DecoderBundle,
+    prefill: jax.Array,                  # (B, T0, D)
+    *,
+    max_new_tokens: int,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    repetition_penalty: float = 1.0,
+    seed: int = 0,
+    abort_callback: Callable | None = None,
+    timings=None,
+) -> GenerationResult:
+    cfg = bundle.cfg
+    B, T0, _ = prefill.shape
+    max_ctx = min(bundle.max_ctx, T0 + max_new_tokens)
+    cache = KVCache.create(cfg, B, max_ctx, dtype=bundle.cache_dtype)
+
+    t0 = time_us()
+    logits, cache = decoder_forward(bundle.params, cfg, prefill, cache, 0)
+    last = logits[:, -1]
+    if timings is not None:
+        last.block_until_ready()
+        timings.t_prompt_us += time_us() - t0
+        timings.n_prompt += T0
+
+    key = jax.random.PRNGKey(seed)
+    seen = jnp.zeros((B, cfg.vocab_size), bool)
+    out_tokens: list[list[int]] = [[] for _ in range(B)]
+    out_lps: list[list[float]] = [[] for _ in range(B)]
+    done = np.zeros(B, bool)
+
+    for step in range(max_new_tokens):
+        t1 = time_us()
+        key, sub = jax.random.split(key)
+        tok, lp = sample_token(last, seen, sub, temperature,
+                               repetition_penalty, top_k, top_p)
+        tok_np = np.asarray(tok)
+        lp_np = np.asarray(lp)
+        if timings is not None:
+            timings.t_sample_us += time_us() - t1
+            timings.n_sample += B
+
+        for b in range(B):
+            if not done[b]:
+                out_tokens[b].append(int(tok_np[b]))
+                out_lps[b].append(float(lp_np[b]))
+                if tok_np[b] == bundle.eos_token_id:
+                    done[b] = True
+        if done.all():
+            break
+        if abort_callback is not None and abort_callback():
+            break
+        if T0 + step + 1 >= max_ctx:
+            break
+
+        t2 = time_us()
+        seen = seen.at[jnp.arange(B), tok].set(True)
+        x = embed_tokens(bundle.params, tok[:, None])
+        logits, cache = decoder_forward(bundle.params, cfg, x, cache,
+                                        T0 + step)
+        last = logits[:, -1]
+        if timings is not None:
+            last.block_until_ready()
+            timings.t_decode_us += time_us() - t2
+            timings.n_decode += B
+
+    avg = [float(np.mean(l)) if l else 0.0 for l in out_lps]
+    return GenerationResult(tokens=out_tokens, logprobs=out_lps, avg_logprob=avg)
+
+
+def beam_search(
+    bundle: DecoderBundle,
+    prefill: jax.Array,                  # (1, T0, D) — single stream
+    *,
+    beam_size: int,
+    max_new_tokens: int,
+    length_penalty: float = -1.0,
+    repetition_penalty: float = 1.0,
+    abort_callback: Callable | None = None,
+    timings=None,
+) -> GenerationResult:
+    """Beam search with KV-cache hypothesis reordering as a gather
+    (KVCache.reorder ≙ whisper_kv_cache_seq_cp)."""
+    cfg = bundle.cfg
+    _, T0, D = prefill.shape
+    K = beam_size
+    max_ctx = min(bundle.max_ctx, T0 + max_new_tokens)
+
+    # replicate the prompt across beams once; cache rows diverge later
+    cache = KVCache.create(cfg, K, max_ctx, dtype=bundle.cache_dtype)
+    t0 = time_us()
+    logits, cache = decoder_forward(
+        bundle.params, cfg, jnp.broadcast_to(prefill, (K, T0, D)), cache, 0)
+    last = np.asarray(jax.nn.log_softmax(logits[:, -1], axis=-1))
+    if timings is not None:
+        timings.t_prompt_us += time_us() - t0
+        timings.n_prompt += T0
+
+    V = cfg.vocab_size
+    beams: list[list[int]] = [[] for _ in range(K)]
+    scores = np.zeros(K)
+    finished: list[tuple[float, list[int], list[float]]] = []
+    beam_lps: list[list[float]] = [[] for _ in range(K)]
+
+    # first expansion: all beams share the prompt, take top-K of one row
+    top = np.argsort(last[0])[::-1][:K]
+    beams = [[int(t)] for t in top]
+    beam_lps = [[float(last[0][t])] for t in top]
+    scores = last[0][top].copy()
+
+    for step in range(1, max_new_tokens):
+        if abort_callback is not None and abort_callback():
+            break
+        alive = [i for i, b in enumerate(beams)
+                 if not b or b[-1] != bundle.eos_token_id]
+        for i in range(K):
+            if i not in alive and beams[i]:
+                cand = (float(length_penalty_score(
+                    jnp.asarray(scores[i]), len(beams[i]), length_penalty)),
+                    beams[i], beam_lps[i])
+                if cand not in finished:
+                    finished.append(cand)
+        if not alive or T0 + step >= max_ctx:
+            break
+
+        t2 = time_us()
+        toks = jnp.asarray([[b[-1]] for b in beams])
+        x = embed_tokens(bundle.params, toks)
+        logits, cache = decoder_forward(bundle.params, cfg, x, cache,
+                                        T0 + step - 1)
+        lp = np.asarray(jax.nn.log_softmax(logits[:, -1], axis=-1))
+        if timings is not None:
+            timings.t_decode_us += time_us() - t2
+            timings.n_decode += K
+
+        if repetition_penalty != 1.0:
+            for i in range(K):
+                for t in set(beams[i]):
+                    lp[i, t] = (lp[i, t] / repetition_penalty
+                                if lp[i, t] > 0 else lp[i, t] * repetition_penalty)
+
+        # expand only alive beams
+        cand_scores = np.full((K, V), -np.inf)
+        for i in alive:
+            cand_scores[i] = scores[i] + lp[i]
+        flat = cand_scores.reshape(-1)
+        best = np.argsort(flat)[::-1][:K]
+        src = best // V
+        nxt = best % V
+
+        cache = cache.reorder(jnp.asarray(src))
+        beams = [beams[s] + [int(t)] for s, t in zip(src, nxt)]
+        beam_lps = [beam_lps[s] + [float(lp[s, t])] for s, t in zip(src, nxt)]
+        scores = flat[best].copy()
+
+    for i in range(K):
+        if beams[i]:
+            finished.append((float(length_penalty_score(
+                jnp.asarray(scores[i]), len(beams[i]), length_penalty)),
+                beams[i], beam_lps[i]))
+
+    finished.sort(key=lambda x: x[0], reverse=True)
+    best_score, best_tokens, best_lps = finished[0]
+    return GenerationResult(tokens=[best_tokens], logprobs=[best_lps],
+                            avg_logprob=[float(np.mean(best_lps))])
+
+
+def run(ctx, state, params) -> int:
+    """whisper_full()'s decode stage: called after the encoder wrote
+    state.embd_enc. Populates state.segments / result_tokens / logits."""
+    bundle: DecoderBundle = ctx.decoder
+    audio = bundle.project_audio(state.embd_enc)
+
+    prompt_tokens = params.prompt_tokens or []
+    prefill = _prefill_embeds(bundle, audio, prompt_tokens)
+
+    temperatures = [params.temperature]
+    if params.temperature_inc > 0:
+        t = params.temperature
+        while t + params.temperature_inc <= 1.0 + 1e-6:
+            t += params.temperature_inc
+            temperatures.append(round(t, 6))
+
+    result = None
+    for ti, temp in enumerate(temperatures):
+        if params.strategy == "beam" and temp == 0.0:
+            result = beam_search(
+                bundle, prefill, beam_size=params.beam_size,
+                max_new_tokens=params.max_new_tokens,
+                length_penalty=params.length_penalty,
+                repetition_penalty=params.repetition_penalty,
+                abort_callback=params.abort_callback,
+                timings=state.timings)
+        else:
+            result = greedy_decode(
+                bundle, prefill, max_new_tokens=params.max_new_tokens,
+                temperature=temp,
+                top_k=params.best_of if temp > 0 else 0,
+                repetition_penalty=params.repetition_penalty,
+                abort_callback=params.abort_callback,
+                seed=ti,
+                timings=state.timings)
+        # temperature fallback (reference whisper_full_params :413-418):
+        # accept unless mean -logprob breaches the thresholds
+        avg_lp = result.avg_logprob[0]
+        ent = -avg_lp
+        if (params.logprob_thold <= avg_lp or ent <= params.entropy_thold
+                or ti == len(temperatures) - 1):
+            break
+        state.timings.n_fail_p += 1
+
+    ids = result.tokens[0]
+    state.result_tokens = ids
+    state.segments = [{
+        "t0": params.offset_ms // 10,
+        "t1": params.offset_ms // 10 + 3000,
+        "text": bundle.text(ids),
+        "tokens": ids,
+        "probs": [float(np.exp(l)) for l in result.logprobs[0]],
+        "speaker_turn_next": False,
+    }]
+    if params.new_segment_callback is not None:
+        params.new_segment_callback(ctx, state, 1)
+    return 0

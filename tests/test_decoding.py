@@ -1,0 +1,173 @@
+"""Decoding engine tests: greedy parity vs HF generate, beam search,
+penalties, temperature fallback, and the full audio->text pipeline."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from qwen2_audio_tpu.config import Qwen2DecoderConfig
+from qwen2_audio_tpu.models.qwen2_decoder import decoder_params_from_hf_state_dict
+from qwen2_audio_tpu.runtime.decoding import (
+    DecoderBundle,
+    beam_search,
+    greedy_decode,
+    _prefill_embeds,
+)
+
+CFG = Qwen2DecoderConfig(
+    vocab_size=96, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=16, tie_word_embeddings=False)
+
+
+@pytest.fixture(scope="module")
+def hf_and_bundle():
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    cfg = Qwen2Config(
+        vocab_size=CFG.vocab_size, hidden_size=CFG.hidden_size,
+        intermediate_size=CFG.intermediate_size,
+        num_hidden_layers=CFG.num_hidden_layers,
+        num_attention_heads=CFG.num_attention_heads,
+        num_key_value_heads=CFG.num_key_value_heads,
+        rope_theta=CFG.rope_theta, tie_word_embeddings=False,
+        attn_implementation="eager")
+    torch.manual_seed(7)
+    hf = Qwen2ForCausalLM(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = decoder_params_from_hf_state_dict(sd, CFG)
+    bundle = DecoderBundle(
+        cfg=CFG, params=params,
+        proj_w=jnp.eye(CFG.hidden_size), proj_b=jnp.zeros(CFG.hidden_size),
+        eos_token_id=95, bos_tokens=[], post_audio_tokens=[],
+        max_ctx=64, cache_dtype=jnp.float32)
+    return hf, bundle
+
+
+def test_greedy_matches_hf_generate(hf_and_bundle, rng):
+    import torch
+    hf, bundle = hf_and_bundle
+    prompt = rng.integers(2, 90, (1, 6))
+
+    with torch.no_grad():
+        want = hf.generate(torch.from_numpy(prompt), max_new_tokens=12,
+                           do_sample=False, eos_token_id=95,
+                           pad_token_id=0).numpy()[0, 6:]
+
+    from qwen2_audio_tpu.models.qwen2_decoder import embed_tokens
+    prefill = embed_tokens(bundle.params, jnp.asarray(prompt))
+    got = greedy_decode(bundle, prefill, max_new_tokens=12)
+    np.testing.assert_array_equal(np.asarray(got.tokens[0]), want)
+
+
+def test_greedy_stops_at_eos(hf_and_bundle, rng):
+    _, bundle = hf_and_bundle
+    from qwen2_audio_tpu.models.qwen2_decoder import embed_tokens
+    prompt = rng.integers(2, 90, (1, 4))
+    prefill = embed_tokens(bundle.params, jnp.asarray(prompt))
+    r = greedy_decode(bundle, prefill, max_new_tokens=40)
+    if bundle.eos_token_id in r.tokens[0]:
+        assert r.tokens[0][-1] == bundle.eos_token_id
+    assert len(r.logprobs[0]) == len(r.tokens[0])
+    assert all(lp <= 0 for lp in r.logprobs[0])
+
+
+def test_beam_search_beats_or_equals_greedy(hf_and_bundle, rng):
+    _, bundle = hf_and_bundle
+    from qwen2_audio_tpu.models.qwen2_decoder import embed_tokens
+    prompt = rng.integers(2, 90, (1, 5))
+    prefill = embed_tokens(bundle.params, jnp.asarray(prompt))
+    g = greedy_decode(bundle, prefill, max_new_tokens=8)
+    b = beam_search(bundle, prefill, beam_size=4, max_new_tokens=8)
+    # sum of logprobs of the beam result must be >= greedy's (same normalization)
+    assert sum(b.logprobs[0]) >= sum(g.logprobs[0]) - 1e-4
+
+
+def test_beam_matches_hf_beam(hf_and_bundle, rng):
+    import torch
+    hf, bundle = hf_and_bundle
+    prompt = rng.integers(2, 90, (1, 5))
+    with torch.no_grad():
+        want = hf.generate(torch.from_numpy(prompt), max_new_tokens=8,
+                           num_beams=4, do_sample=False, eos_token_id=95,
+                           pad_token_id=0, length_penalty=1.0,
+                           early_stopping=True).numpy()[0, 5:]
+    from qwen2_audio_tpu.models.qwen2_decoder import embed_tokens
+    prefill = embed_tokens(bundle.params, jnp.asarray(prompt))
+    got = beam_search(bundle, prefill, beam_size=4, max_new_tokens=8,
+                      length_penalty=1.0)
+    tt = [t for t in want if t != 0]
+    np.testing.assert_array_equal(np.asarray(got.tokens[0][:len(tt)]), tt)
+
+
+def test_repetition_penalty_reduces_repeats(hf_and_bundle, rng):
+    _, bundle = hf_and_bundle
+    from qwen2_audio_tpu.models.qwen2_decoder import embed_tokens
+    prompt = rng.integers(2, 90, (1, 4))
+    prefill = embed_tokens(bundle.params, jnp.asarray(prompt))
+    plain = greedy_decode(bundle, prefill, max_new_tokens=16)
+    pen = greedy_decode(bundle, prefill, max_new_tokens=16,
+                        repetition_penalty=5.0)
+    def repeats(seq):
+        return len(seq) - len(set(seq))
+    assert repeats(pen.tokens[0]) <= repeats(plain.tokens[0])
+
+
+def test_full_pipeline_audio_to_text(rng):
+    """WhisperContext.full() with an attached decoder: encode -> project ->
+    prefill -> greedy -> segments populated."""
+    import io
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.config import WhisperHParams
+    from qwen2_audio_tpu.io.export import write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+    from qwen2_audio_tpu.runtime import WhisperContext, full_default_params
+
+    hp = WhisperHParams(n_vocab=64, n_audio_state=64, n_audio_head=4,
+                        n_audio_layer=2, n_mels=16)
+    buf = io.BytesIO()
+    write_encoder_checkpoint(buf, random_encoder_params(rng, hp), hp,
+                             mel_filterbank(hp.n_mels), [b"x"] * 60)
+    ctx = WhisperContext.init_from_buffer_with_params(buf.getvalue())
+    ctx.decoder = random_bundle(rng, CFG, enc_state=64, max_ctx=1024)
+
+    p = full_default_params()
+    p.max_new_tokens = 8
+    p.temperature_inc = 0.0
+    samples = (0.1 * rng.standard_normal(32000)).astype(np.float32)
+    rc = ctx.full(p, samples)
+    assert rc == 0
+    assert ctx.full_n_segments() == 1
+    assert len(ctx.state.result_tokens) > 0
+    assert ctx.full_get_segment_text(0)
+    assert ctx.full_n_tokens(0) == len(ctx.state.result_tokens)
+    assert 0.0 <= ctx.full_get_token_p(0, 0) <= 1.0
+    assert ctx.state.timings.n_decode > 0 or len(ctx.state.result_tokens) <= 1
+
+
+def test_beam_strategy_through_api(rng):
+    import io
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.config import WhisperHParams
+    from qwen2_audio_tpu.io.export import write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+    from qwen2_audio_tpu.runtime import WhisperContext, full_default_params
+
+    hp = WhisperHParams(n_vocab=64, n_audio_state=64, n_audio_head=4,
+                        n_audio_layer=2, n_mels=16)
+    buf = io.BytesIO()
+    write_encoder_checkpoint(buf, random_encoder_params(rng, hp), hp,
+                             mel_filterbank(hp.n_mels), [b"x"] * 60)
+    ctx = WhisperContext.init_from_buffer_with_params(buf.getvalue())
+    ctx.decoder = random_bundle(rng, CFG, enc_state=64, max_ctx=1024)
+
+    p = full_default_params(strategy="beam")
+    p.beam_size = 3
+    p.max_new_tokens = 6
+    p.temperature_inc = 0.0
+    rc = ctx.full(p, (0.1 * rng.standard_normal(32000)).astype(np.float32))
+    assert rc == 0
+    assert len(ctx.state.result_tokens) > 0

@@ -1,0 +1,122 @@
+"""Qwen2 decoder parity vs HF Qwen2ForCausalLM and KV-cache semantics."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qwen2_audio_tpu.config import Qwen2DecoderConfig
+from qwen2_audio_tpu.models.qwen2_decoder import (
+    KVCache,
+    decoder_forward,
+    decoder_params_from_hf_state_dict,
+    embed_tokens,
+    random_decoder_params,
+)
+
+CFG = Qwen2DecoderConfig(
+    vocab_size=96, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=16, rope_theta=1_000_000.0, tie_word_embeddings=False)
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    cfg = Qwen2Config(
+        vocab_size=CFG.vocab_size, hidden_size=CFG.hidden_size,
+        intermediate_size=CFG.intermediate_size,
+        num_hidden_layers=CFG.num_hidden_layers,
+        num_attention_heads=CFG.num_attention_heads,
+        num_key_value_heads=CFG.num_key_value_heads,
+        rope_theta=CFG.rope_theta, tie_word_embeddings=False,
+        attn_implementation="eager")
+    torch.manual_seed(1)
+    hf = Qwen2ForCausalLM(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = decoder_params_from_hf_state_dict(sd, CFG)
+    return hf, params
+
+
+def test_prefill_logits_match_hf(hf_pair, rng):
+    import torch
+    hf, params = hf_pair
+    tokens = rng.integers(0, CFG.vocab_size, (2, 7))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(tokens)).logits.numpy()
+
+    cache = KVCache.create(CFG, batch=2, max_ctx=16, dtype=jnp.float32)
+    x = embed_tokens(params, jnp.asarray(tokens))
+    got, cache = decoder_forward(params, CFG, x, cache, 0)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+    assert int(cache.pos) == 7
+
+
+def test_incremental_decode_matches_prefill(hf_pair, rng):
+    """Prefill(N) == prefill(k) + N-k single-token steps."""
+    _, params = hf_pair
+    tokens = rng.integers(0, CFG.vocab_size, (1, 9))
+
+    cache_a = KVCache.create(CFG, 1, 16, dtype=jnp.float32)
+    x = embed_tokens(params, jnp.asarray(tokens))
+    full_logits, _ = decoder_forward(params, CFG, x, cache_a, 0)
+
+    cache_b = KVCache.create(CFG, 1, 16, dtype=jnp.float32)
+    first, cache_b = decoder_forward(params, CFG, x[:, :4], cache_b, 0)
+    np.testing.assert_allclose(np.asarray(first), np.asarray(full_logits[:, :4]),
+                               atol=1e-4, rtol=1e-3)
+    for t in range(4, 9):
+        step, cache_b = decoder_forward(params, CFG, x[:, t:t + 1], cache_b, t)
+        np.testing.assert_allclose(np.asarray(step[:, 0]),
+                                   np.asarray(full_logits[:, t]),
+                                   atol=1e-4, rtol=1e-3)
+    assert int(cache_b.pos) == 9
+
+
+def test_gqa_grouping(rng):
+    """num_kv_heads < num_heads must still produce finite sane outputs."""
+    params = random_decoder_params(rng, CFG)
+    cache = KVCache.create(CFG, 1, 8, dtype=jnp.float32)
+    x = embed_tokens(params, jnp.asarray(rng.integers(0, 96, (1, 3))))
+    logits, cache = decoder_forward(params, CFG, x, cache, 0)
+    assert logits.shape == (1, 3, 96)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_cache_reorder_for_beam(rng):
+    params = random_decoder_params(rng, CFG)
+    cache = KVCache.create(CFG, 3, 8, dtype=jnp.float32)
+    toks = rng.integers(0, 96, (3, 4))
+    x = embed_tokens(params, jnp.asarray(toks))
+    logits, cache = decoder_forward(params, CFG, x, cache, 0)
+
+    perm = jnp.asarray([2, 0, 1])
+    re = cache.reorder(perm)
+    np.testing.assert_array_equal(np.asarray(re.k[:, 0]), np.asarray(cache.k[:, 2]))
+
+    # decoding after reorder == decoding the permuted batch from scratch
+    nxt = jnp.asarray(rng.integers(0, 96, (3, 1)))
+    step_re, _ = decoder_forward(params, CFG, embed_tokens(params, nxt), re, 4)
+
+    cache2 = KVCache.create(CFG, 3, 8, dtype=jnp.float32)
+    x2 = embed_tokens(params, jnp.asarray(toks)[perm])
+    _, cache2 = decoder_forward(params, CFG, x2, cache2, 0)
+    step_direct, _ = decoder_forward(params, CFG, embed_tokens(params, nxt),
+                                     cache2, 4)
+    np.testing.assert_allclose(np.asarray(step_re), np.asarray(step_direct),
+                               atol=1e-5)
+
+
+def test_tied_embeddings(rng):
+    cfg = Qwen2DecoderConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, tie_word_embeddings=True)
+    params = random_decoder_params(rng, cfg)
+    assert "lm_head" not in params
+    cache = KVCache.create(cfg, 1, 4, dtype=jnp.float32)
+    x = embed_tokens(params, jnp.asarray([[1, 2]]))
+    logits, _ = decoder_forward(params, cfg, x, cache, 0)
+    assert logits.shape == (1, 2, 64)
