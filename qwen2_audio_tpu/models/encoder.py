@@ -103,15 +103,16 @@ def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array, n_head: int) -> jax.Array:
 
 def _attention(params: Params, x: jax.Array, n_head: int,
                use_flash: bool) -> jax.Array:
-    q = x @ params["q"]["w"] + params["q"]["b"]
-    k = x @ params["k"]["w"]                      # K has no bias (:632, :2037)
-    v = x @ params["v"]["w"] + params["v"]["b"]
+    from qwen2_audio_tpu.ops.linear import linear
+    q = linear(x, params["q"])
+    k = linear(x, params["k"])                    # K has no bias (:632, :2037)
+    v = linear(x, params["v"])
     if use_flash:
         from qwen2_audio_tpu.ops.flash_attention import flash_attention_encoder
         out = flash_attention_encoder(q, k, v, n_head)
     else:
         out = _sdpa(q, k, v, n_head)
-    return out @ params["o"]["w"] + params["o"]["b"]
+    return linear(out, params["o"])
 
 
 @functools.partial(
@@ -145,12 +146,13 @@ def encoder_forward(
     pos = jax.lax.dynamic_slice_in_dim(params["pos"], pos_offset * T, T, axis=0)
     x = x + pos.astype(compute_dtype)[None]
 
+    from qwen2_audio_tpu.ops.linear import linear
     for layer in params["layers"]:
         h = _layer_norm(x, layer["ln1"]["w"], layer["ln1"]["b"], eps)
         x = x + _attention(layer, h, hp.n_audio_head, use_flash)
         h = _layer_norm(x, layer["ln2"]["w"], layer["ln2"]["b"], eps)
-        h = _gelu(h @ layer["fc1"]["w"] + layer["fc1"]["b"], gelu_approximate)
-        x = x + (h @ layer["fc2"]["w"] + layer["fc2"]["b"])
+        h = _gelu(linear(h, layer["fc1"]), gelu_approximate)
+        x = x + linear(h, layer["fc2"])
 
     # Qwen2-Audio stride-2 average pooler over time (:2160-2171)
     B, T, D = x.shape

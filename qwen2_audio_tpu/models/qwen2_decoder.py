@@ -113,15 +113,13 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
            cos: jax.Array, sin: jax.Array, pos0: jax.Array
            ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One decoder block; returns (x_out, new_k_cache, new_v_cache)."""
+    from qwen2_audio_tpu.ops.linear import linear
     B, T, D = x.shape
     h = rms_norm(x, lp["ln1"]["w"], cfg.rms_norm_eps)
 
-    q = (h @ lp["q"]["w"] + lp["q"]["b"]).reshape(
-        B, T, cfg.num_attention_heads, cfg.head_dim)
-    k = (h @ lp["k"]["w"] + lp["k"]["b"]).reshape(
-        B, T, cfg.num_key_value_heads, cfg.head_dim)
-    v = (h @ lp["v"]["w"] + lp["v"]["b"]).reshape(
-        B, T, cfg.num_key_value_heads, cfg.head_dim)
+    q = linear(h, lp["q"]).reshape(B, T, cfg.num_attention_heads, cfg.head_dim)
+    k = linear(h, lp["k"]).reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
+    v = linear(h, lp["v"]).reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
 
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
@@ -132,11 +130,11 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
         v_cache, v.astype(v_cache.dtype), (0, pos0, 0, 0))
 
     attn = _gqa_attention(q, k_cache, v_cache, pos0, k_cache.shape[1])
-    x = x + attn @ lp["o"]["w"]
+    x = x + linear(attn, lp["o"])
 
     h = rms_norm(x, lp["ln2"]["w"], cfg.rms_norm_eps)
-    gated = jax.nn.silu(h @ lp["gate"]["w"]) * (h @ lp["up"]["w"])
-    return x + gated @ lp["down"]["w"], k_cache, v_cache
+    gated = jax.nn.silu(linear(h, lp["gate"])) * linear(h, lp["up"])
+    return x + linear(gated, lp["down"]), k_cache, v_cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
@@ -166,9 +164,12 @@ def decoder_forward(
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
 
     x = rms_norm(x, params["ln_f"]["w"], cfg.rms_norm_eps)
-    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]["w"]
-    logits = (x @ head.astype(x.dtype)).astype(jnp.float32)
-    return logits, KVCache(k=new_k, v=new_v, pos=pos0 + T)
+    if cfg.tie_word_embeddings:
+        logits = x @ params["embed"].T.astype(x.dtype)
+    else:
+        from qwen2_audio_tpu.ops.linear import linear
+        logits = linear(x, params["lm_head"])
+    return logits.astype(jnp.float32), KVCache(k=new_k, v=new_v, pos=pos0 + T)
 
 
 def embed_tokens(params: Params, tokens: jax.Array) -> jax.Array:

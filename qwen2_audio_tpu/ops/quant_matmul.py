@@ -1,0 +1,113 @@
+"""Quantized-weight matmul Pallas kernels.
+
+TPU replacement for ggml's quantized matmul stack (CUDA mmq tile kernels
+ggml/src/ggml-cuda/mmq.cuh, mmvq matvec mmvq.cu, routed from
+ggml_cuda_mul_mat ggml-cuda.cu:1882-1946): weights live in HBM as narrow
+integers with per-32-group scales and are dequantized in VMEM tiles right
+before hitting the MXU. Activations stay bf16/f32.
+
+Device weight layout (produced by quant/qparams.py from ggml blocks with
+bit-exact values):
+    qs:     (K, N) int8 (q8_0) or int4 (q4_0) — [in, out] like dense weights
+    scales: (K // 32, N) float32 — ggml group size 32 along the input dim
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 32
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _qmm_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = qs_ref[...].astype(jnp.float32)            # (bk, bn)
+    s = sc_ref[...].astype(jnp.float32)            # (bk//32, bn)
+    # element-wise repeat (row g -> rows 32g..32g+31); pltpu.repeat would
+    # TILE the block instead, which is the wrong group expansion
+    bk, bn = q.shape
+    s_full = jnp.broadcast_to(s[:, None, :], (bk // GROUP, GROUP, bn)
+                              ).reshape(bk, bn)
+    w = q * s_full                                 # dequantized tile
+    acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), w,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k"))
+def quant_matmul(
+    x: jax.Array,           # (M, K)
+    qs: jax.Array,          # (K, N) int8 / int4
+    scales: jax.Array,      # (K // 32, N)
+    *,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+) -> jax.Array:
+    """x @ dequant(qs, scales) -> (M, N) in x.dtype (f32 accumulation)."""
+    M, K = x.shape
+    K2, N = qs.shape
+    assert K == K2 and scales.shape == (K // GROUP, N)
+
+    block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
+    block_n = min(block_n, N)
+    block_k = min(block_k, K)
+    assert K % block_k == 0 and N % block_n == 0 and block_k % GROUP == 0
+
+    m_pad = -M % block_m
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+
+    grid = (Mp // block_m, N // block_n, K // block_k)
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, out_dtype=x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+                pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+                pl.BlockSpec((block_k // GROUP, block_n),
+                             lambda i, j, k: (k, j)),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n),
+                                   lambda i, j, k: (i, j)),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_use_interpret(),
+    )(x, qs, scales)
+    return out[:M] if m_pad else out
+
+
+def quant_linear(x: jax.Array, qw: dict) -> jax.Array:
+    """Batched-activation entry: x (..., K) @ quantized weight dict
+    {"qs": (K,N), "scales": (K//32,N)} -> (..., N)."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    y = quant_matmul(x.reshape(-1, K), qw["qs"], qw["scales"])
+    return y.reshape(*lead, -1)
+
+
+def dequantize_weight(qw: dict, dtype=jnp.float32) -> jax.Array:
+    """Reference dequantization (XLA, for tests / fallbacks)."""
+    q = qw["qs"].astype(jnp.float32)
+    s = jnp.repeat(qw["scales"].astype(jnp.float32), GROUP, axis=0)
+    return (q * s).astype(dtype)

@@ -1,0 +1,125 @@
+"""Device-side quantized weight construction.
+
+Bridges the ggml block formats (quant/codecs.py) to the TPU kernel layout
+(ops/quant_matmul.py): values are carried over BIT-EXACT from the ggml
+blocks — (nibble-8)*d for q4_0, int8*d for q8_0 — so a checkpoint quantized
+by ggml and loaded here produces identical dequantized weights, which is the
+logits-parity requirement (BASELINE.md config #3).
+
+Weight layout conversion: ggml stores torch [out, in] rows with 32-element
+groups along `in`; the device layout is [in, out] with scales (in//32, out).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from qwen2_audio_tpu.config import GGMLType
+from qwen2_audio_tpu.io.ggml_format import GGMLTensor
+from qwen2_audio_tpu.quant.codecs import QK
+
+_INT4_SUPPORTED = hasattr(jnp, "int4")
+
+
+def _qs_dtype(narrow: bool):
+    return jnp.int4 if (narrow and _INT4_SUPPORTED) else jnp.int8
+
+
+def device_weight_from_arrays(q_values: np.ndarray, scales: np.ndarray,
+                              narrow: bool) -> dict:
+    """q_values (N, K) ints, scales (N, K//32) — torch layout in, device out."""
+    return {
+        "qs": jnp.asarray(q_values.T, dtype=_qs_dtype(narrow)),
+        "scales": jnp.asarray(scales.T, dtype=jnp.float32),
+    }
+
+
+def _unpack_q4_0(raw: np.ndarray, n_rows: int, n_cols: int
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    b = raw.reshape(-1, 18)
+    d = b[:, :2].copy().view(np.float16).astype(np.float32)      # (nb,)
+    lo = (b[:, 2:] & 0x0F).astype(np.int8) - 8
+    hi = (b[:, 2:] >> 4).astype(np.int8) - 8
+    vals = np.concatenate([lo, hi], axis=1)                      # (nb, 32)
+    return (vals.reshape(n_rows, n_cols),
+            d.reshape(n_rows, n_cols // QK))
+
+
+def _unpack_q8_0(raw: np.ndarray, n_rows: int, n_cols: int
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    b = raw.reshape(-1, 34)
+    d = b[:, :2].copy().view(np.float16).astype(np.float32)
+    vals = b[:, 2:].view(np.int8)
+    return (vals.reshape(n_rows, n_cols),
+            d.reshape(n_rows, n_cols // QK))
+
+
+def device_weight_from_ggml_tensor(t: GGMLTensor) -> dict:
+    """Quantized GGMLTensor (torch [out,in] shape) -> kernel dict, bit-exact."""
+    n_rows, n_cols = t.shape
+    if t.ttype == GGMLType.Q4_0:
+        vals, d = _unpack_q4_0(np.asarray(t.raw), n_rows, n_cols)
+        return device_weight_from_arrays(vals, d, narrow=True)
+    if t.ttype == GGMLType.Q8_0:
+        vals, d = _unpack_q8_0(np.asarray(t.raw), n_rows, n_cols)
+        return device_weight_from_arrays(vals, d, narrow=False)
+    raise ValueError(f"unsupported device quant type {t.ttype}")
+
+
+def quantize_array_for_device(w: np.ndarray, ttype: GGMLType) -> dict:
+    """Dense [in, out] float weight -> device quant dict (groups along in),
+    using the ggml quantizers so values round-trip exactly through files."""
+    from qwen2_audio_tpu.quant import codecs
+    w = np.asarray(w, dtype=np.float32)
+    K, N = w.shape
+    raw = codecs.quantize(np.ascontiguousarray(w.T), ttype)  # rows = out
+    t = GGMLTensor("_", (N, K), ttype, raw)
+    return device_weight_from_ggml_tensor(t)
+
+
+_DECODER_QUANT_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
+_ENCODER_QUANT_KEYS = ("q", "k", "v", "o", "fc1", "fc2")
+
+
+def quantize_decoder_params(params: dict, ttype: GGMLType,
+                            quantize_lm_head: bool = True) -> dict:
+    """Replace the stacked decoder linears (L, K, N) with stacked quant dicts
+    {"qs": (L,K,N), "scales": (L,K//32,N)}; biases/norms/embed stay dense."""
+    out = {k: v for k, v in params.items()}
+    layers = dict(params["layers"])
+    for key in _DECODER_QUANT_KEYS:
+        entry = dict(layers[key])
+        w = np.asarray(entry.pop("w"))           # (L, K, N)
+        qs, sc = [], []
+        for i in range(w.shape[0]):
+            d = quantize_array_for_device(w[i], ttype)
+            qs.append(d["qs"])
+            sc.append(d["scales"])
+        entry["qs"] = jnp.stack(qs)
+        entry["scales"] = jnp.stack(sc)
+        layers[key] = entry
+    out["layers"] = layers
+    if quantize_lm_head and "lm_head" in params:
+        out["lm_head"] = quantize_array_for_device(
+            np.asarray(params["lm_head"]["w"]), ttype)
+    return out
+
+
+def quantize_encoder_params(params: dict, ttype: GGMLType) -> dict:
+    """Quantize the encoder's per-layer attention/MLP linears (conv stem,
+    norms, pos embed stay dense — same skip set as the quantize tool)."""
+    out = {k: v for k, v in params.items()}
+    new_layers = []
+    for lyr in params["layers"]:
+        nl = dict(lyr)
+        for key in _ENCODER_QUANT_KEYS:
+            entry = dict(lyr[key])
+            w = np.asarray(entry.pop("w"))
+            entry.update(quantize_array_for_device(w, ttype))
+            nl[key] = entry
+        new_layers.append(nl)
+    out["layers"] = new_layers
+    return out

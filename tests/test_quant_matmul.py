@@ -1,0 +1,120 @@
+"""Quantized matmul kernel + quantized model paths."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from qwen2_audio_tpu.config import GGMLType, Qwen2DecoderConfig, WhisperHParams
+from qwen2_audio_tpu.ops.quant_matmul import dequantize_weight, quant_linear, quant_matmul
+from qwen2_audio_tpu.quant.qparams import (
+    device_weight_from_ggml_tensor,
+    quantize_array_for_device,
+    quantize_decoder_params,
+    quantize_encoder_params,
+)
+
+
+@pytest.mark.parametrize("ttype", [GGMLType.Q8_0, GGMLType.Q4_0])
+def test_kernel_matches_dequant_reference(ttype, rng):
+    K, N, M = 256, 256, 64
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+    qw = quantize_array_for_device(w, ttype)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+
+    got = np.asarray(quant_matmul(jnp.asarray(x), qw["qs"], qw["scales"],
+                                  block_m=64, block_n=128, block_k=128))
+    want = x @ np.asarray(dequantize_weight(qw))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("ttype,tol", [(GGMLType.Q8_0, 0.02),
+                                       (GGMLType.Q4_0, 0.2)])
+def test_device_weight_matches_codec_dequant(ttype, tol, rng):
+    """Device layout values must bit-match the ggml codec dequantization."""
+    from qwen2_audio_tpu.quant import codecs
+    from qwen2_audio_tpu.io.ggml_format import GGMLTensor
+    N, K = 48, 64   # torch [out, in]
+    w = rng.standard_normal((N, K)).astype(np.float32)
+    raw = codecs.quantize(w, ttype)
+    t = GGMLTensor("w", (N, K), ttype, raw)
+    qw = device_weight_from_ggml_tensor(t)
+
+    want = codecs.dequantize(raw, ttype, w.size).reshape(N, K).T  # (K, N)
+    got = np.asarray(dequantize_weight(qw))
+    np.testing.assert_array_equal(got, want)   # BIT-exact
+    # and the quantization error itself is bounded
+    assert np.abs(got - w.T).max() < tol * np.abs(w).max() + 1e-6
+
+
+def test_quant_linear_batched(rng):
+    K, N = 128, 64
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+    qw = quantize_array_for_device(w, GGMLType.Q8_0)
+    x = rng.standard_normal((2, 5, K)).astype(np.float32)
+    got = np.asarray(quant_linear(jnp.asarray(x), qw))
+    want = x @ np.asarray(dequantize_weight(qw))
+    assert got.shape == (2, 5, N)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_quantized_decoder_logits_close(rng):
+    from qwen2_audio_tpu.models.qwen2_decoder import (
+        KVCache, decoder_forward, embed_tokens, random_decoder_params)
+    cfg = Qwen2DecoderConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=False)
+    params = random_decoder_params(rng, cfg)
+    qparams = quantize_decoder_params(params, GGMLType.Q8_0)
+
+    toks = jnp.asarray(rng.integers(0, 128, (1, 6)))
+    x = embed_tokens(params, toks)
+
+    c1 = KVCache.create(cfg, 1, 8, dtype=jnp.float32)
+    ref, _ = decoder_forward(params, cfg, x, c1, 0)
+    c2 = KVCache.create(cfg, 1, 8, dtype=jnp.float32)
+    got, _ = decoder_forward(qparams, cfg, x, c2, 0)
+
+    # q8_0 keeps logits within a tight envelope of the fp32 model
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    scale = np.abs(np.asarray(ref)).max()
+    assert err < 0.05 * scale + 0.05, err
+
+
+def test_quantized_encoder_runs(rng):
+    from qwen2_audio_tpu.models.encoder import encoder_forward, random_encoder_params
+    hp = WhisperHParams(n_audio_ctx=256, n_audio_state=64, n_audio_head=4,
+                        n_audio_layer=2, n_mels=16)
+    params = random_encoder_params(rng, hp)
+    qparams = quantize_encoder_params(params, GGMLType.Q8_0)
+    mel = rng.standard_normal((1, 16, 512)).astype(np.float32)
+    a = np.asarray(encoder_forward(params, jnp.asarray(mel), hp))
+    b = np.asarray(encoder_forward(qparams, jnp.asarray(mel), hp))
+    assert b.shape == a.shape
+    np.testing.assert_allclose(a, b, atol=0.5)  # q8 noise through 2 layers+LN
+
+
+def test_quantized_greedy_decode_matches_fp32_mostly(rng):
+    """q8_0 decode should pick the same greedy tokens as fp32 for a short
+    horizon (the logits-parity criterion at the behavioral level)."""
+    from qwen2_audio_tpu.models.qwen2_decoder import embed_tokens, random_decoder_params
+    from qwen2_audio_tpu.runtime.decoding import DecoderBundle, greedy_decode
+    cfg = Qwen2DecoderConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=False)
+    params = random_decoder_params(rng, cfg)
+    qparams = quantize_decoder_params(params, GGMLType.Q8_0)
+
+    def mk(p):
+        return DecoderBundle(cfg=cfg, params=p, proj_w=jnp.eye(64),
+                             proj_b=jnp.zeros(64), eos_token_id=127,
+                             bos_tokens=[], post_audio_tokens=[],
+                             max_ctx=64, cache_dtype=jnp.float32)
+
+    prompt = jnp.asarray(rng.integers(0, 120, (1, 5)))
+    prefill = embed_tokens(params, prompt)
+    a = greedy_decode(mk(params), prefill, max_new_tokens=6)
+    b = greedy_decode(mk(qparams), prefill, max_new_tokens=6)
+    # identical first tokens; tolerate divergence afterwards (chaotic argmax)
+    assert a.tokens[0][0] == b.tokens[0][0]
