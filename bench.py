@@ -1,0 +1,99 @@
+"""Round benchmark: Qwen2-Audio encoder real-time factor on a 30 s clip.
+
+North star (BASELINE.md): >100x real-time on one TPU v5e chip — the full
+encoder forward (32 layers, d=1280, 1500 frames -> 750) in under 300 ms.
+
+Prints ONE JSON line:
+    {"metric": "encoder_rtf_30s", "value": <x realtime>,
+     "unit": "x_realtime", "vs_baseline": <value / 100>}
+
+Timing methodology (critical on this setup): the TPU is reached via an
+async tunnel where block_until_ready() returns early, so we time a CHAIN of
+data-dependent encoder iterations inside one jit and synchronize with a
+device->host readback, subtracting the fixed ~30 ms round-trip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+CLIP_SECONDS = 30.0
+CHAIN = 20
+RTT_S = 0.030
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.audio.mel import log_mel_spectrogram, mel_input_window
+    from qwen2_audio_tpu.config import WHISPER_PRESETS
+    from qwen2_audio_tpu.models.encoder import encoder_forward, random_encoder_params
+
+    hp = WHISPER_PRESETS["qwen2-audio"]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    print(f"bench: backend={jax.default_backend()} dtype={dtype.__name__} "
+          f"model={hp.model_type} layers={hp.n_audio_layer} "
+          f"d={hp.n_audio_state}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    params = random_encoder_params(rng, hp, dtype=dtype)
+
+    # 30 s synthetic speech-band audio -> real mel frontend
+    t = np.arange(int(16000 * CLIP_SECONDS)) / 16000.0
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)
+             + 0.2 * np.sin(2 * np.pi * 1320 * t)
+             + 0.05 * rng.standard_normal(t.size)).astype(np.float32)
+
+    t0 = time.perf_counter()
+    mel = log_mel_spectrogram(audio, mel_filterbank(hp.n_mels))
+    win = mel_input_window(mel, 0, hp.n_audio_ctx)
+    mel_s = time.perf_counter() - t0
+    x = jnp.asarray(win[None], dtype)
+
+    use_flash = bool(on_tpu)
+
+    def chain(params, x):
+        def body(_, carry):
+            out = encoder_forward(params, carry, hp,
+                                  use_flash=use_flash,
+                                  compute_dtype=dtype)
+            # data dependency to defeat async-dispatch timing illusions
+            return carry + (jnp.sum(out) * 0).astype(carry.dtype)
+        final = jax.lax.fori_loop(0, CHAIN, body, x)
+        return jnp.sum(final)
+
+    chain_j = jax.jit(chain)
+
+    t0 = time.perf_counter()
+    _ = np.asarray(chain_j(params, x))          # compile + warm run
+    compile_s = time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(chain_j(params, x))
+        total = time.perf_counter() - t0
+        best = min(best, max(total - RTT_S, 1e-9) / CHAIN)
+
+    rtf = CLIP_SECONDS / best
+    print(f"bench: mel {mel_s*1e3:.1f} ms (first, incl. compile) | "
+          f"encoder chain compile+warm {compile_s:.1f} s | "
+          f"encode {best*1e3:.2f} ms/clip | RTF {rtf:.1f}x", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "encoder_rtf_30s",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 100.0, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,7 @@
+from qwen2_audio_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_params,
+    decoder_param_spec,
+    encoder_param_spec,
+    kv_cache_spec,
+)
