@@ -1,0 +1,164 @@
+"""Auxiliary subsystem tests: DTW timestamps, VAD, UTF-8 streaming,
+long-form serving."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from qwen2_audio_tpu.audio.vad import high_pass_filter, similarity, vad_simple
+from qwen2_audio_tpu.models.dtw import (
+    ALIGNMENT_HEADS_PRESETS,
+    dtw_and_backtrace,
+    median_filter,
+    token_timestamps_from_attention,
+)
+from qwen2_audio_tpu.utils.utf8 import PartialUtf8, StreamingTextDecoder, decode_utf8
+
+
+# ---- DTW ----
+
+def test_median_filter():
+    x = jnp.asarray([1.0, 9.0, 1.0, 1.0, 9.0, 1.0, 1.0])
+    y = np.asarray(median_filter(x, 3))
+    assert y[1] == 1.0 and y[4] == 1.0   # spikes removed
+
+
+def test_dtw_identity_path():
+    # strongly diagonal cost -> diagonal alignment
+    N = 6
+    cost = np.ones((N, N)) - 2 * np.eye(N)
+    path = dtw_and_backtrace(cost)
+    np.testing.assert_array_equal(path[0], path[1])
+
+
+def test_dtw_monotonic():
+    rng = np.random.default_rng(0)
+    cost = rng.standard_normal((5, 12))
+    path = dtw_and_backtrace(cost)
+    assert (np.diff(path[0]) >= 0).all()
+    assert (np.diff(path[1]) >= 0).all()
+    assert path[0][0] == 0 and path[1][0] == 0
+    assert path[0][-1] == 4 and path[1][-1] == 11
+
+
+def test_token_timestamps_monotonic(rng):
+    n_heads, n_tokens, n_frames = 4, 8, 50
+    # synth attention: token i attends around frame 6*i
+    attn = np.zeros((n_heads, n_tokens, n_frames), np.float32)
+    for i in range(n_tokens):
+        attn[:, i, min(6 * i, n_frames - 1)] = 5.0
+    times = token_timestamps_from_attention(attn, n_frames)
+    assert (np.diff(times) >= 0).all()
+    assert times[0] == 0.0
+
+
+def test_aheads_presets_shapes():
+    assert set(ALIGNMENT_HEADS_PRESETS) >= {"tiny", "base", "small",
+                                            "medium", "large"}
+    for heads in ALIGNMENT_HEADS_PRESETS.values():
+        assert all(len(h) == 2 for h in heads)
+
+
+# ---- VAD ----
+
+def test_high_pass_removes_dc():
+    x = np.ones(16000, np.float32)
+    y = high_pass_filter(x, 100.0, 16000)
+    assert abs(y[-100:].mean()) < 1e-3
+    assert y[0] == pytest.approx(1.0)
+
+
+def test_vad_detects_trailing_silence():
+    rng = np.random.default_rng(0)
+    speech = 0.5 * rng.standard_normal(16000).astype(np.float32)
+    silence = 0.001 * rng.standard_normal(8000).astype(np.float32)
+    clip = np.concatenate([speech, silence])
+    assert vad_simple(clip, 16000, last_ms=300, vad_thold=0.6,
+                      freq_thold=100.0)
+    # all speech -> not ended
+    assert not vad_simple(speech, 16000, last_ms=300, vad_thold=0.6,
+                          freq_thold=100.0)
+
+
+def test_similarity():
+    assert similarity("hello", "hello") == 1.0
+    assert similarity("", "") == 1.0
+    assert similarity("abc", "abd") == pytest.approx(2 / 3)
+    assert similarity("abc", "") == 0.0
+
+
+# ---- UTF-8 ----
+
+def test_decode_utf8_whole():
+    cps, partial = decode_utf8("héllo✓".encode(), PartialUtf8())
+    assert cps == [ord(c) for c in "héllo✓"]
+    assert partial.n_remain == -1
+
+
+def test_decode_utf8_split_codepoint():
+    data = "✓".encode()  # 3 bytes
+    cps1, p = decode_utf8(data[:2], PartialUtf8())
+    assert cps1 == [] and p.n_remain == 1
+    cps2, p2 = decode_utf8(data[2:], p)
+    assert cps2 == [ord("✓")]
+    assert p2.n_remain == -1
+
+
+def test_decode_utf8_invalid():
+    # a bare continuation byte is invalid (lookup -> 0 -> n_remain -1),
+    # matching the C table's semantics (src/qwen2-whisper.cpp:3610-3626)
+    cps, p = decode_utf8(b"\x80", PartialUtf8())
+    assert p.n_remain == -1
+    # 0xff parses leniently as a 4-byte lead, again like the C table
+    cps, p = decode_utf8(b"\xff", PartialUtf8())
+    assert p.n_remain == 3
+
+
+def test_streaming_text_decoder():
+    d = StreamingTextDecoder()
+    data = "日本語".encode()
+    out = d.push(data[:4])       # 1 full char + 1 partial byte
+    assert out == "日"
+    out += d.push(data[4:])
+    assert out == "日本語"
+    assert d.flush() == ""
+
+
+# ---- long-form serving ----
+
+def test_transcribe_long_form(rng):
+    import io
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.config import Qwen2DecoderConfig, WhisperHParams
+    from qwen2_audio_tpu.io.export import write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+    from qwen2_audio_tpu.runtime import WhisperContext, FullParams
+    from qwen2_audio_tpu.runtime.serving import transcribe_long_form
+
+    # n_audio_ctx=64 -> 128-frame (1.28 s) windows keep the test fast
+    hp = WhisperHParams(n_vocab=64, n_audio_ctx=64, n_audio_state=64,
+                        n_audio_head=4, n_audio_layer=2, n_mels=16)
+    buf = io.BytesIO()
+    write_encoder_checkpoint(buf, random_encoder_params(rng, hp), hp,
+                             mel_filterbank(hp.n_mels), [b"x"] * 60)
+    ctx = WhisperContext.init_from_buffer_with_params(buf.getvalue())
+    cfg = Qwen2DecoderConfig(vocab_size=96, hidden_size=64,
+                             intermediate_size=128, num_hidden_layers=2,
+                             num_attention_heads=4, num_key_value_heads=2,
+                             head_dim=16, tie_word_embeddings=False)
+    ctx.decoder = random_bundle(rng, cfg, enc_state=64, max_ctx=1024)
+
+    samples = (0.1 * rng.standard_normal(16000 * 5)).astype(np.float32)  # 5 s
+    p = FullParams(max_new_tokens=4, temperature_inc=0.0)
+    segs = list(transcribe_long_form(ctx, samples, p, batch_size=2))
+
+    n_len_org = ctx.state.mel.n_len_org
+    expected = -(-n_len_org // 128)
+    assert len(segs) == expected
+    assert segs[0].t0_cs == 0
+    # non-overlapping, ordered windows
+    for a, b in zip(segs, segs[1:]):
+        assert b.t0_cs == a.t0_cs + 128
+    assert all(s.tokens for s in segs)
+    assert ctx.full_n_segments() == expected
