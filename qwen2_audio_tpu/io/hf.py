@@ -1,0 +1,169 @@
+"""HuggingFace Qwen2-Audio checkpoint loader (safetensors / torch bins).
+
+The direct-checkpoint path that replaces the reference's two-step
+convert-pt-to-ggml.py + whisper_model_load flow: read the HF layout
+(config.json + model.safetensors[.index.json]) and build
+
+    - encoder params   (audio_tower.*        -> models/encoder.py pytree)
+    - decoder bundle   (language_model.* +
+                        multi_modal_projector -> runtime DecoderBundle)
+
+Weight names follow transformers' Qwen2AudioForConditionalGeneration; the
+encoder subset is exactly the name map the ggml loader uses
+(src/qwen2-whisper.cpp:1603-1662) prefixed with ``audio_tower.``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from qwen2_audio_tpu.config import Qwen2DecoderConfig, WhisperHParams
+
+
+def _load_state_dict(path: str | Path) -> dict[str, np.ndarray]:
+    """All tensors from a HF model dir (sharded safetensors, single file,
+    or pytorch .bin fallback), as numpy arrays."""
+    path = Path(path)
+    sd: dict[str, np.ndarray] = {}
+
+    index = path / "model.safetensors.index.json"
+    singles = sorted(path.glob("*.safetensors"))
+    if index.exists():
+        with open(index) as f:
+            weight_map = json.load(f)["weight_map"]
+        shards = sorted(set(weight_map.values()))
+        from safetensors.numpy import load_file
+        for shard in shards:
+            sd.update(load_file(str(path / shard)))
+    elif singles:
+        from safetensors.numpy import load_file
+        for f in singles:
+            sd.update(load_file(str(f)))
+    else:
+        import torch
+        bins = sorted(path.glob("pytorch_model*.bin"))
+        if not bins:
+            raise FileNotFoundError(f"no safetensors/bin weights in {path}")
+        for b in bins:
+            for k, v in torch.load(str(b), map_location="cpu",
+                                   weights_only=True).items():
+                sd[k] = v.float().numpy()
+    return sd
+
+
+def hparams_from_hf_config(cfg: dict) -> tuple[WhisperHParams,
+                                               Qwen2DecoderConfig]:
+    a = cfg.get("audio_config", cfg)
+    t = cfg.get("text_config", cfg)
+    hp = WhisperHParams(
+        n_vocab=a.get("vocab_size", 51866),
+        n_audio_ctx=a.get("max_source_positions", 1500),
+        n_audio_state=a.get("d_model", 1280),
+        n_audio_head=a.get("encoder_attention_heads", 20),
+        n_audio_layer=a.get("encoder_layers", 32),
+        n_mels=a.get("num_mel_bins", 128),
+        ftype=1,
+    )
+    heads = t.get("num_attention_heads", 28)
+    dec = Qwen2DecoderConfig(
+        vocab_size=t.get("vocab_size", 156032),
+        hidden_size=t.get("hidden_size", 3584),
+        intermediate_size=t.get("intermediate_size", 18944),
+        num_hidden_layers=t.get("num_hidden_layers", 28),
+        num_attention_heads=heads,
+        num_key_value_heads=t.get("num_key_value_heads", 4),
+        head_dim=t.get("head_dim", t.get("hidden_size", 3584) // heads),
+        max_position_embeddings=t.get("max_position_embeddings", 8192),
+        rope_theta=t.get("rope_theta", 1_000_000.0),
+        rms_norm_eps=t.get("rms_norm_eps", 1e-6),
+        tie_word_embeddings=cfg.get("tie_word_embeddings",
+                                    t.get("tie_word_embeddings", False)),
+        audio_token_id=cfg.get("audio_token_index", 151646),
+    )
+    return hp, dec
+
+
+def encoder_params_from_hf_state_dict(sd: dict, hp: WhisperHParams,
+                                      dtype=jnp.float32,
+                                      prefix: str = "audio_tower.") -> dict:
+    def g(name, transpose=False):
+        a = np.asarray(sd[prefix + name], dtype=np.float32)
+        return jnp.asarray(a.T if transpose else a, dtype=dtype)
+
+    def lin(p, bias=True):
+        d = {"w": g(p + ".weight", transpose=True)}
+        if bias:
+            d["b"] = g(p + ".bias")
+        return d
+
+    def ln(p):
+        return {"w": g(p + ".weight"), "b": g(p + ".bias")}
+
+    layers = []
+    for i in range(hp.n_audio_layer):
+        p = f"layers.{i}"
+        layers.append({
+            "ln1": ln(f"{p}.self_attn_layer_norm"),
+            "q": lin(f"{p}.self_attn.q_proj"),
+            "k": lin(f"{p}.self_attn.k_proj", bias=False),
+            "v": lin(f"{p}.self_attn.v_proj"),
+            "o": lin(f"{p}.self_attn.out_proj"),
+            "ln2": ln(f"{p}.final_layer_norm"),
+            "fc1": lin(f"{p}.fc1"),
+            "fc2": lin(f"{p}.fc2"),
+        })
+    return {
+        "conv1": {"w": g("conv1.weight"), "b": g("conv1.bias")},
+        "conv2": {"w": g("conv2.weight"), "b": g("conv2.bias")},
+        "pos": g("embed_positions.weight"),
+        "layers": layers,
+        "ln_post": ln("layer_norm"),
+    }
+
+
+def load_qwen2_audio(
+    path: str | Path,
+    dtype=jnp.bfloat16,
+    cache_dtype=jnp.bfloat16,
+    max_ctx: int = 2048,
+) -> dict[str, Any]:
+    """Load a full HF Qwen2-Audio checkpoint directory.
+
+    Returns {"hparams", "decoder_config", "encoder_params", "bundle",
+    "tokenizer"(optional)}.
+    """
+    from qwen2_audio_tpu.models.qwen2_audio import bundle_from_hf_state_dict
+
+    path = Path(path)
+    with open(path / "config.json") as f:
+        cfg = json.load(f)
+    hp, dec_cfg = hparams_from_hf_config(cfg)
+    sd = _load_state_dict(path)
+
+    enc = encoder_params_from_hf_state_dict(sd, hp, dtype=dtype)
+
+    detok = None
+    eos = cfg.get("text_config", {}).get("eos_token_id", 151645)
+    tokenizer = None
+    if (path / "tokenizer.json").exists() or (path / "tokenizer_config.json").exists():
+        try:
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(str(path))
+            detok = tokenizer.decode
+            if tokenizer.eos_token_id is not None:
+                eos = tokenizer.eos_token_id
+        except Exception:
+            tokenizer = None
+
+    bundle = bundle_from_hf_state_dict(
+        sd, dec_cfg, eos_token_id=eos, detokenize=detok,
+        dtype=dtype, max_ctx=max_ctx, cache_dtype=cache_dtype)
+
+    return {"hparams": hp, "decoder_config": dec_cfg,
+            "encoder_params": enc, "bundle": bundle, "tokenizer": tokenizer}

@@ -41,11 +41,8 @@ def bundle_from_hf_state_dict(
     """Build the decode-side bundle from a HF Qwen2-Audio state dict
     (keys: multi_modal_projector.linear.*, language_model.model.*)."""
     dec = decoder_params_from_hf_state_dict(
-        sd, cfg, dtype=dtype, prefix="language_model.model.")
-    if not cfg.tie_word_embeddings:
-        dec["lm_head"] = {"w": jnp.asarray(
-            np.asarray(sd["language_model.lm_head.weight"], np.float32).T,
-            dtype=dtype)}
+        sd, cfg, dtype=dtype, prefix="language_model.model.",
+        lm_head_key="language_model.lm_head.weight")
     return DecoderBundle(
         cfg=cfg,
         params=dec,

@@ -209,7 +209,9 @@ def random_decoder_params(rng: np.random.Generator, cfg: Qwen2DecoderConfig,
 
 def decoder_params_from_hf_state_dict(sd: dict, cfg: Qwen2DecoderConfig,
                                       dtype=jnp.float32,
-                                      prefix: str = "model.") -> Params:
+                                      prefix: str = "model.",
+                                      lm_head_key: str = "lm_head.weight"
+                                      ) -> Params:
     """Map HF Qwen2ForCausalLM (or the language_model inside Qwen2-Audio)
     state-dict names onto the stacked pytree; linears transposed to [in,out]."""
 
@@ -244,5 +246,5 @@ def decoder_params_from_hf_state_dict(sd: dict, cfg: Qwen2DecoderConfig,
         "ln_f": {"w": jnp.asarray(g(prefix + "norm.weight"), dtype=dtype)},
     }
     if not cfg.tie_word_embeddings:
-        p["lm_head"] = {"w": jnp.asarray(g("lm_head.weight").T, dtype=dtype)}
+        p["lm_head"] = {"w": jnp.asarray(g(lm_head_key).T, dtype=dtype)}
     return p
