@@ -1,0 +1,157 @@
+"""Fused log-mel spectrogram Pallas kernel.
+
+One kernel does framing + Hann window + 400-point DFT + power + mel
+filterbank + log10 without materializing the (n_frames, 400) frame matrix in
+HBM (the reference's threaded CPU pipeline src/qwen2-whisper.cpp:2402-2665
+re-imagined for the MXU; the XLA fallback in audio/mel.py materializes
+frames via gather).
+
+Layout trick: with hop 160 and window 400, viewing the padded samples as
+rows of 160 makes frame f exactly
+
+    [row f | row f+1 | row f+2 (first 80)]
+
+so a frame block is three sublane-shifted views of one VMEM buffer — no
+gather. The Hann window is folded into the DFT bases (wcos/wsin), the DFT
+and the filterbank are two MXU matmuls, bins are lane-padded 201 -> 256 and
+mel channels to a multiple of 128.
+
+The global max-8 clamp + (x+4)/4 normalization stay in XLA (they need the
+max over all frames).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qwen2_audio_tpu.audio.mel import _dft_matrices, frame_counts, hann_window
+from qwen2_audio_tpu.config import WHISPER_HOP_LENGTH, WHISPER_N_FFT
+
+_BF = 256          # frames per block
+_BINS_PAD = 256    # 201 rfft bins padded to lanes
+_HOP = WHISPER_HOP_LENGTH
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _mel_kernel(rows_ref, wcos_ref, wsin_ref, filt_ref, o_ref, s_ref,
+                sem, *, n_rows_total: int):
+    i = pl.program_id(0)
+
+    # DMA the BF+2 sample rows this block needs (overlapping reads between
+    # neighboring blocks make a plain BlockSpec impossible)
+    row0 = i * _BF
+    dma = pltpu.make_async_copy(
+        rows_ref.at[pl.ds(row0, _BF + 2), :], s_ref, sem)
+    dma.start()
+    dma.wait()
+
+    s = s_ref[...]                                   # (BF+2, 160)
+    frames = jnp.concatenate(
+        [s[:_BF], s[1:_BF + 1], s[2:_BF + 2, :WHISPER_N_FFT - 2 * _HOP]],
+        axis=1)                                      # (BF, 400)
+
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(frames, wcos_ref[...], preferred_element_type=jnp.float32,
+                 precision=hi)
+    im = jnp.dot(frames, wsin_ref[...], preferred_element_type=jnp.float32,
+                 precision=hi)
+    power = re * re + im * im                        # (BF, 256), bins>201 = 0
+
+    mel = jnp.dot(power, filt_ref[...], preferred_element_type=jnp.float32,
+                  precision=hi)                      # (BF, n_mel_pad)
+    o_ref[...] = jnp.log10(jnp.maximum(mel, 1e-10))
+
+
+@functools.partial(jax.jit, static_argnames=("n_content",))
+def _mel_pallas(rows: jax.Array, wcos: jax.Array, wsin: jax.Array,
+                filt: jax.Array, n_content: int) -> jax.Array:
+    n_blocks = pl.cdiv(n_content, _BF)
+    n_mel_pad = filt.shape[1]
+    return pl.pallas_call(
+        functools.partial(_mel_kernel, n_rows_total=rows.shape[0]),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * _BF, n_mel_pad),
+                                       jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),        # rows stay in HBM
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_BF, n_mel_pad), lambda i: (i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((_BF + 2, _HOP), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        interpret=_use_interpret(),
+    )(rows, wcos, wsin, filt)
+
+
+@functools.lru_cache(maxsize=4)
+def _tables(n_mel_key: int, filters_bytes: bytes) -> tuple:
+    filters = np.frombuffer(filters_bytes, np.float32).reshape(n_mel_key, -1)
+    window = hann_window()
+    cos_m, sin_m = _dft_matrices()
+    n_bins = cos_m.shape[1]
+    wcos = np.zeros((WHISPER_N_FFT, _BINS_PAD), np.float32)
+    wsin = np.zeros((WHISPER_N_FFT, _BINS_PAD), np.float32)
+    wcos[:, :n_bins] = window[:, None] * cos_m
+    wsin[:, :n_bins] = window[:, None] * sin_m
+    n_mel = filters.shape[0]
+    n_mel_pad = -(-n_mel // 128) * 128
+    filt = np.zeros((_BINS_PAD, n_mel_pad), np.float32)
+    filt[:n_bins, :n_mel] = filters.T
+    return (jnp.asarray(wcos), jnp.asarray(wsin), jnp.asarray(filt), n_mel)
+
+
+def log_mel_spectrogram_fused(samples: np.ndarray, filters: np.ndarray):
+    """Drop-in replacement for audio.mel.log_mel_spectrogram running the
+    fused Pallas kernel; identical output layout and semantics."""
+    from qwen2_audio_tpu.audio.mel import LogMelSpectrogram
+
+    samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+    n = samples.size
+    pad_front = WHISPER_N_FFT // 2
+    if n < 1 + pad_front:
+        samples = np.pad(samples, (0, 1 + pad_front - n))
+
+    n_len, n_len_org, n_content = frame_counts(n)
+    if n_content <= 0:
+        data = np.full((filters.shape[0], n_len),
+                       np.float32((-10.0 + 4.0) / 4.0), np.float32)
+        return LogMelSpectrogram(data=data, n_len_org=n_len_org)
+
+    n_blocks = -(-n_content // _BF)
+    rows_needed = n_blocks * _BF + 3
+    total = rows_needed * _HOP
+    padded = np.zeros(total, np.float32)
+    padded[:pad_front] = samples[1:pad_front + 1][::-1]
+    m = min(samples.size, total - pad_front)
+    padded[pad_front:pad_front + m] = samples[:m]
+    rows = jnp.asarray(padded.reshape(-1, _HOP))
+
+    wcos, wsin, filt, n_mel = _tables(filters.shape[0],
+                                      np.ascontiguousarray(
+                                          filters, np.float32).tobytes())
+
+    out = np.asarray(_mel_pallas(rows, wcos, wsin, filt, n_content))
+    data = np.full((n_len, filters.shape[0]),
+                   np.float32(np.log10(1e-10)), np.float32)
+    data[:n_content] = out[:n_content, :n_mel]
+
+    mmax = data.max() - 8.0
+    data = np.maximum(data, np.float32(mmax))
+    data = (data + 4.0) / 4.0
+    return LogMelSpectrogram(data=np.ascontiguousarray(data.T),
+                             n_len_org=n_len_org)

@@ -55,6 +55,7 @@ class ContextParams:
     dtw_n_top: int = -1
     compute_dtype: Any = jnp.float32
     gelu_approximate: bool = False   # True matches ggml's tanh-LUT gelu
+    fused_mel: bool | None = None    # None = auto (Pallas kernel on TPU)
 
 
 @dataclasses.dataclass
@@ -201,7 +202,14 @@ class WhisperContext:
     def pcm_to_mel_with_state(self, state: WhisperState,
                               samples: np.ndarray) -> int:
         t0 = time_us()
-        state.mel = log_mel_spectrogram(samples, self.filters)
+        fused = self.params.fused_mel
+        if fused is None:
+            fused = jax.default_backend() in ("tpu", "axon")
+        if fused:
+            from qwen2_audio_tpu.ops.mel_kernel import log_mel_spectrogram_fused
+            state.mel = log_mel_spectrogram_fused(samples, self.filters)
+        else:
+            state.mel = log_mel_spectrogram(samples, self.filters)
         state.timings.t_mel_us += time_us() - t0
         return 0
 

@@ -278,7 +278,8 @@ def run(ctx, state, params) -> int:
                 repetition_penalty=params.repetition_penalty,
                 abort_callback=params.abort_callback,
                 timings=state.timings)
-        else:
+        elif params.abort_callback is not None:
+            # host loop: per-token abort checks cost a round trip each step
             result = greedy_decode(
                 bundle, prefill, max_new_tokens=params.max_new_tokens,
                 temperature=temp,
@@ -287,6 +288,18 @@ def run(ctx, state, params) -> int:
                 abort_callback=params.abort_callback,
                 seed=ti,
                 timings=state.timings)
+        else:
+            # fast path: the whole decode under one lax.while_loop on device
+            from qwen2_audio_tpu.runtime.generate import greedy_decode_device
+            t0 = time_us()
+            result = greedy_decode_device(
+                bundle, prefill, max_new_tokens=params.max_new_tokens,
+                temperature=temp,
+                top_k=params.best_of if temp > 0 else 0,
+                repetition_penalty=params.repetition_penalty,
+                seed=ti)
+            state.timings.t_decode_us += time_us() - t0
+            state.timings.n_decode += sum(len(t) for t in result.tokens)
         # temperature fallback (reference whisper_full_params :413-418):
         # accept unless mean -logprob breaches the thresholds
         avg_lp = result.avg_logprob[0]
