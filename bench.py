@@ -16,7 +16,9 @@ device->host readback, subtracting the fixed ~30 ms round-trip.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -24,9 +26,25 @@ import numpy as np
 CLIP_SECONDS = 30.0
 CHAIN = 20
 RTT_S = 0.030
+WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", "900"))
+
+
+def _watchdog():
+    """The TPU tunnel can wedge with device->host readbacks hanging forever
+    (observed: dispatch succeeds, array fetch never returns). Fail loudly
+    with a zero metric instead of hanging the driver."""
+    time.sleep(WATCHDOG_S)
+    print("bench: WATCHDOG — TPU readback did not complete; "
+          "reporting failure", file=sys.stderr)
+    print(json.dumps({"metric": "encoder_rtf_30s", "value": 0,
+                      "unit": "x_realtime", "vs_baseline": 0,
+                      "error": "tpu readback timeout"}))
+    sys.stdout.flush()
+    os._exit(2)
 
 
 def main() -> int:
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
     import jax.numpy as jnp
     from qwen2_audio_tpu.audio import mel_filterbank
@@ -34,7 +52,7 @@ def main() -> int:
     from qwen2_audio_tpu.config import WHISPER_PRESETS
     from qwen2_audio_tpu.models.encoder import encoder_forward, random_encoder_params
 
-    hp = WHISPER_PRESETS["qwen2-audio"]
+    hp = WHISPER_PRESETS[os.environ.get("BENCH_PRESET", "qwen2-audio")]
     on_tpu = jax.default_backend() in ("tpu", "axon")
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     print(f"bench: backend={jax.default_backend()} dtype={dtype.__name__} "
