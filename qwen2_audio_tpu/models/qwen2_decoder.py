@@ -110,9 +110,13 @@ def _gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
            k_cache: jax.Array, v_cache: jax.Array,
-           cos: jax.Array, sin: jax.Array, pos0: jax.Array
-           ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """One decoder block; returns (x_out, new_k_cache, new_v_cache)."""
+           cos: jax.Array, sin: jax.Array, pos0: jax.Array,
+           block_only: bool) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One decoder block; returns (x_out, new_k_cache, new_v_cache).
+
+    ``block_only``: the cache holds nothing before pos0 (fresh prefill), so
+    attention runs against the block's own K/V (T x T) instead of the full
+    cache length — avoids materializing T x max_ctx logits."""
     from qwen2_audio_tpu.ops.linear import linear
     B, T, D = x.shape
     h = rms_norm(x, lp["ln1"]["w"], cfg.rms_norm_eps)
@@ -129,7 +133,11 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
     v_cache = jax.lax.dynamic_update_slice(
         v_cache, v.astype(v_cache.dtype), (0, pos0, 0, 0))
 
-    attn = _gqa_attention(q, k_cache, v_cache, pos0, k_cache.shape[1])
+    if block_only:
+        attn = _gqa_attention(q, k.astype(k_cache.dtype),
+                              v.astype(v_cache.dtype), 0, T)
+    else:
+        attn = _gqa_attention(q, k_cache, v_cache, pos0, k_cache.shape[1])
     x = x + linear(attn, lp["o"])
 
     h = rms_norm(x, lp["ln2"]["w"], cfg.rms_norm_eps)
@@ -137,18 +145,22 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
     return x + linear(gated, lp["down"]), k_cache, v_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+@functools.partial(jax.jit, static_argnames=("cfg", "block_only"),
+                   donate_argnames=("cache",))
 def decoder_forward(
     params: Params,
     cfg: Qwen2DecoderConfig,
     inputs_embeds: jax.Array,        # (B, T, D)
     cache: KVCache,
     pos0: jax.Array | int,           # absolute position of inputs_embeds[:,0]
+    block_only: bool = False,        # fresh prefill: attend within the block
 ) -> tuple[jax.Array, KVCache]:
     """Run T positions through all layers; returns (logits (B,T,V), cache).
 
     Same function serves prefill (T = prompt length) and decode (T = 1);
-    the cache is donated so updates alias in HBM.
+    the cache is donated so updates alias in HBM. Pass ``block_only=True``
+    when nothing precedes pos0 in the cache (first prefill) to keep the
+    attention T x T instead of T x max_ctx.
     """
     x = inputs_embeds
     T = x.shape[1]
@@ -158,7 +170,7 @@ def decoder_forward(
 
     def body(x, layer_in):
         lp, kc, vc = layer_in
-        x, kc, vc = _layer(cfg, x, lp, kc, vc, cos, sin, pos0)
+        x, kc, vc = _layer(cfg, x, lp, kc, vc, cos, sin, pos0, block_only)
         return x, (kc, vc)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))

@@ -50,6 +50,11 @@ class DecoderBundle:
     detokenize: Callable[[list[int]], str] | None = None
     max_ctx: int = 2048
     cache_dtype: Any = jnp.bfloat16
+    # optional id -> surface string map used to build suppression masks
+    # (suppress_regex / suppress_non_speech_tokens, header :394-408)
+    token_strings: Callable[[int], str] | None = None
+    # optional text -> ids encoder (for FullParams.initial_prompt)
+    tokenize: Callable[[str], list] | None = None
 
     def project_audio(self, enc_out: np.ndarray) -> jax.Array:
         """multi_modal_projector: Linear(enc_dim -> hidden) (HF
@@ -68,6 +73,35 @@ class GenerationResult:
     tokens: list[list[int]]              # per batch element
     logprobs: list[list[float]]
     avg_logprob: list[float]
+
+
+def build_suppress_mask(bundle: DecoderBundle, params) -> np.ndarray | None:
+    """(V,) additive logits mask (0 / -inf) from the whisper_full_params
+    suppression knobs: suppress_regex (header :399), non-speech symbol list
+    (:404-405, openai tokenizer.py set). Token surfaces come from
+    bundle.token_strings (or detokenize as fallback)."""
+    import re as _re
+    want_regex = bool(params.suppress_regex)
+    want_nonspeech = bool(params.suppress_non_speech_tokens)
+    if not (want_regex or want_nonspeech):
+        return None
+    to_str = bundle.token_strings or (
+        (lambda i: bundle.detokenize([i])) if bundle.detokenize else None)
+    if to_str is None:
+        return None
+    from qwen2_audio_tpu.tokenizer import _NON_SPEECH
+    pat = _re.compile(params.suppress_regex) if want_regex else None
+    mask = np.zeros(bundle.cfg.vocab_size, np.float32)
+    for i in range(bundle.cfg.vocab_size):
+        try:
+            s = to_str(i)
+        except Exception:
+            continue
+        if pat is not None and pat.search(s):
+            mask[i] = -np.inf
+        elif want_nonspeech and s.strip() and s.strip() in _NON_SPEECH:
+            mask[i] = -np.inf
+    return mask
 
 
 def _prefill_embeds(bundle: DecoderBundle, audio_embeds: jax.Array,
@@ -96,15 +130,22 @@ def greedy_decode(
     seed: int = 0,
     abort_callback: Callable | None = None,
     timings=None,
+    suppress_mask: np.ndarray | None = None,
 ) -> GenerationResult:
     cfg = bundle.cfg
     B, T0, _ = prefill.shape
+    sup = None if suppress_mask is None else jnp.asarray(suppress_mask)
     max_ctx = min(bundle.max_ctx, T0 + max_new_tokens)
+    if T0 >= bundle.max_ctx:
+        raise ValueError(
+            f"prefill length {T0} exceeds DecoderBundle.max_ctx "
+            f"{bundle.max_ctx}; raise max_ctx when attaching the decoder")
     cache = KVCache.create(cfg, B, max_ctx, dtype=bundle.cache_dtype)
 
     t0 = time_us()
-    logits, cache = decoder_forward(bundle.params, cfg, prefill, cache, 0)
-    last = logits[:, -1]
+    logits, cache = decoder_forward(bundle.params, cfg, prefill, cache, 0,
+                                    block_only=True)
+    last = logits[:, -1] if sup is None else logits[:, -1] + sup
     if timings is not None:
         last.block_until_ready()
         timings.t_prompt_us += time_us() - t0
@@ -145,7 +186,7 @@ def greedy_decode(
         x = embed_tokens(bundle.params, tok[:, None])
         logits, cache = decoder_forward(bundle.params, cfg, x, cache,
                                         T0 + step)
-        last = logits[:, -1]
+        last = logits[:, -1] if sup is None else logits[:, -1] + sup
         if timings is not None:
             last.block_until_ready()
             timings.t_decode_us += time_us() - t2
@@ -165,6 +206,7 @@ def beam_search(
     repetition_penalty: float = 1.0,
     abort_callback: Callable | None = None,
     timings=None,
+    suppress_mask: np.ndarray | None = None,
 ) -> GenerationResult:
     """Beam search with KV-cache hypothesis reordering as a gather
     (KVCache.reorder ≙ whisper_kv_cache_seq_cp)."""
@@ -177,8 +219,11 @@ def beam_search(
     cache = KVCache.create(cfg, K, max_ctx, dtype=bundle.cache_dtype)
     t0 = time_us()
     logits, cache = decoder_forward(
-        bundle.params, cfg, jnp.broadcast_to(prefill, (K, T0, D)), cache, 0)
+        bundle.params, cfg, jnp.broadcast_to(prefill, (K, T0, D)), cache, 0,
+        block_only=True)
     last = np.asarray(jax.nn.log_softmax(logits[:, -1], axis=-1))
+    if suppress_mask is not None:
+        last = last + suppress_mask[None, :]
     if timings is not None:
         timings.t_prompt_us += time_us() - t0
         timings.n_prompt += T0
@@ -216,6 +261,8 @@ def beam_search(
         logits, cache = decoder_forward(bundle.params, cfg, x, cache,
                                         T0 + step - 1)
         lp = np.asarray(jax.nn.log_softmax(logits[:, -1], axis=-1))
+        if suppress_mask is not None:
+            lp = lp + suppress_mask[None, :]
         if timings is not None:
             timings.t_decode_us += time_us() - t2
             timings.n_decode += K
@@ -258,8 +305,14 @@ def run(ctx, state, params) -> int:
     bundle: DecoderBundle = ctx.decoder
     audio = bundle.project_audio(state.embd_enc)
 
-    prompt_tokens = params.prompt_tokens or []
+    prompt_tokens = list(params.prompt_tokens or [])
+    if params.initial_prompt and bundle.tokenize is not None:
+        # ≙ initial_prompt handling (header :412-417): prepended to the
+        # text context, capped at n_max_text_ctx/2
+        extra = list(bundle.tokenize(params.initial_prompt))
+        prompt_tokens = extra[: params.n_max_text_ctx // 2] + prompt_tokens
     prefill = _prefill_embeds(bundle, audio, prompt_tokens)
+    suppress_mask = build_suppress_mask(bundle, params)
 
     temperatures = [params.temperature]
     if params.temperature_inc > 0:
@@ -277,7 +330,8 @@ def run(ctx, state, params) -> int:
                 length_penalty=params.length_penalty,
                 repetition_penalty=params.repetition_penalty,
                 abort_callback=params.abort_callback,
-                timings=state.timings)
+                timings=state.timings,
+                suppress_mask=suppress_mask)
         elif params.abort_callback is not None:
             # host loop: per-token abort checks cost a round trip each step
             result = greedy_decode(
@@ -287,7 +341,8 @@ def run(ctx, state, params) -> int:
                 repetition_penalty=params.repetition_penalty,
                 abort_callback=params.abort_callback,
                 seed=ti,
-                timings=state.timings)
+                timings=state.timings,
+                suppress_mask=suppress_mask)
         else:
             # fast path: the whole decode under one lax.while_loop on device
             from qwen2_audio_tpu.runtime.generate import greedy_decode_device
@@ -297,7 +352,8 @@ def run(ctx, state, params) -> int:
                 temperature=temp,
                 top_k=params.best_of if temp > 0 else 0,
                 repetition_penalty=params.repetition_penalty,
-                seed=ti)
+                seed=ti,
+                suppress_mask=suppress_mask)
             state.timings.t_decode_us += time_us() - t0
             state.timings.n_decode += sum(len(t) for t in result.tokens)
         # temperature fallback (reference whisper_full_params :413-418):

@@ -43,6 +43,7 @@ def generate_on_device(
     params,
     cfg,
     prefill: jax.Array,            # (B, T0, D) embeddings
+    suppress_mask: jax.Array | None = None,   # (V,) additive logits mask
     *,
     max_new_tokens: int,
     eos_token_id: int,
@@ -61,7 +62,8 @@ def generate_on_device(
     V = cfg.vocab_size
 
     cache = KVCache.create(cfg, B, cache_max_ctx, dtype=cache_dtype)
-    logits, cache = decoder_forward(params, cfg, prefill, cache, 0)
+    logits, cache = decoder_forward(params, cfg, prefill, cache, 0,
+                                    block_only=True)
 
     state = GenState(
         cache=cache,
@@ -78,8 +80,9 @@ def generate_on_device(
         return (s.count < max_new_tokens) & ~jnp.all(s.done)
 
     def body(s: GenState):
-        lg = apply_repetition_penalty(s.last_logits, s.seen,
-                                      repetition_penalty)
+        lg = s.last_logits if suppress_mask is None \
+            else s.last_logits + suppress_mask[None, :]
+        lg = apply_repetition_penalty(lg, s.seen, repetition_penalty)
         logp = jax.nn.log_softmax(lg, axis=-1)
         if temperature > 0:
             key, sub = jax.random.split(s.key)
@@ -115,16 +118,23 @@ def generate_on_device(
 
 def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
                          temperature: float = 0.0, top_k: int = 0,
-                         repetition_penalty: float = 1.0, seed: int = 0):
+                         repetition_penalty: float = 1.0, seed: int = 0,
+                         suppress_mask=None):
     """DecoderBundle entry returning the same GenerationResult shape as the
     host loop (runtime/decoding.py) — drop-in fast path."""
     import numpy as np
     from qwen2_audio_tpu.runtime.decoding import GenerationResult
 
     B, T0, _ = prefill.shape
+    if T0 >= bundle.max_ctx:
+        raise ValueError(
+            f"prefill length {T0} exceeds DecoderBundle.max_ctx "
+            f"{bundle.max_ctx}; raise max_ctx when attaching the decoder")
     max_ctx = min(bundle.max_ctx, T0 + max_new_tokens)
+    import jax.numpy as _jnp
+    sup = None if suppress_mask is None else _jnp.asarray(suppress_mask)
     tokens, logprobs, count = generate_on_device(
-        bundle.params, bundle.cfg, prefill,
+        bundle.params, bundle.cfg, prefill, sup,
         max_new_tokens=max_new_tokens,
         eos_token_id=bundle.eos_token_id,
         cache_max_ctx=max_ctx,

@@ -64,7 +64,8 @@ def loss_fn(params: Any, cfg: Qwen2AudioConfig,
                              axis=1)
     B, S, _ = embeds.shape
     cache = KVCache.create(cfg.text, B, S, dtype=embeds.dtype)
-    logits, _ = decoder_forward(params["decoder"], cfg.text, embeds, cache, 0)
+    logits, _ = decoder_forward(params["decoder"], cfg.text, embeds, cache, 0,
+                                block_only=True)
 
     A = audio.shape[1]
     T = tokens.shape[1]
