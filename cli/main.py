@@ -155,6 +155,14 @@ def main(argv: list[str] | None = None) -> int:
             for i in range(ctx.full_n_segments()):
                 print(ctx.full_get_segment_text(i))
 
+        if ctx.state.segments and any((args.output_txt, args.output_vtt,
+                                       args.output_srt, args.output_lrc,
+                                       args.output_csv, args.output_json)):
+            from cli.output_formats import write_outputs
+            for path in write_outputs(fname, ctx.state.segments, args):
+                if not args.no_prints:
+                    print(f"output written to {path}", file=sys.stderr)
+
     if not args.no_prints:
         ctx.print_timings()
     return 0

@@ -1,0 +1,120 @@
+"""Transcription output writers: txt / vtt / srt / lrc / csv / json.
+
+Parity with the reference CLI's output helpers (examples/main/main.cpp
+output_txt/output_vtt/output_srt/output_lrc/output_csv/output_json — the
+upstream whisper.cpp set the fork kept flags for) including the centisecond
+timestamp formatting of to_timestamp (src/qwen2-whisper.cpp:2386-2400).
+"""
+
+from __future__ import annotations
+
+import json
+
+
+def format_timestamp(t_cs: int, comma: bool = False) -> str:
+    """Centiseconds -> HH:MM:SS.mmm (≙ to_timestamp :2386-2400)."""
+    msec = t_cs * 10
+    hr, msec = divmod(msec, 3600 * 1000)
+    minute, msec = divmod(msec, 60 * 1000)
+    sec, msec = divmod(msec, 1000)
+    sep = "," if comma else "."
+    return f"{hr:02d}:{minute:02d}:{sec:02d}{sep}{msec:03d}"
+
+
+def _lrc_timestamp(t_cs: int) -> str:
+    msec = t_cs * 10
+    minute, msec = divmod(msec, 60 * 1000)
+    sec, msec = divmod(msec, 1000)
+    return f"{minute:02d}:{sec:02d}.{msec // 10:02d}"
+
+
+def write_txt(path: str, segments: list[dict]) -> None:
+    with open(path, "w") as f:
+        for s in segments:
+            f.write(s["text"].strip() + "\n")
+
+
+def write_vtt(path: str, segments: list[dict]) -> None:
+    with open(path, "w") as f:
+        f.write("WEBVTT\n\n")
+        for s in segments:
+            f.write(f"{format_timestamp(s['t0'])} --> "
+                    f"{format_timestamp(s['t1'])}\n")
+            f.write(s["text"].strip() + "\n\n")
+
+
+def write_srt(path: str, segments: list[dict]) -> None:
+    with open(path, "w") as f:
+        for i, s in enumerate(segments, 1):
+            f.write(f"{i}\n")
+            f.write(f"{format_timestamp(s['t0'], comma=True)} --> "
+                    f"{format_timestamp(s['t1'], comma=True)}\n")
+            f.write(s["text"].strip() + "\n\n")
+
+
+def write_lrc(path: str, segments: list[dict]) -> None:
+    with open(path, "w") as f:
+        f.write("[by:qwen2-audio-tpu]\n")
+        for s in segments:
+            f.write(f"[{_lrc_timestamp(s['t0'])}]{s['text'].strip()}\n")
+
+
+def write_csv(path: str, segments: list[dict]) -> None:
+    with open(path, "w") as f:
+        f.write("start,end,text\n")
+        for s in segments:
+            text = s["text"].strip().replace('"', '""')
+            f.write(f'{s["t0"] * 10},{s["t1"] * 10},"{text}"\n')
+
+
+def write_json(path: str, segments: list[dict], *, model: str = "",
+               language: str = "en", full: bool = False) -> None:
+    doc = {
+        "systeminfo": "",
+        "model": {"type": model},
+        "params": {"language": language},
+        "result": {"language": language},
+        "transcription": [
+            {
+                "timestamps": {
+                    "from": format_timestamp(s["t0"], comma=True),
+                    "to": format_timestamp(s["t1"], comma=True),
+                },
+                "offsets": {"from": s["t0"] * 10, "to": s["t1"] * 10},
+                "text": s["text"],
+                **({"tokens": [
+                    {"text": "", "id": t, "p": p}
+                    for t, p in zip(s["tokens"], s.get("probs", []))
+                ]} if full else {}),
+            }
+            for s in segments
+        ],
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2, ensure_ascii=False)
+
+
+WRITERS = {
+    "txt": write_txt,
+    "vtt": write_vtt,
+    "srt": write_srt,
+    "lrc": write_lrc,
+    "csv": write_csv,
+    "json": write_json,
+}
+
+
+def write_outputs(base_path: str, segments: list[dict], args) -> list[str]:
+    """Write every format the CLI flags request; returns written paths."""
+    written = []
+    base = args.output_file or base_path
+    if base.endswith(".wav"):
+        base = base[:-4]
+    for fmt, flag in (("txt", args.output_txt), ("vtt", args.output_vtt),
+                      ("srt", args.output_srt), ("lrc", args.output_lrc),
+                      ("csv", args.output_csv), ("json", args.output_json)):
+        if flag:
+            path = f"{base}.{fmt}"
+            WRITERS[fmt](path, segments)
+            written.append(path)
+    return written

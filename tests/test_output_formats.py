@@ -1,0 +1,86 @@
+"""Output writers: timestamps + file contents."""
+
+import json
+
+import pytest
+
+from cli.output_formats import (
+    WRITERS,
+    format_timestamp,
+    write_outputs,
+)
+
+SEGS = [
+    {"t0": 0, "t1": 500, "text": " Hello world.", "tokens": [1, 2],
+     "probs": [0.9, 0.8], "speaker_turn_next": False},
+    {"t0": 500, "t1": 6000, "text": ' With "quotes".', "tokens": [3],
+     "probs": [0.7], "speaker_turn_next": False},
+]
+
+
+def test_format_timestamp():
+    # reference to_timestamp examples (src/qwen2-whisper.cpp:2386-2388)
+    assert format_timestamp(500) == "00:00:05.000"
+    assert format_timestamp(6000) == "00:01:00.000"
+    assert format_timestamp(500, comma=True) == "00:00:05,000"
+
+
+def test_txt(tmp_path):
+    p = str(tmp_path / "o.txt")
+    WRITERS["txt"](p, SEGS)
+    lines = open(p).read().splitlines()
+    assert lines == ["Hello world.", 'With "quotes".']
+
+
+def test_vtt(tmp_path):
+    p = str(tmp_path / "o.vtt")
+    WRITERS["vtt"](p, SEGS)
+    text = open(p).read()
+    assert text.startswith("WEBVTT")
+    assert "00:00:00.000 --> 00:00:05.000" in text
+
+
+def test_srt(tmp_path):
+    p = str(tmp_path / "o.srt")
+    WRITERS["srt"](p, SEGS)
+    text = open(p).read()
+    assert text.startswith("1\n00:00:00,000 --> 00:00:05,000")
+    assert "\n2\n" in text
+
+
+def test_lrc(tmp_path):
+    p = str(tmp_path / "o.lrc")
+    WRITERS["lrc"](p, SEGS)
+    assert "[00:05.00]" in open(p).read()
+
+
+def test_csv(tmp_path):
+    p = str(tmp_path / "o.csv")
+    WRITERS["csv"](p, SEGS)
+    lines = open(p).read().splitlines()
+    assert lines[0] == "start,end,text"
+    assert lines[1] == '0,5000,"Hello world."'
+    assert '""quotes""' in lines[2]
+
+
+def test_json(tmp_path):
+    p = str(tmp_path / "o.json")
+    WRITERS["json"](p, SEGS)
+    doc = json.load(open(p))
+    assert len(doc["transcription"]) == 2
+    assert doc["transcription"][0]["offsets"] == {"from": 0, "to": 5000}
+
+
+def test_write_outputs_dispatch(tmp_path):
+    class A:
+        output_txt = True
+        output_vtt = False
+        output_srt = True
+        output_lrc = False
+        output_csv = False
+        output_json = True
+        output_file = None
+    base = str(tmp_path / "clip.wav")
+    written = write_outputs(base, SEGS, A())
+    assert sorted(w.rsplit(".", 1)[1] for w in written) == ["json", "srt", "txt"]
+    assert all(w.startswith(str(tmp_path / "clip.")) for w in written)
