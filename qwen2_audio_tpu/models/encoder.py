@@ -200,12 +200,18 @@ def random_encoder_params(rng: np.random.Generator, hp: WhisperHParams,
     }
 
 
-def encoder_params_from_ggml(model_file, dtype=jnp.float32) -> Params:
+def encoder_params_from_ggml(model_file, dtype=jnp.float32,
+                             keep_quantized: bool = False) -> Params:
     """Build the param pytree from a parsed GGMLModelFile, pre-transposing
     linear weights from torch [out, in] to [in, out].
 
     Tensor names follow the HF-style map at src/qwen2-whisper.cpp:1603-1662.
+
+    ``keep_quantized``: q4_0/q8_0 layer weights stay in their block form as
+    {"qs","scales"} device dicts (bit-exact with the file payload) and run
+    through the Pallas dequant matmul instead of being expanded to dense.
     """
+    from qwen2_audio_tpu.config import GGMLType as _GT
     hp = model_file.hparams
     ts = model_file.tensors
 
@@ -216,7 +222,12 @@ def encoder_params_from_ggml(model_file, dtype=jnp.float32) -> Params:
         return jnp.asarray(np.ascontiguousarray(arr), dtype=dtype)
 
     def lin(prefix, bias=True):
-        out = {"w": get(prefix + ".weight", transpose=True)}
+        t = ts[prefix + ".weight"]
+        if keep_quantized and t.ttype in (_GT.Q4_0, _GT.Q8_0):
+            from qwen2_audio_tpu.quant.qparams import device_weight_from_ggml_tensor
+            out = device_weight_from_ggml_tensor(t)
+        else:
+            out = {"w": get(prefix + ".weight", transpose=True)}
         if bias:
             out["b"] = get(prefix + ".bias")
         return out

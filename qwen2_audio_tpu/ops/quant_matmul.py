@@ -64,9 +64,17 @@ def quant_matmul(
     K2, N = qs.shape
     assert K == K2 and scales.shape == (K // GROUP, N)
 
+    def pick_block(dim: int, pref: int) -> int:
+        """Largest multiple of 32 <= pref dividing dim (dims of quantized
+        weights are multiples of 32 by construction, so 32 always works)."""
+        for cand in range(min(pref, dim), GROUP - 1, -GROUP):
+            if dim % cand == 0:
+                return cand
+        return dim
+
     block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
-    block_n = min(block_n, N)
-    block_k = min(block_k, K)
+    block_n = pick_block(N, block_n)
+    block_k = pick_block(K, block_k)
     assert K % block_k == 0 and N % block_n == 0 and block_k % GROUP == 0
 
     m_pad = -M % block_m

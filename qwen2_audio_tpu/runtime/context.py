@@ -56,6 +56,7 @@ class ContextParams:
     compute_dtype: Any = jnp.float32
     gelu_approximate: bool = False   # True matches ggml's tanh-LUT gelu
     fused_mel: bool | None = None    # None = auto (Pallas kernel on TPU)
+    keep_quantized: bool | None = None  # None = auto: quant kernels on TPU
 
 
 @dataclasses.dataclass
@@ -155,8 +156,11 @@ class WhisperContext:
         self.filters = model_file.filters
         self.vocab = WhisperVocab.from_token_list(
             model_file.vocab, model_file.hparams.n_vocab)
+        keep_q = cparams.keep_quantized
+        if keep_q is None:
+            keep_q = jax.default_backend() in ("tpu", "axon")
         self.encoder_params = encoder_params_from_ggml(
-            model_file, dtype=cparams.compute_dtype)
+            model_file, dtype=cparams.compute_dtype, keep_quantized=keep_q)
         self.decoder = None          # attached by qwen2_audio model loader
         self.model_file = model_file
         self.state: WhisperState | None = None
