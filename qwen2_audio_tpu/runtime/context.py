@@ -398,7 +398,9 @@ class WhisperContext:
         """≙ whisper_print_emb_enc (src/qwen2-whisper.cpp:4191-4203)."""
         from qwen2_audio_tpu.models.encoder import fingerprint
         fp = fingerprint(self.state.embd_enc)
-        print(fp)
+        # flush: under the embedded-CPython C shim the process may exit
+        # without finalizing the interpreter, losing buffered stdout
+        print(fp, flush=True)
         return fp
 
     # ---- segment accessors (header :472-515); populated by decoding ----

@@ -35,8 +35,11 @@ def test_qa_main_end_to_end(assets):
     model, wav = assets
     r = subprocess.run(
         [str(BIN), model, wav, "2"], capture_output=True, text=True,
-        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
-             "PYTHONPATH": "/root/repo", "HOME": "/root"},
+        env={"PATH": "/opt/venv/bin:/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             # embedded CPython needs the venv's site-packages explicitly
+             "PYTHONPATH": "/root/repo:" + ":".join(
+                 p for p in sys.path if "site-packages" in p),
+             "HOME": "/root"},
         timeout=600)
     assert r.returncode == 0, r.stderr
     fps = [ln for ln in r.stdout.splitlines() if ln.startswith(" ")]
