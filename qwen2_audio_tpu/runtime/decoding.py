@@ -30,7 +30,6 @@ from qwen2_audio_tpu.models.qwen2_decoder import (
 from qwen2_audio_tpu.runtime.sampling import (
     length_penalty_score,
     sample_token,
-    sequence_entropy,
 )
 from qwen2_audio_tpu.utils.timings import time_us
 

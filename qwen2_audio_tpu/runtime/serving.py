@@ -21,7 +21,7 @@ import numpy as np
 from qwen2_audio_tpu.audio.mel import LogMelSpectrogram, mel_input_window
 from qwen2_audio_tpu.models.encoder import encoder_forward
 from qwen2_audio_tpu.runtime.context import FullParams, WhisperContext
-from qwen2_audio_tpu.runtime.decoding import _prefill_embeds, greedy_decode
+from qwen2_audio_tpu.runtime.decoding import _prefill_embeds
 from qwen2_audio_tpu.utils.timings import time_us
 
 
@@ -125,13 +125,20 @@ def transcribe_long_form(
             tokens = [r.tokens[0] for r in results]
             avglp = [r.avg_logprob[0] for r in results]
         else:
-            r = greedy_decode(bundle, prefill,
-                              max_new_tokens=params.max_new_tokens,
-                              temperature=params.temperature,
-                              repetition_penalty=params.repetition_penalty,
-                              timings=state.timings)
+            from qwen2_audio_tpu.runtime.generate import greedy_decode_device
+            t0 = time_us()
+            r = greedy_decode_device(
+                bundle, prefill, max_new_tokens=params.max_new_tokens,
+                temperature=params.temperature,
+                repetition_penalty=params.repetition_penalty)
+            state.timings.t_decode_us += time_us() - t0
+            state.timings.n_decode += sum(len(t) for t in r.tokens)
             tokens, avglp = r.tokens, r.avg_logprob
 
+        if params.strategy == "beam":
+            lps = [r.logprobs[0] for r in results]
+        else:
+            lps = r.logprobs
         for b, off in enumerate(group):
             seg = Segment(
                 t0_cs=off,
@@ -143,8 +150,7 @@ def transcribe_long_form(
             state.segments.append({
                 "t0": seg.t0_cs, "t1": seg.t1_cs, "text": seg.text,
                 "tokens": seg.tokens,
-                "probs": [float(np.exp(min(l, 0))) for l in
-                          ([0.0] * len(seg.tokens))],
+                "probs": [float(np.exp(min(l, 0.0))) for l in lps[b]],
                 "speaker_turn_next": False,
             })
             yield seg
