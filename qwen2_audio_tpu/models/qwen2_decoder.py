@@ -145,7 +145,8 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
     return x + linear(gated, lp["down"]), k_cache, v_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "block_only"),
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "block_only", "logits_last_only"),
                    donate_argnames=("cache",))
 def decoder_forward(
     params: Params,
@@ -154,6 +155,7 @@ def decoder_forward(
     cache: KVCache,
     pos0: jax.Array | int,           # absolute position of inputs_embeds[:,0]
     block_only: bool = False,        # fresh prefill: attend within the block
+    logits_last_only: bool = False,  # skip the T-1 unused lm_head rows
 ) -> tuple[jax.Array, KVCache]:
     """Run T positions through all layers; returns (logits (B,T,V), cache).
 
@@ -175,6 +177,10 @@ def decoder_forward(
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
 
+    if logits_last_only:
+        # prefill only needs the next-token distribution: the lm_head matmul
+        # over T-1 positions (T x V, the biggest matmul here) is dead work
+        x = x[:, -1:]
     x = rms_norm(x, params["ln_f"]["w"], cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:
         logits = x @ params["embed"].T.astype(x.dtype)

@@ -143,7 +143,7 @@ def greedy_decode(
 
     t0 = time_us()
     logits, cache = decoder_forward(bundle.params, cfg, prefill, cache, 0,
-                                    block_only=True)
+                                    block_only=True, logits_last_only=True)
     last = logits[:, -1] if sup is None else logits[:, -1] + sup
     if timings is not None:
         last.block_until_ready()
@@ -219,7 +219,7 @@ def beam_search(
     t0 = time_us()
     logits, cache = decoder_forward(
         bundle.params, cfg, jnp.broadcast_to(prefill, (K, T0, D)), cache, 0,
-        block_only=True)
+        block_only=True, logits_last_only=True)
     last = np.asarray(jax.nn.log_softmax(logits[:, -1], axis=-1))
     if suppress_mask is not None:
         last = last + suppress_mask[None, :]

@@ -63,7 +63,7 @@ def generate_on_device(
 
     cache = KVCache.create(cfg, B, cache_max_ctx, dtype=cache_dtype)
     logits, cache = decoder_forward(params, cfg, prefill, cache, 0,
-                                    block_only=True)
+                                    block_only=True, logits_last_only=True)
 
     state = GenState(
         cache=cache,
