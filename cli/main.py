@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     a("--prompt", default=None)
     a("-m", "--model", default="models/ggml-model.bin")
     a("-f", "--file", action="append", default=[], help="input WAV file(s)")
+    a("--decoder", default=None, metavar="HF_DIR",
+      help="attach the Qwen2 text decoder from a HF Qwen2-Audio checkpoint "
+           "dir (enables audio->text; without it the CLI runs the encoder "
+           "benchmark loop like the reference)")
     a("-oved", "--ov-e-device", default="CPU")
     a("-dtw", "--dtw", default="",
       help="alignment-heads preset for token timestamps")
@@ -108,6 +112,10 @@ def main(argv: list[str] | None = None) -> int:
 
     cparams = ContextParams(use_gpu=not args.no_gpu, flash_attn=args.flash_attn)
     ctx = WhisperContext.init_from_file_with_params(args.model, cparams)
+
+    if args.decoder:
+        from qwen2_audio_tpu.io.hf import load_qwen2_audio
+        ctx.decoder = load_qwen2_audio(args.decoder)["bundle"]
 
     if not args.no_prints:
         print(f"system_info: {print_system_info()}", file=sys.stderr)

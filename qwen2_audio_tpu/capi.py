@@ -210,6 +210,30 @@ def whisper_full_get_token_p(ctx, i, j) -> float:
     return ctx.full_get_token_p(i, j)
 
 
+# from-state segment accessors (header :484-515)
+def whisper_full_get_segment_t0_from_state(state, i) -> int:
+    return state.segments[i]["t0"]
+def whisper_full_get_segment_t1_from_state(state, i) -> int:
+    return state.segments[i]["t1"]
+def whisper_full_get_segment_speaker_turn_next_from_state(state, i) -> bool:
+    return state.segments[i]["speaker_turn_next"]
+def whisper_full_get_segment_text_from_state(state, i) -> str:
+    return state.segments[i]["text"]
+def whisper_full_n_tokens_from_state(state, i) -> int:
+    return len(state.segments[i]["tokens"])
+def whisper_full_get_token_id_from_state(state, i, j) -> int:
+    return state.segments[i]["tokens"][j]
+def whisper_full_get_token_text_from_state(ctx, state, i, j) -> str:
+    return ctx.token_to_str(state.segments[i]["tokens"][j])
+def whisper_full_get_token_p_from_state(state, i, j) -> float:
+    return state.segments[i]["probs"][j]
+
+
+# deprecated init aliases (header :151-174)
+def whisper_init_from_file(path_model: str):
+    return whisper_init_from_file_with_params(path_model)
+
+
 # ---- benches / logging (header :517-527) ----
 
 def whisper_bench_memcpy(n_threads: int = 1) -> int:

@@ -214,12 +214,16 @@ def beam_search(
     K = beam_size
     max_ctx = min(bundle.max_ctx, T0 + max_new_tokens)
 
-    # replicate the prompt across beams once; cache rows diverge later
-    cache = KVCache.create(cfg, K, max_ctx, dtype=bundle.cache_dtype)
+    # prefill ONCE (B=1), then tile the cache across beams — K x fewer
+    # prefill FLOPs than running the prompt per hypothesis
+    cache1 = KVCache.create(cfg, 1, max_ctx, dtype=bundle.cache_dtype)
     t0 = time_us()
-    logits, cache = decoder_forward(
-        bundle.params, cfg, jnp.broadcast_to(prefill, (K, T0, D)), cache, 0,
+    logits, cache1 = decoder_forward(
+        bundle.params, cfg, prefill, cache1, 0,
         block_only=True, logits_last_only=True)
+    cache = KVCache(k=jnp.repeat(cache1.k, K, axis=1),
+                    v=jnp.repeat(cache1.v, K, axis=1),
+                    pos=cache1.pos)
     last = np.asarray(jax.nn.log_softmax(logits[:, -1], axis=-1))
     if suppress_mask is not None:
         last = last + suppress_mask[None, :]

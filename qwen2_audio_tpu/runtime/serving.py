@@ -153,4 +153,9 @@ def transcribe_long_form(
                 "probs": [float(np.exp(min(l, 0.0))) for l in lps[b]],
                 "speaker_turn_next": False,
             })
+            if params.new_segment_callback is not None:
+                params.new_segment_callback(ctx, state, 1)
+            if params.progress_callback is not None:
+                done = min(100, 100 * (i + b + 1) // len(offsets))
+                params.progress_callback(ctx, state, done)
             yield seg
