@@ -46,6 +46,14 @@ def _watchdog():
 def main() -> int:
     threading.Thread(target=_watchdog, daemon=True).start()
     import jax
+    # persistent compilation cache: first compile of the large encoder is
+    # 20-40 s; subsequent bench runs hit the cache
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/qa_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from qwen2_audio_tpu.audio import mel_filterbank
     from qwen2_audio_tpu.audio.mel import log_mel_spectrogram, mel_input_window
@@ -69,7 +77,11 @@ def main() -> int:
              + 0.05 * rng.standard_normal(t.size)).astype(np.float32)
 
     t0 = time.perf_counter()
-    mel = log_mel_spectrogram(audio, mel_filterbank(hp.n_mels))
+    if on_tpu:
+        from qwen2_audio_tpu.ops.mel_kernel import log_mel_spectrogram_fused
+        mel = log_mel_spectrogram_fused(audio, mel_filterbank(hp.n_mels))
+    else:
+        mel = log_mel_spectrogram(audio, mel_filterbank(hp.n_mels))
     win = mel_input_window(mel, 0, hp.n_audio_ctx)
     mel_s = time.perf_counter() - t0
     x = jnp.asarray(win[None], dtype)

@@ -44,9 +44,15 @@ def _blocks(x: np.ndarray) -> np.ndarray:
 
 def _signed_absmax(xb: np.ndarray) -> np.ndarray:
     """Value with the largest |x| per block, first occurrence on ties —
-    matches the C scan `if (amax < fabsf(v))`."""
-    idx = np.argmax(np.abs(xb), axis=1)
-    return xb[np.arange(xb.shape[0]), idx]
+    matches the C scan `if (amax < fabsf(v))`. An all-zero block keeps the
+    C loop's +0.0 initializer even when the inputs are -0.0 (the strict <
+    never fires), so force +0.0 there; otherwise d = max/-8 would flip the
+    f16 scale's sign bit and break quantize∘dequantize idempotence."""
+    a = np.abs(xb)
+    idx = np.argmax(a, axis=1)
+    rows = np.arange(xb.shape[0])
+    maxv = xb[rows, idx]
+    return np.where(a[rows, idx] == 0.0, np.float32(0.0), maxv)
 
 
 def _trunc_u8(v: np.ndarray, cap: int) -> np.ndarray:

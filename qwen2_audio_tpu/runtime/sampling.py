@@ -73,12 +73,6 @@ def sample_token(
     return tok, lp
 
 
-def sequence_entropy(logprobs_sum: jax.Array, counts: jax.Array) -> jax.Array:
-    """Mean negative logprob — the fallback 'entropy' proxy used with
-    entropy_thold/logprob_thold (whisper_full_params :415-417)."""
-    return -logprobs_sum / jnp.maximum(counts, 1)
-
-
 def length_penalty_score(score: jax.Array, length: jax.Array,
                          penalty: float) -> jax.Array:
     """Beam score normalization: penalty < 0 -> simple length normalization;

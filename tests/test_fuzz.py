@@ -1,0 +1,85 @@
+"""Property-based fuzzing: quant codecs (python vs native), WAV parser
+robustness, tokenizer robustness."""
+
+import io
+
+import numpy as np
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from qwen2_audio_tpu.config import GGMLType  # noqa: E402
+from qwen2_audio_tpu.quant import codecs  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(min_value=-1e4, max_value=1e4,
+                          allow_nan=False, width=32),
+                min_size=32, max_size=32),
+       st.sampled_from([GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
+                        GGMLType.Q5_1, GGMLType.Q8_0]))
+def test_codec_roundtrip_stable(vals, ttype):
+    """quantize(dequantize(quantize(x))) is a fixed point for any input."""
+    x = np.asarray(vals, np.float32)
+    raw1 = codecs.quantize(x, ttype)
+    y = codecs.dequantize(raw1, ttype, 32)
+    raw2 = codecs.quantize(y, ttype)
+    np.testing.assert_array_equal(raw1, raw2)
+    assert np.isfinite(y).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(min_value=-100, max_value=100,
+                          allow_nan=False, width=32),
+                min_size=64, max_size=64))
+def test_codec_native_matches_python(vals):
+    from qwen2_audio_tpu import native
+    if not native.available():
+        pytest.skip("native lib not built")
+    x = np.asarray(vals, np.float32)
+    for ttype in (GGMLType.Q4_0, GGMLType.Q8_0):
+        np.testing.assert_array_equal(native.quantize(x, ttype),
+                                      codecs.quantize(x, ttype))
+
+
+import struct  # noqa: E402
+
+PARSE_ERRORS = (ValueError, struct.error, EOFError)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=256))
+def test_wav_parser_never_crashes(data):
+    """Arbitrary bytes -> clean ValueError/EOF, never a crash or hang."""
+    from qwen2_audio_tpu.audio.wav import read_wav
+    import tempfile, os
+    fd, path = tempfile.mkstemp(suffix=".wav")
+    try:
+        os.write(fd, data)
+        os.close(fd)
+        try:
+            read_wav(path)
+        except PARSE_ERRORS:
+            pass
+    finally:
+        os.unlink(path)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=40))
+def test_tokenizer_never_crashes(text):
+    from qwen2_audio_tpu.tokenizer import WhisperVocab
+    v = WhisperVocab.from_token_list([b"a", b"b", b" ", b"ab"], 51864)
+    ids = v.tokenize(text)
+    assert all(isinstance(i, int) for i in ids)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_ggml_reader_never_crashes(data):
+    from qwen2_audio_tpu.io import read_ggml_file
+    try:
+        read_ggml_file(bytes(data))
+    except PARSE_ERRORS:
+        pass
