@@ -111,7 +111,8 @@ def _gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
            k_cache: jax.Array, v_cache: jax.Array,
            cos: jax.Array, sin: jax.Array, pos0: jax.Array,
-           block_only: bool) -> tuple[jax.Array, jax.Array, jax.Array]:
+           block_only: bool, use_flash: bool = False
+           ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One decoder block; returns (x_out, new_k_cache, new_v_cache).
 
     ``block_only``: the cache holds nothing before pos0 (fresh prefill), so
@@ -133,7 +134,14 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
     v_cache = jax.lax.dynamic_update_slice(
         v_cache, v.astype(v_cache.dtype), (0, pos0, 0, 0))
 
-    if block_only:
+    if block_only and use_flash:
+        # causal GQA flash attention over the block (prefill fast path)
+        from qwen2_audio_tpu.ops.flash_attention import flash_attention
+        attn = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), sm_scale=cfg.head_dim ** -0.5,
+            causal=True).transpose(0, 2, 1, 3).reshape(B, T, -1)
+    elif block_only:
         attn = _gqa_attention(q, k.astype(k_cache.dtype),
                               v.astype(v_cache.dtype), 0, T)
     else:
@@ -146,7 +154,8 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "block_only", "logits_last_only"),
+                   static_argnames=("cfg", "block_only", "logits_last_only",
+                                    "use_flash"),
                    donate_argnames=("cache",))
 def decoder_forward(
     params: Params,
@@ -156,6 +165,7 @@ def decoder_forward(
     pos0: jax.Array | int,           # absolute position of inputs_embeds[:,0]
     block_only: bool = False,        # fresh prefill: attend within the block
     logits_last_only: bool = False,  # skip the T-1 unused lm_head rows
+    use_flash: bool = False,         # Pallas causal GQA kernel for prefill
 ) -> tuple[jax.Array, KVCache]:
     """Run T positions through all layers; returns (logits (B,T,V), cache).
 
@@ -172,7 +182,8 @@ def decoder_forward(
 
     def body(x, layer_in):
         lp, kc, vc = layer_in
-        x, kc, vc = _layer(cfg, x, lp, kc, vc, cos, sin, pos0, block_only)
+        x, kc, vc = _layer(cfg, x, lp, kc, vc, cos, sin, pos0, block_only,
+                           use_flash)
         return x, (kc, vc)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))

@@ -97,9 +97,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref,
     jax.jit,
     static_argnames=("sm_scale", "causal", "kv_valid", "block_q", "block_k"))
 def flash_attention(
-    q: jax.Array,       # (B, H, Tq, d)
-    k: jax.Array,       # (B, H, Tk, d)
-    v: jax.Array,       # (B, H, Tk, d)
+    q: jax.Array,       # (B, Hq, Tq, d)
+    k: jax.Array,       # (B, Hkv, Tk, d) — Hkv may divide Hq (GQA)
+    v: jax.Array,       # (B, Hkv, Tk, d)
     *,
     sm_scale: float,
     causal: bool = False,
@@ -107,13 +107,18 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 512,
 ) -> jax.Array:
-    """O = softmax(sm_scale * Q K^T) V, tiled; returns (B, H, Tq, d).
+    """O = softmax(sm_scale * Q K^T) V, tiled; returns (B, Hq, Tq, d).
 
     Tq/Tk may be arbitrary; they are padded internally. ``kv_valid`` is the
-    number of real key positions (defaults to Tk).
+    number of real key positions (defaults to Tk). GQA is handled in the
+    BlockSpec index map — query head h reads KV head h // (Hq // Hkv), so
+    grouped KV heads are never materialized per query head.
     """
     B, H, Tq, d = q.shape
     Tk = k.shape[2]
+    n_kv = k.shape[1]
+    assert H % n_kv == 0, (H, n_kv)
+    kv_group = H // n_kv
     kv_valid = Tk if kv_valid is None else kv_valid
 
     block_q = min(block_q, max(_LANES, 1 << (Tq - 1).bit_length()))
@@ -142,9 +147,9 @@ def flash_attention(
                 pl.BlockSpec((1, 1, block_q, Dq),
                              lambda b, h, i, j: (b, h, i, 0)),
                 pl.BlockSpec((1, 1, block_k, Dq),
-                             lambda b, h, i, j: (b, h, j, 0)),
+                             lambda b, h, i, j: (b, h // kv_group, j, 0)),
                 pl.BlockSpec((1, 1, block_k, Dq),
-                             lambda b, h, i, j: (b, h, j, 0)),
+                             lambda b, h, i, j: (b, h // kv_group, j, 0)),
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, Dq),
                                    lambda b, h, i, j: (b, h, i, 0)),

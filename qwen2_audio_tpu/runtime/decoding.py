@@ -74,6 +74,12 @@ class GenerationResult:
     avg_logprob: list[float]
 
 
+def _prefill_flash() -> bool:
+    """Use the Pallas causal GQA kernel for prefill on TPU backends."""
+    import jax as _jax
+    return _jax.default_backend() in ("tpu", "axon")
+
+
 def build_suppress_mask(bundle: DecoderBundle, params) -> np.ndarray | None:
     """(V,) additive logits mask (0 / -inf) from the whisper_full_params
     suppression knobs: suppress_regex (header :399), non-speech symbol list
@@ -143,7 +149,8 @@ def greedy_decode(
 
     t0 = time_us()
     logits, cache = decoder_forward(bundle.params, cfg, prefill, cache, 0,
-                                    block_only=True, logits_last_only=True)
+                                    block_only=True, logits_last_only=True,
+                                    use_flash=_prefill_flash())
     last = logits[:, -1] if sup is None else logits[:, -1] + sup
     if timings is not None:
         last.block_until_ready()
@@ -220,7 +227,7 @@ def beam_search(
     t0 = time_us()
     logits, cache1 = decoder_forward(
         bundle.params, cfg, prefill, cache1, 0,
-        block_only=True, logits_last_only=True)
+        block_only=True, logits_last_only=True, use_flash=_prefill_flash())
     cache = KVCache(k=jnp.repeat(cache1.k, K, axis=1),
                     v=jnp.repeat(cache1.v, K, axis=1),
                     pos=cache1.pos)

@@ -62,8 +62,10 @@ def generate_on_device(
     V = cfg.vocab_size
 
     cache = KVCache.create(cfg, B, cache_max_ctx, dtype=cache_dtype)
+    from qwen2_audio_tpu.runtime.decoding import _prefill_flash
     logits, cache = decoder_forward(params, cfg, prefill, cache, 0,
-                                    block_only=True, logits_last_only=True)
+                                    block_only=True, logits_last_only=True,
+                                    use_flash=_prefill_flash())
 
     state = GenState(
         cache=cache,

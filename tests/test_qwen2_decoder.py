@@ -120,3 +120,27 @@ def test_tied_embeddings(rng):
     x = embed_tokens(params, jnp.asarray([[1, 2]]))
     logits, _ = decoder_forward(params, cfg, x, cache, 0)
     assert logits.shape == (1, 2, 64)
+
+
+def test_prefill_flash_matches_einsum(rng):
+    """Pallas causal GQA prefill (interpret mode) == einsum attention."""
+    import jax.numpy as jnp
+    params = random_decoder_params(rng, CFG)
+    toks = rng.integers(0, CFG.vocab_size, (2, 9))
+    x = embed_tokens(params, jnp.asarray(toks))
+
+    c1 = KVCache.create(CFG, 2, 16, dtype=jnp.float32)
+    a, ca = decoder_forward(params, CFG, x, c1, 0, block_only=True)
+    c2 = KVCache.create(CFG, 2, 16, dtype=jnp.float32)
+    b, cb = decoder_forward(params, CFG, x, c2, 0, block_only=True,
+                            use_flash=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ca.k), np.asarray(cb.k), atol=1e-6)
+
+    # decode continues identically from the flash-prefilled cache
+    nxt = embed_tokens(params, jnp.asarray(rng.integers(0, 96, (2, 1))))
+    sa, _ = decoder_forward(params, CFG, nxt, ca, 9)
+    sb, _ = decoder_forward(params, CFG, nxt, cb, 9)
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                               atol=1e-4, rtol=1e-3)
