@@ -110,14 +110,21 @@ int qa_wav_read(const char* path, float** out, int64_t* n_out, int* rate_out) {
         if (std::fread(cid, 1, 4, f) != 4 || std::fread(&csize, 4, 1, f) != 1)
             break;
         if (!std::memcmp(cid, "fmt ", 4)) {
-            uint8_t buf[16];
-            if (csize < 16 || std::fread(buf, 1, 16, f) != 16) { std::fclose(f); return -3; }
+            uint8_t buf[40] = {0};
+            size_t want = csize < sizeof(buf) ? csize : sizeof(buf);
+            if (csize < 16 || std::fread(buf, 1, want, f) != want) { std::fclose(f); return -3; }
             std::memcpy(&fmt_code, buf + 0, 2);
             std::memcpy(&channels, buf + 2, 2);
             std::memcpy(&rate, buf + 4, 4);
             std::memcpy(&bits, buf + 14, 2);
-            if (csize > 16) std::fseek(f, (long)(csize - 16 + (csize & 1)), SEEK_CUR);
-            else if (csize & 1) std::fseek(f, 1, SEEK_CUR);
+            if (fmt_code == 0xFFFE) {
+                // WAVE_FORMAT_EXTENSIBLE: real tag is the first 2 bytes of
+                // the SubFormat GUID at offset 24
+                if (csize < 26) { std::fclose(f); return -3; }
+                std::memcpy(&fmt_code, buf + 24, 2);
+            }
+            if (csize > want) std::fseek(f, (long)(csize - want), SEEK_CUR);
+            if (csize & 1) std::fseek(f, 1, SEEK_CUR);
             have_fmt = true;
         } else if (!std::memcmp(cid, "data", 4)) {
             data.resize(csize);
@@ -130,7 +137,6 @@ int qa_wav_read(const char* path, float** out, int64_t* n_out, int* rate_out) {
     }
     std::fclose(f);
     if (!have_fmt || !have_data || channels == 0) return -5;
-    if (fmt_code == 0xFFFE) fmt_code = 1;
 
     int64_t n_frames;
     std::vector<float> mono;
@@ -196,8 +202,9 @@ int qa_log_mel(const float* samples, int64_t n, const float* filters,
 
     // padded = [reflect 200][samples][zeros]
     std::vector<float> padded((size_t)(n + pad30 + 2 * pad), 0.f);
-    for (int64_t i = 0; i < pad && i + 1 < n; i++)
-        padded[(size_t)i] = samples[pad - i];
+    for (int64_t i = 0; i < pad; i++)
+        if (pad - i < n)  // zero-extend short inputs like the Python path
+            padded[(size_t)i] = samples[pad - i];
     std::memcpy(padded.data() + pad, samples, sizeof(float) * (size_t)n);
 
     const int64_t n_len = (n + pad30) / kHop;

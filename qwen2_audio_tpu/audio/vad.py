@@ -20,8 +20,10 @@ def high_pass_filter(samples: np.ndarray, cutoff: float,
         return np.asarray(samples, np.float32).copy()
     rc = 1.0 / (2.0 * np.pi * cutoff)
     dt = 1.0 / sample_rate
-    alpha = dt / (rc + dt)
-    a = 1.0 - alpha
+    # the reference applies alpha = dt/(rc+dt) directly in the recurrence
+    # (common.cpp:753-758) — parity means using its coefficient, unusual as
+    # the response is
+    a = dt / (rc + dt)
     # H(z) = a (1 - z^-1) / (1 - a z^-1); initial state so y[0] == x[0]
     zi = np.array([x[0] - a * x[0]])
     y, _ = lfilter([a, -a], [1.0, -a], x, zi=zi)

@@ -28,6 +28,7 @@ def read_wav(path: str, expect_rate: int = WHISPER_SAMPLE_RATE,
         if riff != b"RIFF" or wave_id != b"WAVE":
             raise ValueError(f"{path}: not a RIFF/WAVE file")
         fmt = None
+        fmt_payload = b""
         data = None
         while True:
             hdr = f.read(8)
@@ -37,16 +38,24 @@ def read_wav(path: str, expect_rate: int = WHISPER_SAMPLE_RATE,
             payload = f.read(csize + (csize & 1))
             if cid == b"fmt ":
                 fmt = struct.unpack("<HHIIHH", payload[:16])
+                fmt_payload = payload
             elif cid == b"data":
                 data = payload[:csize]
         if fmt is None or data is None:
             raise ValueError(f"{path}: missing fmt/data chunk")
 
     audio_format, n_channels, rate, _brate, _align, bits = fmt
-    if audio_format == 0xFFFE and len(data) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1  # assume PCM sub-format
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # real format tag = first two bytes of the SubFormat GUID at
+        # offset 24 of the fmt payload (1 = PCM, 3 = IEEE float)
+        if len(fmt_payload) >= 26:
+            audio_format = struct.unpack("<H", fmt_payload[24:26])[0]
+        else:
+            raise ValueError(f"{path}: truncated WAVE_FORMAT_EXTENSIBLE fmt")
 
     if audio_format == 3:  # IEEE float
+        if bits != 32:
+            raise ValueError(f"{path}: unsupported float bit depth {bits}")
         x = np.frombuffer(data, dtype="<f4").astype(np.float32)
     elif audio_format == 1:
         if bits == 16:

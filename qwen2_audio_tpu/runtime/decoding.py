@@ -54,6 +54,10 @@ class DecoderBundle:
     token_strings: Callable[[int], str] | None = None
     # optional text -> ids encoder (for FullParams.initial_prompt)
     tokenize: Callable[[str], list] | None = None
+    # memoized suppression masks, keyed by (suppress_regex, non_speech) —
+    # building one walks the whole vocab (~150k detokenize calls)
+    _suppress_cache: dict = dataclasses.field(default_factory=dict,
+                                              repr=False, compare=False)
 
     def project_audio(self, enc_out: np.ndarray) -> jax.Array:
         """multi_modal_projector: Linear(enc_dim -> hidden) (HF
@@ -74,6 +78,17 @@ class GenerationResult:
     avg_logprob: list[float]
 
 
+def _token_entropy(ids: list[int], window: int = 32) -> float:
+    """Shannon entropy (nats) of the trailing token-frequency distribution —
+    whisper's repetition/compression proxy for the entropy_thold fallback."""
+    tail = ids[-window:]
+    if not tail:
+        return float("inf")
+    _, counts = np.unique(np.asarray(tail), return_counts=True)
+    p = counts / counts.sum()
+    return float(-(p * np.log(p)).sum())
+
+
 def _prefill_flash() -> bool:
     """Use the Pallas causal GQA kernel for prefill on TPU backends."""
     import jax as _jax
@@ -90,6 +105,9 @@ def build_suppress_mask(bundle: DecoderBundle, params) -> np.ndarray | None:
     want_nonspeech = bool(params.suppress_non_speech_tokens)
     if not (want_regex or want_nonspeech):
         return None
+    cache_key = (params.suppress_regex, want_nonspeech)
+    if cache_key in bundle._suppress_cache:
+        return bundle._suppress_cache[cache_key]
     to_str = bundle.token_strings or (
         (lambda i: bundle.detokenize([i])) if bundle.detokenize else None)
     if to_str is None:
@@ -106,6 +124,7 @@ def build_suppress_mask(bundle: DecoderBundle, params) -> np.ndarray | None:
             mask[i] = -np.inf
         elif want_nonspeech and s.strip() and s.strip() in _NON_SPEECH:
             mask[i] = -np.inf
+    bundle._suppress_cache[cache_key] = mask
     return mask
 
 
@@ -219,6 +238,10 @@ def beam_search(
     cfg = bundle.cfg
     _, T0, D = prefill.shape
     K = beam_size
+    if T0 >= bundle.max_ctx:
+        raise ValueError(
+            f"prefill length {T0} exceeds DecoderBundle.max_ctx "
+            f"{bundle.max_ctx}; raise max_ctx when attaching the decoder")
     max_ctx = min(bundle.max_ctx, T0 + max_new_tokens)
 
     # prefill ONCE (B=1), then tile the cache across beams — K x fewer
@@ -270,18 +293,24 @@ def beam_search(
         x = embed_tokens(bundle.params, toks)
         logits, cache = decoder_forward(bundle.params, cfg, x, cache,
                                         T0 + step - 1)
-        lp = np.asarray(jax.nn.log_softmax(logits[:, -1], axis=-1))
-        if suppress_mask is not None:
-            lp = lp + suppress_mask[None, :]
+        raw = np.asarray(logits[:, -1], dtype=np.float64)
         if timings is not None:
             timings.t_decode_us += time_us() - t2
             timings.n_decode += K
 
+        # repetition penalty acts on RAW logits (divide positive / multiply
+        # negative), before normalization — on log-probs the positive branch
+        # is dead and the penalty would be a near no-op
         if repetition_penalty != 1.0:
             for i in range(K):
                 for t in set(beams[i]):
-                    lp[i, t] = (lp[i, t] / repetition_penalty
-                                if lp[i, t] > 0 else lp[i, t] * repetition_penalty)
+                    raw[i, t] = (raw[i, t] / repetition_penalty
+                                 if raw[i, t] > 0
+                                 else raw[i, t] * repetition_penalty)
+        lp = raw - np.log(np.exp(raw - raw.max(-1, keepdims=True)).sum(
+            -1, keepdims=True)) - raw.max(-1, keepdims=True)
+        if suppress_mask is not None:
+            lp = lp + suppress_mask[None, :]
 
         # expand only alive beams
         cand_scores = np.full((K, V), -np.inf)
@@ -366,12 +395,16 @@ def run(ctx, state, params) -> int:
                 suppress_mask=suppress_mask)
             state.timings.t_decode_us += time_us() - t0
             state.timings.n_decode += sum(len(t) for t in result.tokens)
-        # temperature fallback (reference whisper_full_params :413-418):
-        # accept unless mean -logprob breaches the thresholds
+        # temperature fallback (whisper_full_params :413-418 semantics):
+        # retry hotter when the decode is low-confidence (avg logprob below
+        # logprob_thold) OR degenerate/repetitive (token entropy of the
+        # trailing window below entropy_thold — whisper's compression proxy)
         avg_lp = result.avg_logprob[0]
-        ent = -avg_lp
-        if (params.logprob_thold <= avg_lp or ent <= params.entropy_thold
-                or ti == len(temperatures) - 1):
+        ent = _token_entropy(result.tokens[0])
+        needs_fallback = (avg_lp < params.logprob_thold
+                          or (len(result.tokens[0]) >= 4
+                              and ent < params.entropy_thold))
+        if not needs_fallback or ti == len(temperatures) - 1:
             break
         state.timings.n_fail_p += 1
 

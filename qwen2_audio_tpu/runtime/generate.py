@@ -79,7 +79,10 @@ def generate_on_device(
     )
 
     def cond(s: GenState):
-        return (s.count < max_new_tokens) & ~jnp.all(s.done)
+        # capacity bound: dynamic_update_slice would CLAMP writes past the
+        # cache end, silently corrupting the last slot
+        return ((s.count < max_new_tokens) & ~jnp.all(s.done)
+                & (T0 + s.count < cache_max_ctx))
 
     def body(s: GenState):
         lg = s.last_logits if suppress_mask is None \
@@ -148,9 +151,10 @@ def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
     )
     tokens = np.asarray(tokens)
     logprobs = np.asarray(logprobs)
+    n_gen = int(count)          # beyond this the buffer is EOS *padding*
     out_t, out_l = [], []
     for b in range(B):
-        row = tokens[b].tolist()
+        row = tokens[b, :n_gen].tolist()
         if bundle.eos_token_id in row:
             n = row.index(bundle.eos_token_id) + 1
         else:

@@ -148,6 +148,36 @@ _NON_SPEECH = set(
      '♭', '♮', '♯'])
 
 
+def gpt2_bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte<->unicode table (openai/gpt-2 encoder.py, used by the
+    reference converter models/convert-pt-to-ggml.py:168-190) mapping every
+    byte to a printable character for byte-level BPE vocab files."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+_BYTE_DECODER = {c: b for b, c in gpt2_bytes_to_unicode().items()}
+
+
+def token_surface_to_bytes(surface: str) -> bytes:
+    """Byte-level-BPE token surface ('Ġthe') -> raw bytes (b' the').
+    Special tokens whose characters are outside the table (e.g.
+    '<|endoftext|>') pass through as UTF-8."""
+    try:
+        return bytes(_BYTE_DECODER[c] for c in surface)
+    except KeyError:
+        return surface.encode("utf-8")
+
+
 def language_token_ids(vocab: WhisperVocab) -> dict[str, int]:
     return {code: vocab.token_lang(i) for i, (code, _) in enumerate(LANGUAGES)
             if i < vocab.num_languages}

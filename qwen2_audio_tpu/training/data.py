@@ -111,39 +111,56 @@ class PrefetchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         cursor = {"i": 0}
         lock = threading.Lock()
+        stop = threading.Event()
         SENTINEL = object()
 
+        def put(item) -> bool:
+            # bounded put that aborts when the consumer goes away (an early
+            # `break` in the training loop closes the generator; a plain
+            # q.put would block these workers forever)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
-            while True:
+            while not stop.is_set():
                 with lock:
                     i = cursor["i"]
                     cursor["i"] += 1
                 if i >= len(batches):
-                    q.put(SENTINEL)
-                    return
+                    break
                 items = [self.ds.load(int(j)) for j in batches[i]]
-                q.put((i, self._collate(items)))
+                if not put((i, self._collate(items))):
+                    return
+            put(SENTINEL)
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
         for t in threads:
             t.start()
 
-        finished = 0
-        pending: dict[int, tuple] = {}
-        next_i = 0
-        while finished < self.num_workers:
-            item = q.get()
-            if item is SENTINEL:
-                finished += 1
-                continue
-            i, batch = item
-            pending[i] = batch
-            while next_i in pending:  # preserve deterministic batch order
+        try:
+            finished = 0
+            pending: dict[int, tuple] = {}
+            next_i = 0
+            while finished < self.num_workers:
+                item = q.get()
+                if item is SENTINEL:
+                    finished += 1
+                    continue
+                i, batch = item
+                pending[i] = batch
+                while next_i in pending:  # preserve deterministic batch order
+                    yield pending.pop(next_i)
+                    next_i += 1
+            while next_i in pending:
                 yield pending.pop(next_i)
                 next_i += 1
-        while next_i in pending:
-            yield pending.pop(next_i)
-            next_i += 1
-        for t in threads:
-            t.join()
+        finally:
+            stop.set()
+            for t in threads:
+                t.join()

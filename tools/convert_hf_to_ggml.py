@@ -50,9 +50,14 @@ def main() -> int:
     vocab: list[bytes] = []
     try:
         from transformers import AutoTokenizer
+        from qwen2_audio_tpu.tokenizer import token_surface_to_bytes
         tok = AutoTokenizer.from_pretrained(str(hf))
-        n = min(hp.n_vocab, tok.vocab_size)
-        vocab = [tok.convert_ids_to_tokens(i).encode("utf-8", "replace")
+        # len(tok) includes added special tokens (vocab_size does not);
+        # surfaces are byte-level-BPE encoded and must be byte-DECODED for
+        # the file (the reference converter applies byte_decoder,
+        # convert-pt-to-ggml.py:242-255)
+        n = min(hp.n_vocab, len(tok))
+        vocab = [token_surface_to_bytes(tok.convert_ids_to_tokens(i) or "")
                  for i in range(n)]
     except Exception:
         vocab = [b"<tok%d>" % i for i in range(min(hp.n_vocab, 1000))]
