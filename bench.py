@@ -77,37 +77,35 @@ def main() -> int:
              + 0.05 * rng.standard_normal(t.size)).astype(np.float32)
 
     t0 = time.perf_counter()
-    if on_tpu:
-        from qwen2_audio_tpu.ops.mel_kernel import log_mel_spectrogram_fused
-        mel = log_mel_spectrogram_fused(audio, mel_filterbank(hp.n_mels))
-    else:
-        mel = log_mel_spectrogram(audio, mel_filterbank(hp.n_mels))
+    mel = log_mel_spectrogram(audio, mel_filterbank(hp.n_mels))
     win = mel_input_window(mel, 0, hp.n_audio_ctx)
     mel_s = time.perf_counter() - t0
     x = jnp.asarray(win[None], dtype)
 
     use_flash = bool(on_tpu)
 
-    def chain(params, x):
-        def body(_, carry):
-            out = encoder_forward(params, carry, hp,
-                                  use_flash=use_flash,
-                                  compute_dtype=dtype)
-            # data dependency to defeat async-dispatch timing illusions
-            return carry + (jnp.sum(out) * 0).astype(carry.dtype)
-        final = jax.lax.fori_loop(0, CHAIN, body, x)
-        return jnp.sum(final)
-
-    chain_j = jax.jit(chain)
+    # One jitted step with a cheap data-dependent carry; the CHAIN is built
+    # by Python-level dispatches (NOT lax.fori_loop — wrapping Pallas calls
+    # in a compiled loop has hung the remote-compile path on this setup).
+    # Async dispatch enqueues all steps; the final readback waits for the
+    # whole dependent chain, so wall time / CHAIN is true per-step latency.
+    @jax.jit
+    def step(params, carry):
+        out = encoder_forward(params, carry, hp, use_flash=use_flash,
+                              compute_dtype=dtype)
+        return carry + (jnp.sum(out) * 0).astype(carry.dtype)
 
     t0 = time.perf_counter()
-    _ = np.asarray(chain_j(params, x))          # compile + warm run
+    _ = np.asarray(step(params, x))             # compile + warm run
     compile_s = time.perf_counter() - t0
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _ = np.asarray(chain_j(params, x))
+        carry = x
+        for _i in range(CHAIN):
+            carry = step(params, carry)
+        _ = np.asarray(jnp.sum(carry))
         total = time.perf_counter() - t0
         best = min(best, max(total - RTT_S, 1e-9) / CHAIN)
 

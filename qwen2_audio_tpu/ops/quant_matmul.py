@@ -64,17 +64,21 @@ def quant_matmul(
     K2, N = qs.shape
     assert K == K2 and scales.shape == (K // GROUP, N)
 
-    def pick_block(dim: int, pref: int) -> int:
-        """Largest multiple of 32 <= pref dividing dim (dims of quantized
-        weights are multiples of 32 by construction, so 32 always works)."""
-        for cand in range(min(pref, dim), GROUP - 1, -GROUP):
+    def pick_block(dim: int, pref: int, quantum: int) -> int:
+        """Largest divisor of dim that is <= pref and a multiple of
+        `quantum` (Mosaic tiling: last dims must be 128-divisible or span
+        the whole array; the scales' sublane dim adds a 256 quantum on K).
+        Falls back to the full dimension."""
+        for cand in range(min(pref, dim) // quantum * quantum, 0, -quantum):
             if dim % cand == 0:
                 return cand
         return dim
 
     block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
-    block_n = pick_block(N, block_n)
-    block_k = pick_block(K, block_k)
+    # block_k % 256 keeps the scales block's sublane dim (block_k//32) a
+    # multiple of 8; block_n % 128 keeps lane tiling
+    block_n = pick_block(N, block_n, 128)
+    block_k = pick_block(K, block_k, 256)
     assert K % block_k == 0 and N % block_n == 0 and block_k % GROUP == 0
 
     m_pad = -M % block_m
