@@ -82,7 +82,12 @@ def main() -> int:
     mel_s = time.perf_counter() - t0
     x = jnp.asarray(win[None], dtype)
 
-    use_flash = bool(on_tpu)
+    # Flash attention inside the full encoder jit is only enabled after
+    # tools/validate_tpu_kernels.py proved the composed compile on this
+    # host (compiled-loop/composed Pallas compiles have hung the tunnel;
+    # a hang here would zero the bench). The einsum path is hardware-
+    # validated and still far beyond the 100x RTF target.
+    use_flash = bool(on_tpu) and os.path.exists("/tmp/qa_kernel_ok_fa_encoder")
 
     # One jitted step with a cheap data-dependent carry; the CHAIN is built
     # by Python-level dispatches (NOT lax.fori_loop — wrapping Pallas calls

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Validate each Pallas kernel on the real TPU, one at a time, writing a
+/tmp/qa_kernel_ok_<name> marker after each success.
+
+Run in the BACKGROUND and never kill it: a timeout-kill mid-compile wedges
+the axon tunnel for hours. bench.py and the runtime read the markers to
+decide which kernels are safe to compose on this host.
+
+Order: standalone kernels first, then compositions.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+
+def mark(name: str) -> None:
+    Path(f"/tmp/qa_kernel_ok_{name}").write_text(str(time.time()))
+    print(f"[validate] {name}: OK", flush=True)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    print(f"[validate] backend={jax.default_backend()}", flush=True)
+
+    # 0. sanity
+    assert float(np.asarray(jnp.ones((8, 8)).sum())) == 64.0
+    mark("tpu")
+
+    # 1. flash attention, standalone (non-causal + causal GQA)
+    from qwen2_audio_tpu.ops.flash_attention import flash_attention
+    q = jnp.asarray(rng.standard_normal((1, 4, 512, 64)), jnp.float32)
+    o = np.asarray(flash_attention(q, q, q, sm_scale=0.125))
+    assert np.isfinite(o).all()
+    q2 = jnp.asarray(rng.standard_normal((1, 8, 256, 128)), jnp.bfloat16)
+    k2 = jnp.asarray(rng.standard_normal((1, 2, 256, 128)), jnp.bfloat16)
+    o2 = np.asarray(flash_attention(q2, k2, k2, sm_scale=0.09, causal=True))
+    assert np.isfinite(o2.astype(np.float32)).all()
+    mark("fa")
+
+    # 2. quant matmul, standalone (q8_0 int8, then q4_0 int4)
+    from qwen2_audio_tpu.config import GGMLType
+    from qwen2_audio_tpu.ops.quant_matmul import dequantize_weight, quant_matmul
+    from qwen2_audio_tpu.quant.qparams import quantize_array_for_device
+    w = rng.standard_normal((512, 512)).astype(np.float32) * 0.05
+    qw = quantize_array_for_device(w, GGMLType.Q8_0)
+    x = jnp.asarray(rng.standard_normal((8, 512)), jnp.float32)
+    got = np.asarray(quant_matmul(x, qw["qs"], qw["scales"]))
+    want = np.asarray(x) @ np.asarray(dequantize_weight(qw))
+    assert np.abs(got - want).max() < 1e-2, np.abs(got - want).max()
+    mark("qmm_q8")
+
+    qw4 = quantize_array_for_device(w, GGMLType.Q4_0)
+    got = np.asarray(quant_matmul(x, qw4["qs"], qw4["scales"]))
+    want = np.asarray(x) @ np.asarray(dequantize_weight(qw4))
+    assert np.abs(got - want).max() < 1e-2
+    mark("qmm_q4")
+
+    # 3. fused mel kernel
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.audio.mel import log_mel_spectrogram
+    from qwen2_audio_tpu.ops.mel_kernel import log_mel_spectrogram_fused
+    f = mel_filterbank(128)
+    t = np.arange(16000 * 5) / 16000
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)
+             + 0.05 * rng.standard_normal(t.size)).astype(np.float32)
+    a = log_mel_spectrogram(audio, f)
+    b = log_mel_spectrogram_fused(audio, f)
+    assert np.abs(a.data - b.data).max() < 1e-3
+    mark("mel")
+
+    # 4. composed: full encoder jit with flash attention inside
+    from qwen2_audio_tpu.config import WHISPER_PRESETS
+    from qwen2_audio_tpu.models.encoder import encoder_forward, random_encoder_params
+    hp = WHISPER_PRESETS["qwen2-audio"]
+    params = random_encoder_params(rng, hp, dtype=jnp.bfloat16)
+    mel = jnp.asarray(rng.standard_normal((1, hp.n_mels, 2 * hp.n_audio_ctx)),
+                      jnp.bfloat16)
+    t0 = time.time()
+    out = encoder_forward(params, mel, hp, use_flash=True,
+                          compute_dtype=jnp.bfloat16)
+    o = np.asarray(out)
+    print(f"[validate] fa_encoder compile+run {time.time()-t0:.1f}s "
+          f"out={o.shape}", flush=True)
+    assert np.isfinite(o.astype(np.float32)).all()
+    mark("fa_encoder")
+
+    # 5. composed: quantized encoder layer path
+    from qwen2_audio_tpu.quant.qparams import quantize_encoder_params
+    hp_small = WHISPER_PRESETS["base"]
+    p = random_encoder_params(rng, hp_small, dtype=jnp.float32)
+    qp = quantize_encoder_params(p, GGMLType.Q8_0)
+    mel = jnp.asarray(rng.standard_normal((1, hp_small.n_mels,
+                                           2 * hp_small.n_audio_ctx)),
+                      jnp.float32)
+    a = np.asarray(encoder_forward(p, mel, hp_small))
+    b = np.asarray(encoder_forward(qp, mel, hp_small))
+    assert np.abs(a - b).max() < 1.0
+    mark("qmm_encoder")
+
+    print("[validate] ALL OK", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
