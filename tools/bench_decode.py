@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Decode throughput benchmark: Qwen2 tokens/sec/chip with the on-device
+generation loop (BASELINE: q8_0 decode beating ggml-CUDA on A100).
+
+    python tools/bench_decode.py [--size 7b|1.5b|0.5b|tiny] [--quant q8_0|q4_0|none]
+                                 [--batch B] [--new N] [--prefill T]
+
+Methodology: one generate_on_device call emits N tokens under a single
+lax.while_loop; wall time is measured around the final readback, minus the
+~30 ms tunnel RTT, after a warm-up call (compile excluded).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+SIZES = {
+    # (hidden, inter, layers, heads, kv_heads, head_dim, vocab)
+    "7b": (3584, 18944, 28, 28, 4, 128, 152064),
+    "1.5b": (1536, 8960, 28, 12, 2, 128, 151936),
+    "0.5b": (896, 4864, 24, 14, 2, 64, 151936),
+    "tiny": (256, 512, 4, 4, 2, 64, 1024),
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="1.5b", choices=SIZES)
+    ap.add_argument("--quant", default="q8_0",
+                    choices=["q8_0", "q4_0", "none"])
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--new", type=int, default=128)
+    ap.add_argument("--prefill", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/qa_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from qwen2_audio_tpu.config import GGMLType, Qwen2DecoderConfig
+    from qwen2_audio_tpu.models.qwen2_decoder import random_decoder_params
+    from qwen2_audio_tpu.quant.qparams import quantize_decoder_params
+    from qwen2_audio_tpu.runtime.decoding import DecoderBundle
+    from qwen2_audio_tpu.runtime.generate import greedy_decode_device
+
+    h, inter, L, H, KV, dh, V = SIZES[args.size]
+    cfg = Qwen2DecoderConfig(
+        vocab_size=V, hidden_size=h, intermediate_size=inter,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        head_dim=dh, tie_word_embeddings=False)
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    print(f"decode bench: {args.size} {args.quant} B={args.batch} "
+          f"new={args.new} backend={jax.default_backend()}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    params = random_decoder_params(rng, cfg, dtype=dtype)
+    if args.quant != "none":
+        import os
+        marker = "/tmp/qa_kernel_ok_qmm_q8" if args.quant == "q8_0" \
+            else "/tmp/qa_kernel_ok_qmm_q4"
+        if on_tpu and not os.path.exists(marker):
+            print(f"WARNING: {marker} missing — quant kernels unvalidated "
+                  "on this host, composing anyway", file=sys.stderr)
+        ttype = GGMLType.Q8_0 if args.quant == "q8_0" else GGMLType.Q4_0
+        params = quantize_decoder_params(params, ttype)
+    print(f"params built in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    bundle = DecoderBundle(
+        cfg=cfg, params=params, proj_w=jnp.eye(h, dtype=dtype),
+        proj_b=jnp.zeros(h, dtype=dtype), eos_token_id=-1,  # never emitted
+        bos_tokens=[], post_audio_tokens=[],
+        max_ctx=args.prefill + args.new + 8, cache_dtype=dtype)
+
+    prefill = jnp.asarray(
+        rng.standard_normal((args.batch, args.prefill, h)) * 0.1, dtype)
+
+    t0 = time.time()
+    r = greedy_decode_device(bundle, prefill, max_new_tokens=args.new)
+    compile_s = time.time() - t0
+    print(f"compile+warm {compile_s:.1f}s "
+          f"({len(r.tokens[0])} tokens)", file=sys.stderr)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        r = greedy_decode_device(bundle, prefill, max_new_tokens=args.new)
+        best = min(best, max(time.time() - t0 - 0.030, 1e-9))
+    n_tok = sum(len(t) for t in r.tokens)
+    tps = n_tok / best
+    print(f"decode: {n_tok} tokens in {best*1e3:.1f} ms -> "
+          f"{tps:.1f} tok/s ({tps/args.batch:.1f} tok/s/stream)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
