@@ -76,6 +76,8 @@ class GenerationResult:
     tokens: list[list[int]]              # per batch element
     logprobs: list[list[float]]
     avg_logprob: list[float]
+    # raw logits of the last decoded position (B, V) — whisper_get_logits
+    final_logits: np.ndarray | None = None
 
 
 def _token_entropy(ids: list[int], window: int = 32) -> float:
@@ -218,7 +220,8 @@ def greedy_decode(
             timings.n_decode += B
 
     avg = [float(np.mean(l)) if l else 0.0 for l in out_lps]
-    return GenerationResult(tokens=out_tokens, logprobs=out_lps, avg_logprob=avg)
+    return GenerationResult(tokens=out_tokens, logprobs=out_lps,
+                            avg_logprob=avg, final_logits=np.asarray(last))
 
 
 def beam_search(
@@ -410,6 +413,7 @@ def run(ctx, state, params) -> int:
 
     ids = result.tokens[0]
     state.result_tokens = ids
+    state.logits = result.final_logits
     state.segments = [{
         "t0": params.offset_ms // 10,
         "t1": params.offset_ms // 10 + 3000,

@@ -53,8 +53,9 @@ def generate_on_device(
     repetition_penalty: float = 1.0,
     top_k: int = 0,
     seed: int = 0,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (tokens (B, max_new), logprobs (B, max_new), n_generated ()).
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Returns (tokens (B, max_new), logprobs (B, max_new), n_generated (),
+    last_logits (B, V)).
 
     tokens[b, i] for i >= per-stream stop are padded with eos_token_id.
     """
@@ -118,7 +119,7 @@ def generate_on_device(
                         done=done, count=s.count + 1, key=key)
 
     final = jax.lax.while_loop(cond, body, state)
-    return final.tokens, final.logprobs, final.count
+    return final.tokens, final.logprobs, final.count, final.last_logits
 
 
 def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
@@ -138,7 +139,7 @@ def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
     max_ctx = min(bundle.max_ctx, T0 + max_new_tokens)
     import jax.numpy as _jnp
     sup = None if suppress_mask is None else _jnp.asarray(suppress_mask)
-    tokens, logprobs, count = generate_on_device(
+    tokens, logprobs, count, last_logits = generate_on_device(
         bundle.params, bundle.cfg, prefill, sup,
         max_new_tokens=max_new_tokens,
         eos_token_id=bundle.eos_token_id,
@@ -163,4 +164,5 @@ def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
         out_l.append(logprobs[b, :n].tolist())
     return GenerationResult(
         tokens=out_t, logprobs=out_l,
-        avg_logprob=[float(np.mean(l)) if l else 0.0 for l in out_l])
+        avg_logprob=[float(np.mean(l)) if l else 0.0 for l in out_l],
+        final_logits=np.asarray(last_logits))

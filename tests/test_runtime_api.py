@@ -141,3 +141,39 @@ def test_timings_print(ctx, capsys):
     finally:
         log_set(None)
     assert any("encode time" in m for m in msgs)
+
+
+def test_audio_ctx_shrink(ctx, rng):
+    """Experimental audio_ctx override shrinks the encode window
+    (exp_n_audio_ctx semantics, src/qwen2-whisper.cpp:1898, :2244)."""
+    samples = (0.1 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    ctx.pcm_to_mel(samples)
+    rc = ctx.encode(0, audio_ctx=512)
+    assert rc == 0
+    assert ctx.state.embd_enc.shape == (256, HP.n_audio_state)
+    # larger than the model maximum is rejected
+    assert ctx.encode(0, audio_ctx=HP.n_audio_ctx + 10) == -2
+
+
+def test_get_logits_populated_by_decode(rng):
+    import io as _io
+    from qwen2_audio_tpu.audio import mel_filterbank as _mf
+    from qwen2_audio_tpu.config import Qwen2DecoderConfig
+    from qwen2_audio_tpu.io.export import write_encoder_checkpoint as _w
+    from qwen2_audio_tpu.models.encoder import random_encoder_params as _rp
+    from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+
+    buf = _io.BytesIO()
+    _w(buf, _rp(rng, HP), HP, _mf(HP.n_mels), [b"x"] * 60)
+    c = WhisperContext.init_from_buffer_with_params(buf.getvalue())
+    cfg = Qwen2DecoderConfig(vocab_size=96, hidden_size=64,
+                             intermediate_size=128, num_hidden_layers=1,
+                             num_attention_heads=4, num_key_value_heads=2,
+                             head_dim=16, tie_word_embeddings=False)
+    c.decoder = random_bundle(rng, cfg, enc_state=64, max_ctx=1024)
+    p = full_default_params()
+    p.max_new_tokens = 4
+    p.temperature_inc = 0.0
+    assert c.full(p, (0.1 * rng.standard_normal(32000)).astype(np.float32)) == 0
+    logits = c.get_logits()
+    assert logits is not None and logits.shape == (1, 96)
