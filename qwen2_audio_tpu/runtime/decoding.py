@@ -24,6 +24,7 @@ import numpy as np
 from qwen2_audio_tpu.config import Qwen2DecoderConfig
 from qwen2_audio_tpu.models.qwen2_decoder import (
     KVCache,
+    create_cache,
     decoder_forward,
     embed_tokens,
 )
@@ -166,7 +167,7 @@ def greedy_decode(
         raise ValueError(
             f"prefill length {T0} exceeds DecoderBundle.max_ctx "
             f"{bundle.max_ctx}; raise max_ctx when attaching the decoder")
-    cache = KVCache.create(cfg, B, max_ctx, dtype=bundle.cache_dtype)
+    cache = create_cache(cfg, B, max_ctx, dtype=bundle.cache_dtype)
 
     t0 = time_us()
     logits, cache = decoder_forward(bundle.params, cfg, prefill, cache, 0,
@@ -249,14 +250,14 @@ def beam_search(
 
     # prefill ONCE (B=1), then tile the cache across beams — K x fewer
     # prefill FLOPs than running the prompt per hypothesis
-    cache1 = KVCache.create(cfg, 1, max_ctx, dtype=bundle.cache_dtype)
+    cache1 = create_cache(cfg, 1, max_ctx, dtype=bundle.cache_dtype)
     t0 = time_us()
     logits, cache1 = decoder_forward(
         bundle.params, cfg, prefill, cache1, 0,
         block_only=True, logits_last_only=True, use_flash=_prefill_flash())
-    cache = KVCache(k=jnp.repeat(cache1.k, K, axis=1),
-                    v=jnp.repeat(cache1.v, K, axis=1),
-                    pos=cache1.pos)
+    cache = jax.tree.map(
+        lambda a: jnp.repeat(a, K, axis=1) if a.ndim > 1 else a, cache1)
+    cache = cache._replace(pos=cache1.pos)
     last = np.asarray(jax.nn.log_softmax(logits[:, -1], axis=-1))
     if suppress_mask is not None:
         last = last + suppress_mask[None, :]

@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from qwen2_audio_tpu.models.qwen2_decoder import KVCache, decoder_forward
+from qwen2_audio_tpu.models.qwen2_decoder import KVCache, create_cache, decoder_forward
 from qwen2_audio_tpu.runtime.sampling import apply_repetition_penalty
 
 
@@ -62,7 +62,7 @@ def generate_on_device(
     B, T0, D = prefill.shape
     V = cfg.vocab_size
 
-    cache = KVCache.create(cfg, B, cache_max_ctx, dtype=cache_dtype)
+    cache = create_cache(cfg, B, cache_max_ctx, dtype=cache_dtype)
     from qwen2_audio_tpu.runtime.decoding import _prefill_flash
     logits, cache = decoder_forward(params, cfg, prefill, cache, 0,
                                     block_only=True, logits_last_only=True,

@@ -144,3 +144,61 @@ def test_prefill_flash_matches_einsum(rng):
     sb, _ = decoder_forward(params, CFG, nxt, cb, 9)
     np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_quantized_kv_cache(rng):
+    """int8 KV cache: same prefill/decode flow, close logits, half memory."""
+    from qwen2_audio_tpu.models.qwen2_decoder import QuantKVCache, create_cache
+    params = random_decoder_params(rng, CFG)
+    toks = rng.integers(0, CFG.vocab_size, (1, 6))
+    x = embed_tokens(params, jnp.asarray(toks))
+
+    ref_cache = create_cache(CFG, 1, 16, dtype=jnp.float32)
+    want, ref_cache = decoder_forward(params, CFG, x, ref_cache, 0)
+
+    qc = create_cache(CFG, 1, 16, dtype="q8")
+    assert isinstance(qc, QuantKVCache)
+    got, qc = decoder_forward(params, CFG, x, qc, 0)
+    # prefill logits identical (block_only=False here attends via dequant,
+    # but values were just quantized -> small error)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.05, rtol=0.05)
+    assert int(qc.pos) == 6
+
+    # incremental decode stays close to the fp cache
+    for t in range(6, 9):
+        nxt = embed_tokens(params, jnp.asarray(rng.integers(0, 96, (1, 1))))
+        a, ref_cache = decoder_forward(params, CFG, nxt, ref_cache, t)
+        b, qc = decoder_forward(params, CFG, nxt, qc, t)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=0.08, rtol=0.08)
+
+    # beam reorder works on the quantized cache too
+    qc3 = create_cache(CFG, 3, 8, dtype="q8")
+    x3 = embed_tokens(params, jnp.asarray(rng.integers(0, 96, (3, 2))))
+    _, qc3 = decoder_forward(params, CFG, x3, qc3, 0)
+    re = qc3.reorder(jnp.asarray([2, 0, 1]))
+    np.testing.assert_array_equal(np.asarray(re.k_q[:, 0]),
+                                  np.asarray(qc3.k_q[:, 2]))
+
+
+def test_quantized_cache_greedy_device(rng):
+    """Device generation with the int8 cache produces sane tokens."""
+    from qwen2_audio_tpu.runtime.decoding import DecoderBundle
+    from qwen2_audio_tpu.runtime.generate import greedy_decode_device
+    params = random_decoder_params(rng, CFG)
+    bundle = DecoderBundle(cfg=CFG, params=params, proj_w=jnp.eye(64),
+                           proj_b=jnp.zeros(64), eos_token_id=95,
+                           bos_tokens=[], post_audio_tokens=[],
+                           max_ctx=64, cache_dtype="q8")
+    prompt = rng.integers(2, 90, (1, 5))
+    prefill = embed_tokens(params, jnp.asarray(prompt))
+    r = greedy_decode_device(bundle, prefill, max_new_tokens=8)
+    assert len(r.tokens[0]) >= 1
+    bundle_fp = DecoderBundle(cfg=CFG, params=params, proj_w=jnp.eye(64),
+                              proj_b=jnp.zeros(64), eos_token_id=95,
+                              bos_tokens=[], post_audio_tokens=[],
+                              max_ctx=64, cache_dtype=jnp.float32)
+    r_fp = greedy_decode_device(bundle_fp, prefill, max_new_tokens=8)
+    # int8 cache keeps the first greedy token
+    assert r.tokens[0][0] == r_fp.tokens[0][0]
