@@ -162,3 +162,27 @@ def test_transcribe_long_form(rng):
         assert b.t0_cs == a.t0_cs + 128
     assert all(s.tokens for s in segs)
     assert ctx.full_n_segments() == expected
+
+
+# ---- profiling ----
+
+def test_cost_analysis(rng):
+    import jax.numpy as jnp
+    from qwen2_audio_tpu.utils.profiling import cost_analysis, flops_summary
+
+    def f(a, b):
+        return a @ b
+    a = jnp.ones((256, 256), jnp.float32)
+    c = cost_analysis(f, a, a)
+    assert c.get("flops", 0) >= 2 * 256**3 * 0.9
+    s = flops_summary(f, a, a)
+    assert "bound" in s
+
+
+def test_trace_context(tmp_path):
+    import jax.numpy as jnp
+    from qwen2_audio_tpu.utils.profiling import trace
+    with trace(str(tmp_path / "tr")) as d:
+        _ = (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    import os
+    assert any(os.scandir(d))
