@@ -41,8 +41,12 @@ def _qmm_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, out_dtype):
     s_full = jnp.broadcast_to(s[:, None, :], (bk // GROUP, GROUP, bn)
                               ).reshape(bk, bn)
     w = q * s_full                                 # dequantized tile
+    # HIGHEST: default MXU precision truncates f32 operands to bf16 (~1%
+    # error, measured on hardware); decode is weight-bandwidth-bound so the
+    # extra compute passes are hidden
     acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), w,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _store():
