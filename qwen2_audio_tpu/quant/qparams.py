@@ -21,11 +21,28 @@ from qwen2_audio_tpu.config import GGMLType
 from qwen2_audio_tpu.io.ggml_format import GGMLTensor
 from qwen2_audio_tpu.quant.codecs import QK
 
-_INT4_SUPPORTED = hasattr(jnp, "int4")
+_INT4_SUPPORTED: bool | None = None
+
+
+def _int4_supported() -> bool:
+    """Probe once whether the active backend can hold int4 arrays (the axon
+    TPU plugin raises a RecursionError in dispatch on int4 creation; CPU and
+    standard TPU PJRT support it)."""
+    global _INT4_SUPPORTED
+    if _INT4_SUPPORTED is None:
+        if not hasattr(jnp, "int4"):
+            _INT4_SUPPORTED = False
+        else:
+            try:
+                jnp.asarray(np.zeros((32, 32), np.int8), dtype=jnp.int4)
+                _INT4_SUPPORTED = True
+            except Exception:
+                _INT4_SUPPORTED = False
+    return _INT4_SUPPORTED
 
 
 def _qs_dtype(narrow: bool):
-    return jnp.int4 if (narrow and _INT4_SUPPORTED) else jnp.int8
+    return jnp.int4 if (narrow and _int4_supported()) else jnp.int8
 
 
 def device_weight_from_arrays(q_values: np.ndarray, scales: np.ndarray,
