@@ -55,15 +55,24 @@ def _mel_kernel(rows_ref, wcos_ref, wsin_ref, filt_ref, o_ref, s_ref,
     dma.wait()
 
     s = s_ref[...]                                   # (BF+2, 160)
-    frames = jnp.concatenate(
-        [s[:_BF], s[1:_BF + 1], s[2:_BF + 2, :WHISPER_N_FFT - 2 * _HOP]],
-        axis=1)                                      # (BF, 400)
-
+    tail = WHISPER_N_FFT - 2 * _HOP                  # 80
+    # frame f = [row f | row f+1 | row f+2 (:80)], expressed as a SUM of
+    # three matmuls against row-slices of the DFT bases — Mosaic cannot
+    # concatenate sublane-shifted views ("offset mismatch on non-concat
+    # dimension"), but consumes them fine as matmul operands
     hi = jax.lax.Precision.HIGHEST
-    re = jnp.dot(frames, wcos_ref[...], preferred_element_type=jnp.float32,
-                 precision=hi)
-    im = jnp.dot(frames, wsin_ref[...], preferred_element_type=jnp.float32,
-                 precision=hi)
+
+    def dft(base_ref):
+        b = base_ref[...]
+        return (jnp.dot(s[:_BF], b[:_HOP],
+                        preferred_element_type=jnp.float32, precision=hi)
+                + jnp.dot(s[1:_BF + 1], b[_HOP:2 * _HOP],
+                          preferred_element_type=jnp.float32, precision=hi)
+                + jnp.dot(s[2:_BF + 2, :tail], b[2 * _HOP:],
+                          preferred_element_type=jnp.float32, precision=hi))
+
+    re = dft(wcos_ref)
+    im = dft(wsin_ref)
     power = re * re + im * im                        # (BF, 256), bins>201 = 0
 
     mel = jnp.dot(power, filt_ref[...], preferred_element_type=jnp.float32,
