@@ -46,11 +46,12 @@ def _mel_kernel(rows_ref, wcos_ref, wsin_ref, filt_ref, o_ref, s_ref,
                 sem, *, n_rows_total: int):
     i = pl.program_id(0)
 
-    # DMA the BF+2 sample rows this block needs (overlapping reads between
-    # neighboring blocks make a plain BlockSpec impossible)
+    # DMA the BF+2 sample rows this block needs (+6 alignment padding: DMA
+    # slice lengths must be 8-aligned; overlapping reads between neighboring
+    # blocks make a plain BlockSpec impossible)
     row0 = i * _BF
     dma = pltpu.make_async_copy(
-        rows_ref.at[pl.ds(row0, _BF + 2), :], s_ref, sem)
+        rows_ref.at[pl.ds(row0, _BF + 8), :], s_ref, sem)
     dma.start()
     dma.wait()
 
@@ -99,7 +100,7 @@ def _mel_pallas(rows: jax.Array, wcos: jax.Array, wsin: jax.Array,
             ],
             out_specs=pl.BlockSpec((_BF, n_mel_pad), lambda i: (i, 0)),
             scratch_shapes=[
-                pltpu.VMEM((_BF + 2, _HOP), jnp.float32),
+                pltpu.VMEM((_BF + 8, _HOP), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
@@ -142,7 +143,7 @@ def log_mel_spectrogram_fused(samples: np.ndarray, filters: np.ndarray):
         return LogMelSpectrogram(data=data, n_len_org=n_len_org)
 
     n_blocks = -(-n_content // _BF)
-    rows_needed = n_blocks * _BF + 3
+    rows_needed = n_blocks * _BF + 8
     total = rows_needed * _HOP
     padded = np.zeros(total, np.float32)
     padded[:pad_front] = samples[1:pad_front + 1][::-1]
