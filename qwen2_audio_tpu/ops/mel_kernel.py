@@ -42,38 +42,39 @@ def _use_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _mel_kernel(rows_ref, wcos_ref, wsin_ref, filt_ref, o_ref, s_ref,
+_ROW = 256         # samples per row: one hop (160) zero-padded to lanes
+
+
+def _mel_kernel(rows_ref, bc_ref, bs_ref, filt_ref, o_ref, s_ref,
                 sem, *, n_rows_total: int):
     i = pl.program_id(0)
 
-    # DMA the BF+2 sample rows this block needs (+6 alignment padding: DMA
-    # slice lengths must be 8-aligned; overlapping reads between neighboring
-    # blocks make a plain BlockSpec impossible)
+    # DMA the BF+2 sample rows this block needs (+6 sublane alignment; rows
+    # are lane-padded 160 -> 256 so the copy is fully tile-aligned;
+    # overlapping reads between blocks make a plain BlockSpec impossible)
     row0 = i * _BF
     dma = pltpu.make_async_copy(
         rows_ref.at[pl.ds(row0, _BF + 8), :], s_ref, sem)
     dma.start()
     dma.wait()
 
-    s = s_ref[...]                                   # (BF+2, 160)
-    tail = WHISPER_N_FFT - 2 * _HOP                  # 80
-    # frame f = [row f | row f+1 | row f+2 (:80)], expressed as a SUM of
-    # three matmuls against row-slices of the DFT bases — Mosaic cannot
-    # concatenate sublane-shifted views ("offset mismatch on non-concat
-    # dimension"), but consumes them fine as matmul operands
+    s = s_ref[...]                                   # (BF+8, 256)
+    # frame f = [row f | row f+1 | row f+2 (:80)]: each row-shifted view is
+    # contracted against its own zero-row-padded basis slice, so no lane
+    # slicing or concatenation happens in the kernel at all — the padded
+    # lanes (160:256) and padded basis rows contribute exact zeros
     hi = jax.lax.Precision.HIGHEST
 
-    def dft(base_ref):
-        b = base_ref[...]
-        return (jnp.dot(s[:_BF], b[:_HOP],
+    def dft(b_ref):
+        return (jnp.dot(s[:_BF], b_ref[0],
                         preferred_element_type=jnp.float32, precision=hi)
-                + jnp.dot(s[1:_BF + 1], b[_HOP:2 * _HOP],
+                + jnp.dot(s[1:_BF + 1], b_ref[1],
                           preferred_element_type=jnp.float32, precision=hi)
-                + jnp.dot(s[2:_BF + 2, :tail], b[2 * _HOP:],
+                + jnp.dot(s[2:_BF + 2], b_ref[2],
                           preferred_element_type=jnp.float32, precision=hi))
 
-    re = dft(wcos_ref)
-    im = dft(wsin_ref)
+    re = dft(bc_ref)
+    im = dft(bs_ref)
     power = re * re + im * im                        # (BF, 256), bins>201 = 0
 
     mel = jnp.dot(power, filt_ref[...], preferred_element_type=jnp.float32,
@@ -82,7 +83,7 @@ def _mel_kernel(rows_ref, wcos_ref, wsin_ref, filt_ref, o_ref, s_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n_content",))
-def _mel_pallas(rows: jax.Array, wcos: jax.Array, wsin: jax.Array,
+def _mel_pallas(rows: jax.Array, bc: jax.Array, bs: jax.Array,
                 filt: jax.Array, n_content: int) -> jax.Array:
     n_blocks = pl.cdiv(n_content, _BF)
     n_mel_pad = filt.shape[1]
@@ -100,12 +101,12 @@ def _mel_pallas(rows: jax.Array, wcos: jax.Array, wsin: jax.Array,
             ],
             out_specs=pl.BlockSpec((_BF, n_mel_pad), lambda i: (i, 0)),
             scratch_shapes=[
-                pltpu.VMEM((_BF + 8, _HOP), jnp.float32),
+                pltpu.VMEM((_BF + 8, _ROW), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
         interpret=_use_interpret(),
-    )(rows, wcos, wsin, filt)
+    )(rows, bc, bs, filt)
 
 
 @functools.lru_cache(maxsize=4)
@@ -118,11 +119,20 @@ def _tables(n_mel_key: int, filters_bytes: bytes) -> tuple:
     wsin = np.zeros((WHISPER_N_FFT, _BINS_PAD), np.float32)
     wcos[:, :n_bins] = window[:, None] * cos_m
     wsin[:, :n_bins] = window[:, None] * sin_m
+    # split each 400-row basis into three (_ROW, bins) slices matching the
+    # row-shifted frame views; rows beyond each slice's real span are zero
+    def split3(w):
+        out = np.zeros((3, _ROW, _BINS_PAD), np.float32)
+        out[0, :_HOP] = w[:_HOP]
+        out[1, :_HOP] = w[_HOP:2 * _HOP]
+        out[2, :WHISPER_N_FFT - 2 * _HOP] = w[2 * _HOP:]
+        return out
     n_mel = filters.shape[0]
     n_mel_pad = -(-n_mel // 128) * 128
     filt = np.zeros((_BINS_PAD, n_mel_pad), np.float32)
     filt[:n_bins, :n_mel] = filters.T
-    return (jnp.asarray(wcos), jnp.asarray(wsin), jnp.asarray(filt), n_mel)
+    return (jnp.asarray(split3(wcos)), jnp.asarray(split3(wsin)),
+            jnp.asarray(filt), n_mel)
 
 
 def log_mel_spectrogram_fused(samples: np.ndarray, filters: np.ndarray):
@@ -149,13 +159,15 @@ def log_mel_spectrogram_fused(samples: np.ndarray, filters: np.ndarray):
     padded[:pad_front] = samples[1:pad_front + 1][::-1]
     m = min(samples.size, total - pad_front)
     padded[pad_front:pad_front + m] = samples[:m]
-    rows = jnp.asarray(padded.reshape(-1, _HOP))
+    rows = np.zeros((rows_needed, _ROW), np.float32)
+    rows[:, :_HOP] = padded.reshape(-1, _HOP)   # lane-pad 160 -> 256
+    rows = jnp.asarray(rows)
 
-    wcos, wsin, filt, n_mel = _tables(filters.shape[0],
-                                      np.ascontiguousarray(
-                                          filters, np.float32).tobytes())
+    bc, bs, filt, n_mel = _tables(filters.shape[0],
+                                  np.ascontiguousarray(
+                                      filters, np.float32).tobytes())
 
-    out = np.asarray(_mel_pallas(rows, wcos, wsin, filt, n_content))
+    out = np.asarray(_mel_pallas(rows, bc, bs, filt, n_content))
     data = np.full((n_len, filters.shape[0]),
                    np.float32(np.log10(1e-10)), np.float32)
     data[:n_content] = out[:n_content, :n_mel]
