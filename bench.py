@@ -77,7 +77,13 @@ def main() -> int:
              + 0.05 * rng.standard_normal(t.size)).astype(np.float32)
 
     t0 = time.perf_counter()
-    mel = log_mel_spectrogram(audio, mel_filterbank(hp.n_mels))
+    if on_tpu and os.path.exists("/tmp/qa_kernel_ok_mel"):
+        # validated fused Pallas mel: compiles in seconds; the XLA gather
+        # formulation takes minutes through the remote-compile path
+        from qwen2_audio_tpu.ops.mel_kernel import log_mel_spectrogram_fused
+        mel = log_mel_spectrogram_fused(audio, mel_filterbank(hp.n_mels))
+    else:
+        mel = log_mel_spectrogram(audio, mel_filterbank(hp.n_mels))
     win = mel_input_window(mel, 0, hp.n_audio_ctx)
     mel_s = time.perf_counter() - t0
     x = jnp.asarray(win[None], dtype)

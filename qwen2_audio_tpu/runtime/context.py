@@ -208,7 +208,9 @@ class WhisperContext:
         t0 = time_us()
         fused = self.params.fused_mel
         if fused is None:
-            fused = jax.default_backend() in ("tpu", "axon")
+            import os
+            fused = (jax.default_backend() in ("tpu", "axon")
+                     and os.path.exists("/tmp/qa_kernel_ok_mel"))
         if fused:
             from qwen2_audio_tpu.ops.mel_kernel import log_mel_spectrogram_fused
             state.mel = log_mel_spectrogram_fused(samples, self.filters)
