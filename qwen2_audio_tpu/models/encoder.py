@@ -177,7 +177,11 @@ def random_encoder_params(rng: np.random.Generator, hp: WhisperHParams,
     d, m = hp.n_audio_state, hp.n_mels
 
     def t(*shape):
-        return jnp.asarray(rng.standard_normal(shape) * scale, dtype=dtype)
+        # generate in f32: f64 doubles host RAM and generation time, which
+        # dominates big-model bench setup
+        a = rng.standard_normal(shape, dtype=np.float32)
+        a *= np.float32(scale)
+        return jnp.asarray(a, dtype=dtype)
 
     def layer():
         return {

@@ -298,7 +298,11 @@ def random_decoder_params(rng: np.random.Generator, cfg: Qwen2DecoderConfig,
     Hq, Hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     def t(*shape):
-        return jnp.asarray(rng.standard_normal(shape) * scale, dtype=dtype)
+        # generate in f32: f64 doubles host RAM and generation time, which
+        # dominates big-model bench setup
+        a = rng.standard_normal(shape, dtype=np.float32)
+        a *= np.float32(scale)
+        return jnp.asarray(a, dtype=dtype)
 
     L = cfg.num_hidden_layers
     layers = {
