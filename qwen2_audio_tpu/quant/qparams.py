@@ -97,31 +97,59 @@ def quantize_array_for_device(w: np.ndarray, ttype: GGMLType) -> dict:
     return device_weight_from_ggml_tensor(t)
 
 
+def fast_w8_from_array(w: np.ndarray) -> dict:
+    """Dense [in, out] float weight -> per-CHANNEL int8 ({"qs8","scale_n"})
+    for the w8a8 MXU fast path. Not bit-compatible with ggml blocks (coarser
+    scale granularity: per output channel instead of per 32-group); use the
+    {"qs","scales"} form for logits parity, this one for peak decode
+    throughput."""
+    w = np.asarray(w, dtype=np.float32)
+    s = np.abs(w).max(axis=0) / 127.0                      # (N,)
+    inv = np.where(s > 0, 1.0 / s, 0.0).astype(np.float32)
+    q = np.rint(w * inv[None, :]).astype(np.int8)
+    return {"qs8": jnp.asarray(q), "scale_n": jnp.asarray(s, jnp.float32)}
+
+
+def fast_w8_from_ggml_blocks(qw: dict) -> dict:
+    """Re-quantize a ggml-block device weight to the per-channel fast form
+    (dequantize -> per-channel int8)."""
+    from qwen2_audio_tpu.ops.quant_matmul import dequantize_weight
+    return fast_w8_from_array(np.asarray(dequantize_weight(qw)))
+
+
 _DECODER_QUANT_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
 _ENCODER_QUANT_KEYS = ("q", "k", "v", "o", "fc1", "fc2")
 
 
 def quantize_decoder_params(params: dict, ttype: GGMLType,
-                            quantize_lm_head: bool = True) -> dict:
-    """Replace the stacked decoder linears (L, K, N) with stacked quant dicts
-    {"qs": (L,K,N), "scales": (L,K//32,N)}; biases/norms/embed stay dense."""
+                            quantize_lm_head: bool = True,
+                            mode: str = "ggml") -> dict:
+    """Replace the stacked decoder linears (L, K, N) with quantized dicts;
+    biases/norms/embed stay dense.
+
+    mode="ggml": {"qs": (L,K,N), "scales": (L,K//32,N)} — bit-exact with the
+    ggml block format (logits parity).
+    mode="fast": {"qs8": (L,K,N), "scale_n": (L,N)} — per-channel w8a8 for
+    the int8 MXU path (peak decode throughput, ~2x coarser quantization).
+    """
     out = {k: v for k, v in params.items()}
     layers = dict(params["layers"])
+
+    def quant_one(w2d):
+        if mode == "fast":
+            return fast_w8_from_array(w2d)
+        return quantize_array_for_device(w2d, ttype)
+
     for key in _DECODER_QUANT_KEYS:
         entry = dict(layers[key])
         w = np.asarray(entry.pop("w"))           # (L, K, N)
-        qs, sc = [], []
-        for i in range(w.shape[0]):
-            d = quantize_array_for_device(w[i], ttype)
-            qs.append(d["qs"])
-            sc.append(d["scales"])
-        entry["qs"] = jnp.stack(qs)
-        entry["scales"] = jnp.stack(sc)
+        per_layer = [quant_one(w[i]) for i in range(w.shape[0])]
+        for leaf in per_layer[0]:
+            entry[leaf] = jnp.stack([d[leaf] for d in per_layer])
         layers[key] = entry
     out["layers"] = layers
     if quantize_lm_head and "lm_head" in params:
-        out["lm_head"] = quantize_array_for_device(
-            np.asarray(params["lm_head"]["w"]), ttype)
+        out["lm_head"] = quant_one(np.asarray(params["lm_head"]["w"]))
     return out
 
 

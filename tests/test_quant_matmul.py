@@ -118,3 +118,41 @@ def test_quantized_greedy_decode_matches_fp32_mostly(rng):
     b = greedy_decode(mk(qparams), prefill, max_new_tokens=6)
     # identical first tokens; tolerate divergence afterwards (chaotic argmax)
     assert a.tokens[0][0] == b.tokens[0][0]
+
+
+def test_w8a8_fast_path_accuracy(rng):
+    from qwen2_audio_tpu.ops.linear import linear
+    from qwen2_audio_tpu.quant.qparams import fast_w8_from_array
+    K, N = 256, 128
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    p = fast_w8_from_array(w)
+    assert p["qs8"].dtype == jnp.int8 and p["scale_n"].shape == (N,)
+    x = rng.standard_normal((4, K)).astype(np.float32)
+    got = np.asarray(linear(jnp.asarray(x), p))
+    want = x @ w
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.03, rel    # two int8 quantizations, per-channel scales
+
+
+def test_w8a8_decoder_mode(rng):
+    from qwen2_audio_tpu.config import Qwen2DecoderConfig
+    from qwen2_audio_tpu.models.qwen2_decoder import (
+        create_cache, decoder_forward, embed_tokens, random_decoder_params)
+    from qwen2_audio_tpu.quant.qparams import quantize_decoder_params
+    cfg = Qwen2DecoderConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=False)
+    params = random_decoder_params(rng, cfg)
+    fast = quantize_decoder_params(params, GGMLType.Q8_0, mode="fast")
+    assert "qs8" in fast["layers"]["q"] and "w" not in fast["layers"]["q"]
+
+    toks = jnp.asarray(rng.integers(0, 128, (1, 6)))
+    x = embed_tokens(params, toks)
+    c1 = create_cache(cfg, 1, 8, dtype=jnp.float32)
+    ref, _ = decoder_forward(params, cfg, x, c1, 0)
+    c2 = create_cache(cfg, 1, 8, dtype=jnp.float32)
+    got, _ = decoder_forward(fast, cfg, x, c2, 0)
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    scale = np.abs(np.asarray(ref)).max()
+    assert err < 0.12 * scale + 0.12, err

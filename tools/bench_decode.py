@@ -34,7 +34,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="1.5b", choices=SIZES)
     ap.add_argument("--quant", default="q8_0",
-                    choices=["q8_0", "q4_0", "none"])
+                    choices=["q8_0", "q4_0", "w8a8", "none"])
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--new", type=int, default=128)
     ap.add_argument("--prefill", type=int, default=64)
@@ -75,8 +75,13 @@ def main() -> int:
         if on_tpu and not os.path.exists(marker):
             print(f"WARNING: {marker} missing — quant kernels unvalidated "
                   "on this host, composing anyway", file=sys.stderr)
-        ttype = GGMLType.Q8_0 if args.quant == "q8_0" else GGMLType.Q4_0
-        params = quantize_decoder_params(params, ttype)
+        if args.quant == "w8a8":
+            params = quantize_decoder_params(params, GGMLType.Q8_0,
+                                             mode="fast")
+        else:
+            ttype = (GGMLType.Q8_0 if args.quant == "q8_0"
+                     else GGMLType.Q4_0)
+            params = quantize_decoder_params(params, ttype)
     print(f"params built in {time.time()-t0:.1f}s", file=sys.stderr)
 
     bundle = DecoderBundle(
