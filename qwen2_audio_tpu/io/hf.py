@@ -132,8 +132,13 @@ def load_qwen2_audio(
     dtype=jnp.bfloat16,
     cache_dtype=jnp.bfloat16,
     max_ctx: int = 2048,
+    decoder_quant: str | None = None,   # None | "q8_0" | "q4_0" | "w8a8"
 ) -> dict[str, Any]:
     """Load a full HF Qwen2-Audio checkpoint directory.
+
+    ``decoder_quant``: quantize the LM weights at load — "q8_0"/"q4_0" keep
+    ggml block semantics (Pallas dequant matmul), "w8a8" uses the int8-MXU
+    fast path (2.5x decode throughput measured, coarser scales).
 
     Returns {"hparams", "decoder_config", "encoder_params", "bundle",
     "tokenizer"(optional)}.
@@ -164,6 +169,21 @@ def load_qwen2_audio(
     bundle = bundle_from_hf_state_dict(
         sd, dec_cfg, eos_token_id=eos, detokenize=detok,
         dtype=dtype, max_ctx=max_ctx, cache_dtype=cache_dtype)
+    if tokenizer is not None:
+        bundle.tokenize = lambda s: tokenizer.encode(s)
+        bundle.token_strings = (
+            lambda i: tokenizer.convert_ids_to_tokens(i) or "")
+
+    if decoder_quant:
+        from qwen2_audio_tpu.config import GGMLType
+        from qwen2_audio_tpu.quant.qparams import quantize_decoder_params
+        if decoder_quant == "w8a8":
+            bundle.params = quantize_decoder_params(
+                bundle.params, GGMLType.Q8_0, mode="fast")
+        else:
+            ttype = (GGMLType.Q4_0 if decoder_quant == "q4_0"
+                     else GGMLType.Q8_0)
+            bundle.params = quantize_decoder_params(bundle.params, ttype)
 
     return {"hparams": hp, "decoder_config": dec_cfg,
             "encoder_params": enc, "bundle": bundle, "tokenizer": tokenizer}

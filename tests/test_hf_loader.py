@@ -105,3 +105,28 @@ def test_convert_hf_to_ggml_tool(hf_dir, tmp_path):
                    ).astype(np.float32))
     assert rc == 0
     assert ctx.state.embd_enc.shape == (750, 64)
+
+
+def test_load_with_decoder_quant(hf_dir, rng):
+    import jax.numpy as jnp
+    from qwen2_audio_tpu.io.hf import load_qwen2_audio
+    from qwen2_audio_tpu.models.encoder import encoder_forward
+    from qwen2_audio_tpu.runtime.decoding import greedy_decode
+
+    path, _ = hf_dir
+    fp = load_qwen2_audio(path, dtype=jnp.float32, cache_dtype=jnp.float32)
+    q8 = load_qwen2_audio(path, dtype=jnp.float32, cache_dtype=jnp.float32,
+                          decoder_quant="q8_0")
+    fast = load_qwen2_audio(path, dtype=jnp.float32, cache_dtype=jnp.float32,
+                            decoder_quant="w8a8")
+    assert "qs" in q8["bundle"].params["layers"]["q"]
+    assert "qs8" in fast["bundle"].params["layers"]["q"]
+
+    mel = rng.standard_normal((1, 16, 3000)).astype(np.float32)
+    enc = encoder_forward(fp["encoder_params"], jnp.asarray(mel),
+                          fp["hparams"])
+    audio = fp["bundle"].project_audio(np.asarray(enc)[0])[None]
+    a = greedy_decode(fp["bundle"], audio, max_new_tokens=4)
+    b = greedy_decode(q8["bundle"], audio, max_new_tokens=4)
+    # same first token through q8 quantization
+    assert a.tokens[0][0] == b.tokens[0][0]
