@@ -14,20 +14,20 @@ import numpy as np
 
 
 def _time_chain(fn, x0, chain: int = 8, rtt_s: float = 0.030) -> float:
-    """Seconds per fn application, amortized over a dependent chain."""
+    """Seconds per fn application, amortized over a dependent chain of
+    Python-level dispatches (never lax.fori_loop around a Pallas call —
+    that has hung the remote-compile path; see CLAUDE.md)."""
     import jax
 
-    @jax.jit
-    def run(x):
-        def body(_, c):
-            return fn(c)
-        return jax.lax.fori_loop(0, chain, body, x)[:1, :1]
-
-    _ = np.asarray(run(x0))   # compile
+    step = jax.jit(fn)
+    _ = np.asarray(step(x0))   # compile + warm
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        _ = np.asarray(run(x0))
+        c = x0
+        for _i in range(chain):
+            c = step(c)
+        _ = np.asarray(jax.numpy.sum(c[:1, :1]))
         best = min(best, max(time.perf_counter() - t0 - rtt_s, 1e-9) / chain)
     return best
 
