@@ -49,11 +49,16 @@ def main() -> int:
         if ctx.full(p, buf) != 0:
             return
         if ctx.decoder is not None and ctx.state.segments:
+            # stream RAW token bytes through the incremental UTF-8 decoder
+            # (codepoints can split across byte-level BPE tokens; decoded
+            # strings would already contain replacement chars)
             sd = StreamingTextDecoder()
-            text = "".join(sd.push(tok.encode("utf-8")) for tok in
-                           (ctx.full_get_token_text(0, j)
-                            for j in range(ctx.full_n_tokens(0))))
-            text += sd.flush()
+            if ctx.decoder.token_bytes is not None:
+                chunks = [ctx.decoder.token_bytes(t)
+                          for t in ctx.state.result_tokens]
+                text = "".join(sd.push(c) for c in chunks) + sd.flush()
+            else:
+                text = ctx.full_get_segment_text(0)
         else:
             text = f"<encoded {ctx.state.embd_enc.shape}>"
         print(f"[{t0:7.2f}s] {text}", flush=True)

@@ -39,17 +39,31 @@ int main(int argc, char** argv) {
     }
     fprintf(stderr, "model loaded: n_vocab=%d\n", whisper_n_vocab(ctx));
 
-    /* minimal 16-bit PCM mono WAV reader to avoid a second lib dependency */
+    /* minimal reader for CANONICAL 16-bit PCM mono WAVs (44-byte header);
+     * anything else should go through libqa_native's qa_wav_read */
     FILE* f = fopen(wav, "rb");
     if (!f) { fprintf(stderr, "no wav %s\n", wav); return 3; }
     fseek(f, 0, SEEK_END);
     long size = ftell(f);
-    fseek(f, 44, SEEK_SET); /* canonical header */
+    if (size <= 44) { fprintf(stderr, "wav too short: %s\n", wav); fclose(f); return 3; }
+    unsigned char hdr[44];
+    fseek(f, 0, SEEK_SET);
+    if (fread(hdr, 1, 44, f) != 44 || memcmp(hdr, "RIFF", 4) != 0
+        || memcmp(hdr + 8, "WAVE", 4) != 0 || memcmp(hdr + 36, "data", 4) != 0
+        || hdr[20] != 1 /* PCM */ || hdr[22] != 1 /* mono */
+        || hdr[34] != 16 /* bits */) {
+        fprintf(stderr, "not a canonical 16-bit mono PCM wav: %s\n", wav);
+        fclose(f);
+        return 3;
+    }
     long n = (size - 44) / 2;
-    short* pcm = malloc(n * 2);
-    if (fread(pcm, 2, n, f) != (size_t)n) { fclose(f); return 3; }
+    short* pcm = malloc((size_t)n * 2);
+    float* samples = malloc((size_t)n * 4);
+    if (!pcm || !samples) { fclose(f); free(pcm); free(samples); return 3; }
+    if (fread(pcm, 2, (size_t)n, f) != (size_t)n) {
+        fclose(f); free(pcm); free(samples); return 3;
+    }
     fclose(f);
-    float* samples = malloc(n * 4);
     for (long i = 0; i < n; i++) samples[i] = pcm[i] / 32768.0f;
     free(pcm);
 

@@ -6,11 +6,15 @@
 // delegating to qwen2_audio_tpu.capi, so C/C++ applications written against
 // whisper.cpp can link against libqa_capi.so and run on TPU.
 //
-// Scope: the hot entry points + accessors. Opaque handles are Python object
-// pointers; every call holds the GIL.
+// Threading contract: EVERY Python C-API call (including argument
+// construction) happens under the GIL, and the interpreter is lazily
+// initialized on the first call of ANY entry point. Audio buffers cross the
+// boundary as one bytes object (np.frombuffer on the Python side), not as
+// boxed per-sample floats.
 
 #include <Python.h>
 
+#include <cstdarg>
 #include <cstdio>
 #include <cstring>
 #include <mutex>
@@ -43,7 +47,8 @@ struct Gil {
     ~Gil() { PyGILState_Release(s); }
 };
 
-PyObject* call(const char* fn, PyObject* args) {
+// call with args built from a Py_BuildValue tuple format — must hold the GIL
+PyObject* call_locked(const char* fn, PyObject* args /* stolen */) {
     if (!g_capi) { Py_XDECREF(args); return nullptr; }
     PyObject* f = PyObject_GetAttrString(g_capi, fn);
     if (!f) { PyErr_Print(); Py_XDECREF(args); return nullptr; }
@@ -54,20 +59,31 @@ PyObject* call(const char* fn, PyObject* args) {
     return r;
 }
 
-long call_long(const char* fn, PyObject* args, long fallback = -1) {
+PyObject* vcall(const char* fn, const char* fmt, va_list va) {
+    PyObject* args = (fmt && *fmt) ? Py_VaBuildValue(fmt, va)
+                                   : PyTuple_New(0);
+    return call_locked(fn, args);
+}
+
+long call_long(const char* fn, const char* fmt, ...) {
     Gil gil;
-    PyObject* r = call(fn, args);
-    if (!r) return fallback;
-    long v = PyLong_Check(r) ? PyLong_AsLong(r) : fallback;
+    va_list va;
+    va_start(va, fmt);
+    PyObject* r = vcall(fn, fmt, va);
+    va_end(va);
+    if (!r) return -1;
+    long v = PyLong_Check(r) ? PyLong_AsLong(r) : -1;
     Py_DECREF(r);
     return v;
 }
 
-PyObject* samples_to_list(const float* samples, int n) {
-    PyObject* lst = PyList_New(n);
-    for (int i = 0; i < n; i++)
-        PyList_SET_ITEM(lst, i, PyFloat_FromDouble(samples[i]));
-    return lst;
+void call_void(const char* fn, const char* fmt, ...) {
+    Gil gil;
+    va_list va;
+    va_start(va, fmt);
+    PyObject* r = vcall(fn, fmt, va);
+    va_end(va);
+    Py_XDECREF(r);
 }
 
 }  // namespace
@@ -78,8 +94,9 @@ typedef void whisper_context;  // opaque: PyObject*
 
 whisper_context* whisper_init_from_file(const char* path_model) {
     Gil gil;
-    return (whisper_context*)call("whisper_init_from_file_with_params",
-                                  Py_BuildValue("(s)", path_model));
+    PyObject* args = Py_BuildValue("(s)", path_model);
+    return (whisper_context*)call_locked(
+        "whisper_init_from_file_with_params", args);
 }
 
 whisper_context* whisper_init_from_file_with_params(const char* path_model,
@@ -94,12 +111,13 @@ void whisper_free(whisper_context* ctx) {
 }
 
 int whisper_pcm_to_mel(whisper_context* ctx, const float* samples,
-                       int n_samples, int n_threads) {
+                       int n_samples, int /*n_threads*/) {
     Gil gil;
-    PyObject* lst = samples_to_list(samples, n_samples);
-    PyObject* args = PyTuple_Pack(2, (PyObject*)ctx, lst);
-    Py_DECREF(lst);
-    PyObject* r = call("whisper_pcm_to_mel", args);
+    PyObject* buf = PyBytes_FromStringAndSize(
+        (const char*)samples, (Py_ssize_t)n_samples * 4);
+    PyObject* args = PyTuple_Pack(2, (PyObject*)ctx, buf);
+    Py_XDECREF(buf);
+    PyObject* r = call_locked("_pcm_to_mel_from_bytes", args);
     if (!r) return -1;
     int v = (int)PyLong_AsLong(r);
     Py_DECREF(r);
@@ -107,21 +125,18 @@ int whisper_pcm_to_mel(whisper_context* ctx, const float* samples,
 }
 
 int whisper_encode(whisper_context* ctx, int offset, int n_threads) {
-    return (int)call_long("whisper_encode",
-                          Py_BuildValue("(Oii)", (PyObject*)ctx, offset,
-                                        n_threads));
+    return (int)call_long("whisper_encode", "(Oii)", (PyObject*)ctx, offset,
+                          n_threads);
 }
 
 int whisper_full(whisper_context* ctx, void* /*params*/,
                  const float* samples, int n_samples) {
     Gil gil;
-    PyObject* p = call("whisper_full_default_params", PyTuple_New(0));
-    if (!p) return -1;
-    PyObject* lst = samples_to_list(samples, n_samples);
-    PyObject* args = PyTuple_Pack(3, (PyObject*)ctx, p, lst);
-    Py_DECREF(p);
-    Py_DECREF(lst);
-    PyObject* r = call("whisper_full", args);
+    PyObject* buf = PyBytes_FromStringAndSize(
+        (const char*)samples, (Py_ssize_t)n_samples * 4);
+    PyObject* args = PyTuple_Pack(2, (PyObject*)ctx, buf);
+    Py_XDECREF(buf);
+    PyObject* r = call_locked("_full_from_bytes", args);
     if (!r) return -1;
     int v = (int)PyLong_AsLong(r);
     Py_DECREF(r);
@@ -129,16 +144,12 @@ int whisper_full(whisper_context* ctx, void* /*params*/,
 }
 
 void whisper_print_emb_enc(whisper_context* ctx) {
-    Gil gil;
-    PyObject* r = call("whisper_print_emb_enc",
-                       PyTuple_Pack(1, (PyObject*)ctx));
-    Py_XDECREF(r);
+    call_void("whisper_print_emb_enc", "(O)", (PyObject*)ctx);
 }
 
 #define INT_ACCESSOR(NAME)                                              \
     int NAME(whisper_context* ctx) {                                   \
-        return (int)call_long(#NAME,                                   \
-                              PyTuple_Pack(1, (PyObject*)ctx));         \
+        return (int)call_long(#NAME, "(O)", (PyObject*)ctx);            \
     }
 
 INT_ACCESSOR(whisper_n_len)
@@ -154,17 +165,18 @@ INT_ACCESSOR(whisper_token_beg)
 INT_ACCESSOR(whisper_full_n_segments)
 
 int whisper_lang_id(const char* lang) {
-    return (int)call_long("whisper_lang_id", Py_BuildValue("(s)", lang));
+    return (int)call_long("whisper_lang_id", "(s)", lang);
 }
 
 int whisper_lang_max_id(void) {
-    return (int)call_long("whisper_lang_max_id", PyTuple_New(0));
+    return (int)call_long("whisper_lang_max_id", "");
 }
 
 const char* whisper_lang_str(int id) {
     Gil gil;
     static thread_local char buf[16];
-    PyObject* r = call("whisper_lang_str", Py_BuildValue("(i)", id));
+    PyObject* args = Py_BuildValue("(i)", id);
+    PyObject* r = call_locked("whisper_lang_str", args);
     if (!r || r == Py_None) { Py_XDECREF(r); return nullptr; }
     const char* s = PyUnicode_AsUTF8(r);
     std::snprintf(buf, sizeof(buf), "%s", s ? s : "");
@@ -175,8 +187,8 @@ const char* whisper_lang_str(int id) {
 const char* whisper_full_get_segment_text(whisper_context* ctx, int i) {
     Gil gil;
     static thread_local char buf[4096];
-    PyObject* r = call("whisper_full_get_segment_text",
-                       Py_BuildValue("(Oi)", (PyObject*)ctx, i));
+    PyObject* args = Py_BuildValue("(Oi)", (PyObject*)ctx, i);
+    PyObject* r = call_locked("whisper_full_get_segment_text", args);
     if (!r) return nullptr;
     const char* s = PyUnicode_AsUTF8(r);
     std::snprintf(buf, sizeof(buf), "%s", s ? s : "");
@@ -185,10 +197,7 @@ const char* whisper_full_get_segment_text(whisper_context* ctx, int i) {
 }
 
 void whisper_print_timings(whisper_context* ctx) {
-    Gil gil;
-    PyObject* r = call("whisper_print_timings",
-                       PyTuple_Pack(1, (PyObject*)ctx));
-    Py_XDECREF(r);
+    call_void("whisper_print_timings", "(O)", (PyObject*)ctx);
 }
 
 }  // extern "C"

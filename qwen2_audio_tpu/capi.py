@@ -234,6 +234,18 @@ def whisper_init_from_file(path_model: str):
     return whisper_init_from_file_with_params(path_model)
 
 
+# helpers for the native C shim (native/qa_capi.cpp): samples arrive as a
+# raw little-endian f32 byte buffer (one allocation instead of ~480k boxed
+# PyFloats per 30 s clip)
+def _full_from_bytes(ctx, data: bytes) -> int:
+    samples = np.frombuffer(data, dtype="<f4")
+    return ctx.full(full_default_params(), samples)
+
+
+def _pcm_to_mel_from_bytes(ctx, data: bytes) -> int:
+    return ctx.pcm_to_mel(np.frombuffer(data, dtype="<f4"))
+
+
 # ---- benches / logging (header :517-527) ----
 
 def whisper_bench_memcpy(n_threads: int = 1) -> int:

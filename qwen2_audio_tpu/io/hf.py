@@ -170,9 +170,16 @@ def load_qwen2_audio(
         sd, dec_cfg, eos_token_id=eos, detokenize=detok,
         dtype=dtype, max_ctx=max_ctx, cache_dtype=cache_dtype)
     if tokenizer is not None:
+        from qwen2_audio_tpu.tokenizer import token_surface_to_bytes
         bundle.tokenize = lambda s: tokenizer.encode(s)
+        # surfaces are byte-level-BPE encoded ('\u0120(' for ' ('); decode
+        # to real text or the suppression matchers see mojibake
+        bundle.token_bytes = (
+            lambda i: token_surface_to_bytes(
+                tokenizer.convert_ids_to_tokens(i) or ""))
         bundle.token_strings = (
-            lambda i: tokenizer.convert_ids_to_tokens(i) or "")
+            lambda i: bundle.token_bytes(i).decode("utf-8",
+                                                   errors="replace"))
 
     if decoder_quant:
         from qwen2_audio_tpu.config import GGMLType

@@ -46,8 +46,16 @@ def _qs_dtype(narrow: bool):
 
 
 def device_weight_from_arrays(q_values: np.ndarray, scales: np.ndarray,
-                              narrow: bool) -> dict:
-    """q_values (N, K) ints, scales (N, K//32) — torch layout in, device out."""
+                              narrow: bool, to_device: bool = True) -> dict:
+    """q_values (N, K) ints, scales (N, K//32) — torch layout in, device out.
+
+    ``to_device=False`` keeps numpy (callers that stack many layers first
+    avoid 2x transient HBM and per-layer tunnel transfers)."""
+    if not to_device:
+        return {
+            "qs": np.ascontiguousarray(q_values.T, dtype=np.int8),
+            "scales": np.ascontiguousarray(scales.T, dtype=np.float32),
+        }
     return {
         "qs": jnp.asarray(q_values.T, dtype=_qs_dtype(narrow)),
         "scales": jnp.asarray(scales.T, dtype=jnp.float32),
@@ -74,19 +82,23 @@ def _unpack_q8_0(raw: np.ndarray, n_rows: int, n_cols: int
             d.reshape(n_rows, n_cols // QK))
 
 
-def device_weight_from_ggml_tensor(t: GGMLTensor) -> dict:
+def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
+                                   ) -> dict:
     """Quantized GGMLTensor (torch [out,in] shape) -> kernel dict, bit-exact."""
     n_rows, n_cols = t.shape
     if t.ttype == GGMLType.Q4_0:
         vals, d = _unpack_q4_0(np.asarray(t.raw), n_rows, n_cols)
-        return device_weight_from_arrays(vals, d, narrow=True)
+        return device_weight_from_arrays(vals, d, narrow=True,
+                                         to_device=to_device)
     if t.ttype == GGMLType.Q8_0:
         vals, d = _unpack_q8_0(np.asarray(t.raw), n_rows, n_cols)
-        return device_weight_from_arrays(vals, d, narrow=False)
+        return device_weight_from_arrays(vals, d, narrow=False,
+                                         to_device=to_device)
     raise ValueError(f"unsupported device quant type {t.ttype}")
 
 
-def quantize_array_for_device(w: np.ndarray, ttype: GGMLType) -> dict:
+def quantize_array_for_device(w: np.ndarray, ttype: GGMLType,
+                              to_device: bool = True) -> dict:
     """Dense [in, out] float weight -> device quant dict (groups along in),
     using the ggml quantizers so values round-trip exactly through files."""
     from qwen2_audio_tpu.quant import codecs
@@ -94,10 +106,10 @@ def quantize_array_for_device(w: np.ndarray, ttype: GGMLType) -> dict:
     K, N = w.shape
     raw = codecs.quantize(np.ascontiguousarray(w.T), ttype)  # rows = out
     t = GGMLTensor("_", (N, K), ttype, raw)
-    return device_weight_from_ggml_tensor(t)
+    return device_weight_from_ggml_tensor(t, to_device=to_device)
 
 
-def fast_w8_from_array(w: np.ndarray) -> dict:
+def fast_w8_from_array(w: np.ndarray, to_device: bool = True) -> dict:
     """Dense [in, out] float weight -> per-CHANNEL int8 ({"qs8","scale_n"})
     for the w8a8 MXU fast path. Not bit-compatible with ggml blocks (coarser
     scale granularity: per output channel instead of per 32-group); use the
@@ -107,6 +119,8 @@ def fast_w8_from_array(w: np.ndarray) -> dict:
     s = np.abs(w).max(axis=0) / 127.0                      # (N,)
     inv = np.where(s > 0, 1.0 / s, 0.0).astype(np.float32)
     q = np.rint(w * inv[None, :]).astype(np.int8)
+    if not to_device:
+        return {"qs8": q, "scale_n": s.astype(np.float32)}
     return {"qs8": jnp.asarray(q), "scale_n": jnp.asarray(s, jnp.float32)}
 
 
@@ -135,17 +149,25 @@ def quantize_decoder_params(params: dict, ttype: GGMLType,
     out = {k: v for k, v in params.items()}
     layers = dict(params["layers"])
 
-    def quant_one(w2d):
+    def quant_one(w2d, to_device=True):
         if mode == "fast":
-            return fast_w8_from_array(w2d)
-        return quantize_array_for_device(w2d, ttype)
+            return fast_w8_from_array(w2d, to_device=to_device)
+        return quantize_array_for_device(w2d, ttype, to_device=to_device)
 
     for key in _DECODER_QUANT_KEYS:
         entry = dict(layers[key])
         w = np.asarray(entry.pop("w"))           # (L, K, N)
-        per_layer = [quant_one(w[i]) for i in range(w.shape[0])]
+        # quantize + stack on HOST, then one transfer per stacked leaf:
+        # stacking device arrays doubles transient HBM (OOMed 7B on v5e)
+        # and pays one tunnel round-trip per layer
+        per_layer = [quant_one(w[i], to_device=False)
+                     for i in range(w.shape[0])]
         for leaf in per_layer[0]:
-            entry[leaf] = jnp.stack([d[leaf] for d in per_layer])
+            host = np.stack([d[leaf] for d in per_layer])
+            dt = (_qs_dtype(True) if leaf == "qs" and mode != "fast"
+                  and per_layer[0][leaf].dtype == np.int8 else None)
+            entry[leaf] = jnp.asarray(host) if dt is None \
+                else jnp.asarray(host, dtype=jnp.int8)
         layers[key] = entry
     out["layers"] = layers
     if quantize_lm_head and "lm_head" in params:

@@ -55,6 +55,9 @@ class DecoderBundle:
     token_strings: Callable[[int], str] | None = None
     # optional text -> ids encoder (for FullParams.initial_prompt)
     tokenize: Callable[[str], list] | None = None
+    # optional id -> raw UTF-8 bytes (for streaming emission across
+    # split-codepoint token boundaries)
+    token_bytes: Callable[[int], bytes] | None = None
     # memoized suppression masks, keyed by (suppress_regex, non_speech) —
     # building one walks the whole vocab (~150k detokenize calls)
     _suppress_cache: dict = dataclasses.field(default_factory=dict,
@@ -93,9 +96,14 @@ def _token_entropy(ids: list[int], window: int = 32) -> float:
 
 
 def _prefill_flash() -> bool:
-    """Use the Pallas causal GQA kernel for prefill on TPU backends."""
+    """Use the Pallas causal GQA kernel for decoder prefill only after
+    tools/validate_tpu_kernels.py proved THIS composition (flash inside the
+    scanned decoder) on the host — unvalidated composed Pallas compiles have
+    wedged the remote-compile tunnel (CLAUDE.md)."""
+    import os
     import jax as _jax
-    return _jax.default_backend() in ("tpu", "axon")
+    return (_jax.default_backend() in ("tpu", "axon")
+            and os.path.exists("/tmp/qa_kernel_ok_fa_decoder"))
 
 
 def build_suppress_mask(bundle: DecoderBundle, params) -> np.ndarray | None:
@@ -173,7 +181,8 @@ def greedy_decode(
     logits, cache = decoder_forward(bundle.params, cfg, prefill, cache, 0,
                                     block_only=True, logits_last_only=True,
                                     use_flash=_prefill_flash())
-    last = logits[:, -1] if sup is None else logits[:, -1] + sup
+    last_raw = logits[:, -1]
+    last = last_raw if sup is None else last_raw + sup
     if timings is not None:
         last.block_until_ready()
         timings.t_prompt_us += time_us() - t0
@@ -214,15 +223,18 @@ def greedy_decode(
         x = embed_tokens(bundle.params, tok[:, None])
         logits, cache = decoder_forward(bundle.params, cfg, x, cache,
                                         T0 + step)
-        last = logits[:, -1] if sup is None else logits[:, -1] + sup
+        last_raw = logits[:, -1]
+        last = last_raw if sup is None else last_raw + sup
         if timings is not None:
             last.block_until_ready()
             timings.t_decode_us += time_us() - t2
             timings.n_decode += B
 
     avg = [float(np.mean(l)) if l else 0.0 for l in out_lps]
+    # raw (pre-suppression) logits: whisper_get_logits returns model logits
     return GenerationResult(tokens=out_tokens, logprobs=out_lps,
-                            avg_logprob=avg, final_logits=np.asarray(last))
+                            avg_logprob=avg,
+                            final_logits=np.asarray(last_raw))
 
 
 def beam_search(
@@ -405,8 +417,11 @@ def run(ctx, state, params) -> int:
         # trailing window below entropy_thold — whisper's compression proxy)
         avg_lp = result.avg_logprob[0]
         ent = _token_entropy(result.tokens[0])
+        # entropy is capped at log(len): for sequences shorter than the
+        # 32-token window even a perfect decode cannot reach a 2.4 nat
+        # threshold, so the repetition check only applies at >= 32 tokens
         needs_fallback = (avg_lp < params.logprob_thold
-                          or (len(result.tokens[0]) >= 4
+                          or (len(result.tokens[0]) >= 32
                               and ent < params.entropy_thold))
         if not needs_fallback or ti == len(temperatures) - 1:
             break

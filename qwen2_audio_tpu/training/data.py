@@ -127,15 +127,19 @@ class PrefetchLoader:
             return False
 
         def worker():
-            while not stop.is_set():
-                with lock:
-                    i = cursor["i"]
-                    cursor["i"] += 1
-                if i >= len(batches):
-                    break
-                items = [self.ds.load(int(j)) for j in batches[i]]
-                if not put((i, self._collate(items))):
-                    return
+            try:
+                while not stop.is_set():
+                    with lock:
+                        i = cursor["i"]
+                        cursor["i"] += 1
+                    if i >= len(batches):
+                        break
+                    items = [self.ds.load(int(j)) for j in batches[i]]
+                    if not put((i, self._collate(items))):
+                        return
+            except BaseException as e:      # surface load errors, never hang
+                put(("error", e))
+                return
             put(SENTINEL)
 
         threads = [threading.Thread(target=worker, daemon=True)
@@ -153,6 +157,9 @@ class PrefetchLoader:
                     finished += 1
                     continue
                 i, batch = item
+                if i == "error":
+                    raise RuntimeError("PrefetchLoader worker failed") \
+                        from batch
                 pending[i] = batch
                 while next_i in pending:  # preserve deterministic batch order
                     yield pending.pop(next_i)

@@ -156,3 +156,18 @@ def test_w8a8_decoder_mode(rng):
     err = np.abs(np.asarray(got) - np.asarray(ref)).max()
     scale = np.abs(np.asarray(ref)).max()
     assert err < 0.12 * scale + 0.12, err
+
+
+def test_fast_w8_from_ggml_blocks(rng):
+    """ggml q8_0 blocks -> w8a8 fast form (the serving path for ggml files)."""
+    from qwen2_audio_tpu.ops.linear import linear
+    from qwen2_audio_tpu.quant.qparams import (
+        fast_w8_from_ggml_blocks, quantize_array_for_device)
+    K, N = 128, 64
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    qw = quantize_array_for_device(w, GGMLType.Q8_0)
+    fast = fast_w8_from_ggml_blocks(qw)
+    x = rng.standard_normal((4, K)).astype(np.float32)
+    got = np.asarray(linear(jnp.asarray(x), fast))
+    want = x @ w
+    assert np.abs(got - want).max() / np.abs(want).max() < 0.04

@@ -110,6 +110,22 @@ def main() -> int:
     assert np.abs(a - b).max() < 1.0
     mark("qmm_encoder")
 
+    # 6. composed: flash attention inside the scanned decoder prefill
+    from qwen2_audio_tpu.config import Qwen2DecoderConfig
+    from qwen2_audio_tpu.models.qwen2_decoder import (
+        create_cache, decoder_forward, random_decoder_params)
+    dcfg = Qwen2DecoderConfig(
+        vocab_size=1024, hidden_size=512, intermediate_size=1024,
+        num_hidden_layers=4, num_attention_heads=8, num_key_value_heads=2,
+        head_dim=64, tie_word_embeddings=False)
+    dp = random_decoder_params(rng, dcfg, dtype=jnp.bfloat16)
+    cache = create_cache(dcfg, 1, 512, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((1, 384, 512)) * 0.1, jnp.bfloat16)
+    logits, cache = decoder_forward(dp, dcfg, x, cache, 0, block_only=True,
+                                    logits_last_only=True, use_flash=True)
+    assert np.isfinite(np.asarray(logits)).all()
+    mark("fa_decoder")
+
     print("[validate] ALL OK", flush=True)
     return 0
 
