@@ -293,7 +293,11 @@ def embed_tokens(params: Params, tokens: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------- #
 
 def random_decoder_params(rng: np.random.Generator, cfg: Qwen2DecoderConfig,
-                          dtype=jnp.float32, scale: float = 0.02) -> Params:
+                          dtype=jnp.float32, scale: float = 0.02,
+                          host: bool = False) -> Params:
+    """``host=True`` keeps leaves as numpy — callers that quantize before
+    upload must not place the dense model on device first (a dense 7B bf16
+    pytree alone exceeds one v5e's HBM)."""
     D, I = cfg.hidden_size, cfg.intermediate_size
     Hq, Hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
@@ -302,22 +306,26 @@ def random_decoder_params(rng: np.random.Generator, cfg: Qwen2DecoderConfig,
         # dominates big-model bench setup
         a = rng.standard_normal(shape, dtype=np.float32)
         a *= np.float32(scale)
+        if host:
+            return a.astype("bfloat16") if dtype == jnp.bfloat16 else a
         return jnp.asarray(a, dtype=dtype)
 
+    ones = (lambda *sh: np.ones(sh, np.float32)) if host \
+        else (lambda *sh: jnp.ones(sh, dtype))
     L = cfg.num_hidden_layers
     layers = {
-        "ln1": {"w": jnp.ones((L, D), dtype)},
+        "ln1": {"w": ones(L, D)},
         "q": {"w": t(L, D, Hq * dh), "b": t(L, Hq * dh)},
         "k": {"w": t(L, D, Hkv * dh), "b": t(L, Hkv * dh)},
         "v": {"w": t(L, D, Hkv * dh), "b": t(L, Hkv * dh)},
         "o": {"w": t(L, Hq * dh, D)},
-        "ln2": {"w": jnp.ones((L, D), dtype)},
+        "ln2": {"w": ones(L, D)},
         "gate": {"w": t(L, D, I)},
         "up": {"w": t(L, D, I)},
         "down": {"w": t(L, I, D)},
     }
     p = {"embed": t(cfg.vocab_size, D), "layers": layers,
-         "ln_f": {"w": jnp.ones(D, dtype)}}
+         "ln_f": {"w": ones(D)}}
     if not cfg.tie_word_embeddings:
         p["lm_head"] = {"w": t(D, cfg.vocab_size)}
     return p

@@ -67,7 +67,10 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    params = random_decoder_params(rng, cfg, dtype=dtype)
+    # generate on HOST: a dense 7B bf16 pytree on device would OOM the chip
+    # before quantization even starts
+    params = random_decoder_params(rng, cfg, dtype=dtype,
+                                   host=args.quant != "none")
     if args.quant != "none":
         import os
         marker = "/tmp/qa_kernel_ok_qmm_q8" if args.quant == "q8_0" \
@@ -82,6 +85,12 @@ def main() -> int:
             ttype = (GGMLType.Q8_0 if args.quant == "q8_0"
                      else GGMLType.Q4_0)
             params = quantize_decoder_params(params, ttype)
+    if args.quant != "none":
+        # upload the remaining dense leaves (embed/norms/biases) once
+        params = jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=dtype)
+            if isinstance(a, np.ndarray) and a.dtype.kind == "f" else
+            (jnp.asarray(a) if isinstance(a, np.ndarray) else a), params)
     print(f"params built in {time.time()-t0:.1f}s", file=sys.stderr)
 
     bundle = DecoderBundle(
