@@ -102,6 +102,15 @@ def kv_cache_spec() -> Any:
                    pos=P())
 
 
+def quant_kv_cache_spec() -> Any:
+    """Quantized cache: values (L,B,S,Hkv,d) and scales (L,B,S,Hkv) share
+    the dp/tp layout."""
+    from qwen2_audio_tpu.models.qwen2_decoder import QuantKVCache
+    val = P(None, "dp", None, "tp", None)
+    sc = P(None, "dp", None, "tp")
+    return QuantKVCache(k_q=val, k_s=sc, v_q=val, v_s=sc, pos=P())
+
+
 def named(mesh: Mesh, spec_tree: Any) -> Any:
     """PartitionSpec pytree -> NamedSharding pytree."""
     return jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree,

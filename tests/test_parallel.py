@@ -124,3 +124,28 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_quant_cache_decode(rng):
+    """TP+DP decode over the int8 cache matches the unsharded result."""
+    from qwen2_audio_tpu.models.qwen2_decoder import (
+        create_cache, decoder_forward, embed_tokens, random_decoder_params)
+    from qwen2_audio_tpu.parallel.mesh import quant_kv_cache_spec
+    params = random_decoder_params(rng, TEXT)
+    toks = jnp.asarray(rng.integers(0, 128, (4, 5)))
+    x = embed_tokens(params, toks)
+
+    c0 = create_cache(TEXT, 4, 8, dtype="q8")
+    want, _ = decoder_forward(params, TEXT, x, c0, 0)
+
+    mesh = make_mesh(dp=2, tp=2)
+    with mesh:
+        sp = shard_params(params, decoder_param_spec(params), mesh)
+        xs = jax.device_put(x, NamedSharding(mesh, P("dp", None, None)))
+        cache = jax.device_put(
+            create_cache(TEXT, 4, 8, dtype="q8"),
+            jax.tree.map(lambda s: NamedSharding(mesh, s),
+                         quant_kv_cache_spec()))
+        got, _ = decoder_forward(sp, TEXT, xs, cache, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-3)
