@@ -1,0 +1,125 @@
+"""Exact-integer group matmul for q8_0 — prototype for the round-2 parity
+fast path (docs/ROADMAP.md item 1).
+
+ggml's CUDA mmq quantizes activations to q8_1 per 32-group and runs integer
+dot products with per-group scales (ggml-cuda/mmq.cuh; quantize_row_q8_1).
+This kernel is the TPU equivalent:
+
+    out[m,n] = Σ_g  sx[m,g] · sw[g,n] · ( Σ_{k∈g} xq[m,k] · wq[k,n] )
+
+The inner products are int8×int8→int32 on the MXU (exact), one unrolled
+(bm,32)@(32,bn) dot per group inside a 256-deep K block; the float work per
+block is 8 scale-broadcast multiply-accumulates. No `precision=HIGHEST`
+passes, no in-VMEM dequant of the weights.
+
+Status: interpret-validated; NOT hardware-validated yet (run
+tools/validate_tpu_kernels.py on the chip and add a marker before wiring it
+into ops/linear.py — unvalidated Pallas compositions have wedged the
+remote-compile tunnel, see CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 32
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def quantize_activations(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-(row, 32-group) int8 activation quantization
+    (≙ ggml quantize_row_q8_1). x (M, K) -> (xq int8 (M,K), sx (M, K//32))."""
+    M, K = x.shape
+    g = x.reshape(M, K // GROUP, GROUP).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(g), axis=-1)
+    sx = amax / 127.0
+    inv = jnp.where(sx > 0, 1.0 / sx, 0.0)
+    xq = jnp.round(g * inv[..., None]).astype(jnp.int8).reshape(M, K)
+    return xq, sx
+
+
+def _kernel(xq_ref, sx_ref, qs_ref, sw_ref, o_ref, acc_ref, *, out_dtype,
+            block_k: int):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    n_groups = block_k // GROUP
+    for g in range(n_groups):              # static unroll
+        xg = xq_ref[:, g * GROUP:(g + 1) * GROUP]        # (bm, 32) int8
+        wg = qs_ref[g * GROUP:(g + 1) * GROUP, :]        # (32, bn) int8
+        p = jax.lax.dot_general(
+            xg, wg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)            # exact
+        scale = sx_ref[:, g][:, None] * sw_ref[g, :][None, :]
+        acc_ref[...] += p.astype(jnp.float32) * scale
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k"))
+def quant_matmul_int8(
+    x: jax.Array,           # (M, K) float
+    qs: jax.Array,          # (K, N) int8 (ggml q8_0 values, bit-exact)
+    scales: jax.Array,      # (K // 32, N) f32 (ggml group scales)
+    *,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 256,
+) -> jax.Array:
+    """x @ dequant(qs, scales) with integer inner products — exact in the
+    weights, ggml-q8_1-equivalent quantization in the activations."""
+    M, K = x.shape
+    K2, N = qs.shape
+    assert K == K2 and scales.shape == (K // GROUP, N)
+
+    def pick(dim, pref, quantum):
+        for cand in range(min(pref, dim) // quantum * quantum, 0, -quantum):
+            if dim % cand == 0:
+                return cand
+        return dim
+
+    block_n = pick(N, block_n, 128)
+    block_k = pick(K, block_k, 256)
+    block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
+
+    xq, sx = quantize_activations(x)
+    m_pad = -M % block_m
+    if m_pad:
+        xq = jnp.pad(xq, ((0, m_pad), (0, 0)))
+        sx = jnp.pad(sx, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+
+    grid = (Mp // block_m, N // block_n, K // block_k)
+    out = pl.pallas_call(
+        functools.partial(_kernel, out_dtype=x.dtype, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+                pl.BlockSpec((block_m, block_k // GROUP),
+                             lambda i, j, k: (i, k)),
+                pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+                pl.BlockSpec((block_k // GROUP, block_n),
+                             lambda i, j, k: (k, j)),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n),
+                                   lambda i, j, k: (i, j)),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_use_interpret(),
+    )(xq, sx, qs, scales)
+    return out[:M] if m_pad else out

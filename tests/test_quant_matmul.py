@@ -171,3 +171,34 @@ def test_fast_w8_from_ggml_blocks(rng):
     got = np.asarray(linear(jnp.asarray(x), fast))
     want = x @ w
     assert np.abs(got - want).max() / np.abs(want).max() < 0.04
+
+
+def test_int8_group_matmul_prototype(rng):
+    """Exact-integer q8_0 matmul (ROADMAP item 1): weight contribution is
+    EXACT; total error comes only from q8_1-style activation quantization."""
+    from qwen2_audio_tpu.ops.quant_matmul_int8 import (
+        quant_matmul_int8, quantize_activations)
+    K, N, M = 512, 256, 16
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    qw = quantize_array_for_device(w, GGMLType.Q8_0)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+
+    got = np.asarray(quant_matmul_int8(jnp.asarray(x), qw["qs"],
+                                       qw["scales"]))
+
+    # oracle: quantize activations the same way, exact f64 math
+    xq, sx = quantize_activations(jnp.asarray(x))
+    xq = np.asarray(xq, np.float64)
+    sx = np.asarray(sx, np.float64)
+    wq = np.asarray(qw["qs"], np.float64)
+    sw = np.asarray(qw["scales"], np.float64)
+    want = np.zeros((M, N))
+    for g in range(K // 32):
+        p = xq[:, g*32:(g+1)*32] @ wq[g*32:(g+1)*32]
+        want += p * sx[:, g][:, None] * sw[g][None, :]
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+    # end-to-end error vs the dense product stays in the q8 envelope
+    dense = x @ w
+    rel = np.abs(got - dense).max() / np.abs(dense).max()
+    assert rel < 0.03, rel
