@@ -111,10 +111,6 @@ def _quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, s
 
 
-def _dequantize_kv(q: jax.Array, s: jax.Array, dtype) -> jax.Array:
-    return (q.astype(jnp.float32) * s[..., None]).astype(dtype)
-
-
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
@@ -140,12 +136,58 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
             ).astype(x.dtype)
 
 
+def _gqa_attention_quant(q: jax.Array,
+                         k_q: jax.Array, k_s: jax.Array,
+                         v_q: jax.Array, v_s: jax.Array,
+                         q_pos0: jax.Array) -> jax.Array:
+    """Attention reading the int8 cache DIRECTLY — the fattn-vec role
+    (≙ /root/reference/ggml/src/ggml-cuda/fattn-vec-f16.cuh:442, which dots
+    quantized K/V blocks and folds the block scales into the running
+    softmax). No dequantized (B,S,Hkv,d) tensor is ever materialized: the
+    int8→bf16 convert fuses into the QK^T / PV dots (HBM traffic stays at
+    1 byte/elem of cache) and the per-vector scales are applied to the
+    (T,S) logits / folded into the attention weights — O(S·H) float work
+    instead of O(S·H·d).
+
+    q: (B, T, Hq, d); k_q/v_q: (B, S, Hkv, d) int8; k_s/v_s: (B, S, Hkv).
+    """
+    B, T, Hq, d = q.shape
+    S, Hkv = k_q.shape[1], k_q.shape[2]
+    g = Hq // Hkv
+    qr = q.reshape(B, T, Hkv, g, d)
+    # int8 values -127..127 are exact in bf16 (8-bit mantissa): the convert
+    # loses nothing and the MXU runs its native bf16 path
+    logits = jnp.einsum("bthgd,bshd->bhgts", qr, k_q.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    ks = k_s.transpose(0, 2, 1)[:, :, None, None, :]      # (B,Hkv,1,1,S)
+    logits = logits * ks * (d ** -0.5)
+
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    visible = s_idx <= (q_pos0 + t_idx)
+    logits = jnp.where(visible[None, None, None], logits, -jnp.inf)
+
+    w = jax.nn.softmax(logits, axis=-1)
+    vs = v_s.transpose(0, 2, 1)[:, :, None, None, :]
+    w = (w * vs).astype(q.dtype)                          # fold V scale in
+    out = jnp.einsum("bhgts,bshd->bthgd", w, v_q.astype(q.dtype),
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.reshape(B, T, Hq * d)
+
+
 def _gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                   q_pos0: jax.Array, kv_len: int) -> jax.Array:
+                   q_pos0: jax.Array, kv_len: int,
+                   attn_slice: tuple | None = None):
     """q: (B, T, Hq, d); k/v: (B, S, Hkv, d) full cache buffers.
 
     Causal within the query block + cache-validity mask: key position j is
     visible iff j <= q_pos0 + t (query t's absolute position).
+
+    ``attn_slice=(q0, qn, k0, kn)`` additionally returns the PRE-softmax
+    attention scores for query rows [q0, q0+qn) over key columns
+    [k0, k0+kn) as (B, Hq, qn, kn) — the DTW timestamp tap (the analog of
+    recording cross-attention in whisper.cpp's aheads masks,
+    src/qwen2-whisper.cpp:4112-4184).
     """
     B, T, Hq, d = q.shape
     S, Hkv = k.shape[1], k.shape[2]
@@ -163,15 +205,24 @@ def _gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhgts,bshd->bthgd", w, v,
                      preferred_element_type=jnp.float32).astype(q.dtype)
-    return out.reshape(B, T, Hq * d)
+    out = out.reshape(B, T, Hq * d)
+    if attn_slice is None:
+        return out
+    q0, qn, k0, kn = attn_slice
+    tap = logits[:, :, :, q0:q0 + qn, k0:k0 + kn]      # (B,Hkv,g,qn,kn)
+    tap = tap.reshape(B, Hq, qn, kn)
+    return out, tap
 
 
 def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
            cache_parts: tuple,
            cos: jax.Array, sin: jax.Array, pos0: jax.Array,
            block_only: bool, use_flash: bool = False,
-           quant_cache: bool = False) -> tuple[jax.Array, tuple]:
-    """One decoder block; returns (x_out, new_cache_parts).
+           quant_cache: bool = False,
+           attn_slice: tuple | None = None) -> tuple[jax.Array, tuple]:
+    """One decoder block; returns (x_out, new_cache_parts) — plus the
+    attention tap appended to new_cache_parts when ``attn_slice`` is set
+    (block_only non-flash path only; the DTW alignment pass).
 
     ``block_only``: the cache holds nothing before pos0 (fresh prefill), so
     attention runs against the block's own K/V (T x T) instead of the full
@@ -198,17 +249,15 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
         vq_c = upd(vq_c, vq, (0, pos0, 0, 0))
         vs_c = upd(vs_c, vs, (0, pos0, 0))
         new_parts = (kq_c, ks_c, vq_c, vs_c)
-        k_read = lambda: _dequantize_kv(kq_c, ks_c, x.dtype)   # noqa: E731
-        v_read = lambda: _dequantize_kv(vq_c, vs_c, x.dtype)   # noqa: E731
     else:
         k_cache, v_cache = cache_parts
         k_cache = upd(k_cache, k.astype(k_cache.dtype), (0, pos0, 0, 0))
         v_cache = upd(v_cache, v.astype(v_cache.dtype), (0, pos0, 0, 0))
         new_parts = (k_cache, v_cache)
-        k_read = lambda: k_cache                                # noqa: E731
-        v_read = lambda: v_cache                                # noqa: E731
 
+    tap = None
     if block_only and use_flash:
+        assert attn_slice is None, "attention tap requires the non-flash path"
         # causal GQA flash attention over the block (prefill fast path)
         from qwen2_audio_tpu.ops.flash_attention import flash_attention
         attn = flash_attention(
@@ -216,20 +265,30 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
             v.transpose(0, 2, 1, 3), sm_scale=cfg.head_dim ** -0.5,
             causal=True).transpose(0, 2, 1, 3).reshape(B, T, -1)
     elif block_only:
-        attn = _gqa_attention(q, k.astype(x.dtype), v.astype(x.dtype), 0, T)
+        attn = _gqa_attention(q, k.astype(x.dtype), v.astype(x.dtype), 0, T,
+                              attn_slice=attn_slice)
+        if attn_slice is not None:
+            attn, tap = attn
     else:
-        kc = k_read()
-        attn = _gqa_attention(q, kc, v_read(), pos0, kc.shape[1])
+        assert attn_slice is None, "attention tap requires block_only"
+        if quant_cache:
+            attn = _gqa_attention_quant(q, kq_c, ks_c, vq_c, vs_c, pos0)
+        else:
+            attn = _gqa_attention(q, k_cache, v_cache, pos0,
+                                  k_cache.shape[1])
     x = x + linear(attn, lp["o"])
 
     h = rms_norm(x, lp["ln2"]["w"], cfg.rms_norm_eps)
     gated = jax.nn.silu(linear(h, lp["gate"])) * linear(h, lp["up"])
-    return x + linear(gated, lp["down"]), new_parts
+    out = x + linear(gated, lp["down"])
+    if attn_slice is not None:
+        return out, (*new_parts, tap)
+    return out, new_parts
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "block_only", "logits_last_only",
-                                    "use_flash"),
+                                    "use_flash", "attn_slice"),
                    donate_argnames=("cache",))
 def decoder_forward(
     params: Params,
@@ -240,6 +299,7 @@ def decoder_forward(
     block_only: bool = False,        # fresh prefill: attend within the block
     logits_last_only: bool = False,  # skip the T-1 unused lm_head rows
     use_flash: bool = False,         # Pallas causal GQA kernel for prefill
+    attn_slice: tuple | None = None,  # (q0, qn, k0, kn) attention tap
 ) -> tuple[jax.Array, KVCache]:
     """Run T positions through all layers; returns (logits (B,T,V), cache).
 
@@ -247,6 +307,11 @@ def decoder_forward(
     the cache is donated so updates alias in HBM. Pass ``block_only=True``
     when nothing precedes pos0 in the cache (first prefill) to keep the
     attention T x T instead of T x max_ctx.
+
+    ``attn_slice`` (block_only, non-flash only) returns a third output:
+    per-layer pre-softmax attention scores (L, B, Hq, qn, kn) for the DTW
+    token-timestamp alignment (≙ whisper.cpp aheads recording,
+    src/qwen2-whisper.cpp:4112-4184).
     """
     x = inputs_embeds
     T = x.shape[1]
@@ -257,14 +322,17 @@ def decoder_forward(
     quant_cache = isinstance(cache, QuantKVCache)
     parts_in = ((cache.k_q, cache.k_s, cache.v_q, cache.v_s) if quant_cache
                 else (cache.k, cache.v))
+    n_parts = len(parts_in)
 
     def body(x, layer_in):
         lp = layer_in[0]
         x, new_parts = _layer(cfg, x, lp, layer_in[1:], cos, sin, pos0,
-                              block_only, use_flash, quant_cache)
+                              block_only, use_flash, quant_cache,
+                              attn_slice=attn_slice)
         return x, new_parts
 
-    x, new_parts = jax.lax.scan(body, x, (params["layers"], *parts_in))
+    x, outs = jax.lax.scan(body, x, (params["layers"], *parts_in))
+    new_parts, taps = outs[:n_parts], outs[n_parts:]
 
     if logits_last_only:
         # prefill only needs the next-token distribution: the lm_head matmul
@@ -281,6 +349,8 @@ def decoder_forward(
         new_cache = QuantKVCache(*new_parts, pos=pos0 + T)
     else:
         new_cache = KVCache(k=new_parts[0], v=new_parts[1], pos=pos0 + T)
+    if attn_slice is not None:
+        return logits.astype(jnp.float32), new_cache, taps[0]
     return logits.astype(jnp.float32), new_cache
 
 

@@ -1,24 +1,59 @@
-"""Linear-layer dispatch: dense jnp matmul, the ggml-block Pallas kernel, or
-the w8a8 int8-MXU fast path — selected by the parameter dict's keys:
+"""Linear-layer dispatch: dense jnp matmul, the ggml-block Pallas kernels,
+or the w8a8 int8-MXU fast path — selected by the parameter dict's keys:
 
     {"w"[, "b"]}                  dense
-    {"qs", "scales"[, "b"]}       ggml q4_0/q8_0 blocks, bit-exact with files
+    {"qs", "scales"[, "b"]}       ggml q4_0/q8_0 blocks. Two kernels serve
+                                  this form: the exact-integer group matmul
+                                  (ops/quant_matmul_int8.py — int8 MXU dots
+                                  + per-32-group scales, ggml-mmq numerics,
+                                  fast) or the dequant-in-VMEM matmul
+                                  (ops/quant_matmul.py — float-exact in the
+                                  activations too, slower). See
+                                  set_group_matmul_mode below.
     {"qs8", "scale_n"[, "b"]}     per-channel int8 weights + on-the-fly
-                                  per-row int8 activations: the MXU runs a
-                                  native int8 x int8 -> int32 matmul (2x bf16
-                                  throughput, no in-kernel dequant) — the
-                                  TPU analog of ggml's activation-quantizing
-                                  mmq path (quantize_row_q8_1 + mmq.cuh)
+                                  per-row int8 activations: one native
+                                  int8 x int8 -> int32 MXU matmul (peak
+                                  decode throughput, coarser scales)
 
 This is the TPU analog of ggml's per-tensor-type matmul routing
 (ggml_cuda_mul_mat, ggml/src/ggml-cuda.cu:1882-1946)."""
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from qwen2_audio_tpu.ops.quant_matmul import quant_linear
+from qwen2_audio_tpu.ops.quant_matmul_int8 import quant_linear_int8
+
+# How {"qs","scales"} weights are multiplied:
+#   "int8"    exact-integer group matmul (ggml-mmq analog; activations see
+#             q8_1-equivalent rounding — ggml's own numerics)
+#   "dequant" dequantize-in-VMEM + f32 HIGHEST matmul (no activation
+#             rounding at all; ~2.5x slower at decode)
+#   None      auto: "int8" on TPU once tools/validate_tpu_kernels.py wrote
+#             the composed-decoder marker for this host, else "dequant"
+# NOTE: read at TRACE time. Set it before the first forward; flipping it
+# later will not invalidate already-compiled jit caches.
+_GROUP_MATMUL_MODE: str | None = None
+_INT8_MARKER = "/tmp/qa_kernel_ok_qmm_int8_decoder"
+
+
+def set_group_matmul_mode(mode: str | None) -> None:
+    assert mode in (None, "int8", "dequant"), mode
+    global _GROUP_MATMUL_MODE
+    _GROUP_MATMUL_MODE = mode
+
+
+def group_matmul_mode() -> str:
+    if _GROUP_MATMUL_MODE is not None:
+        return _GROUP_MATMUL_MODE
+    if jax.default_backend() in ("tpu", "axon") \
+            and os.path.exists(_INT8_MARKER):
+        return "int8"
+    return "dequant"
 
 
 def _w8a8(x: jax.Array, p: dict) -> jax.Array:
@@ -39,7 +74,8 @@ def linear(x: jax.Array, p: dict) -> jax.Array:
     if "qs8" in p:
         y = _w8a8(x, p)
     elif "qs" in p:
-        y = quant_linear(x, p)
+        y = (quant_linear_int8(x, p) if group_matmul_mode() == "int8"
+             else quant_linear(x, p))
     else:
         y = x @ p["w"].astype(x.dtype)
     if "b" in p:

@@ -113,12 +113,26 @@ def quant_matmul(
     return out[:M] if m_pad else out
 
 
+def group_min_term(x2d: jax.Array, mins: jax.Array) -> jax.Array:
+    """The per-group-min correction for q4_1/q5_1: with w = q*d + m (m
+    constant over each 32-group), x @ W = x @ (q*d) + gsum(x) @ m where
+    gsum is the exact per-group activation sum — a tiny (M, K/32) @
+    (K/32, N) matmul, no kernel changes needed (≙ the m*s term of
+    ggml_vec_dot_q4_1_q8_1, ggml/src/ggml-quants.c)."""
+    M, K = x2d.shape
+    gsum = x2d.astype(jnp.float32).reshape(M, K // GROUP, GROUP).sum(-1)
+    return gsum @ mins.astype(jnp.float32)
+
+
 def quant_linear(x: jax.Array, qw: dict) -> jax.Array:
     """Batched-activation entry: x (..., K) @ quantized weight dict
-    {"qs": (K,N), "scales": (K//32,N)} -> (..., N)."""
+    {"qs": (K,N), "scales": (K//32,N)[, "mins": (K//32,N)]} -> (..., N)."""
     lead = x.shape[:-1]
     K = x.shape[-1]
-    y = quant_matmul(x.reshape(-1, K), qw["qs"], qw["scales"])
+    x2d = x.reshape(-1, K)
+    y = quant_matmul(x2d, qw["qs"], qw["scales"])
+    if "mins" in qw:
+        y = y + group_min_term(x2d, qw["mins"]).astype(y.dtype)
     return y.reshape(*lead, -1)
 
 
@@ -126,4 +140,7 @@ def dequantize_weight(qw: dict, dtype=jnp.float32) -> jax.Array:
     """Reference dequantization (XLA, for tests / fallbacks)."""
     q = qw["qs"].astype(jnp.float32)
     s = jnp.repeat(qw["scales"].astype(jnp.float32), GROUP, axis=0)
-    return (q * s).astype(dtype)
+    w = q * s
+    if "mins" in qw:
+        w = w + jnp.repeat(qw["mins"].astype(jnp.float32), GROUP, axis=0)
+    return w.astype(dtype)

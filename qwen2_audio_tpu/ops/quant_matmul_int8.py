@@ -1,21 +1,23 @@
-"""Exact-integer group matmul for q8_0 — prototype for the round-2 parity
-fast path (docs/ROADMAP.md item 1).
+"""Exact-integer group matmul for ggml block weights — the parity fast path.
 
 ggml's CUDA mmq quantizes activations to q8_1 per 32-group and runs integer
-dot products with per-group scales (ggml-cuda/mmq.cuh; quantize_row_q8_1).
-This kernel is the TPU equivalent:
+dot products with per-group scales (ggml-cuda/mmq.cuh:2936, mmvq.cu:425;
+quantize_row_q8_1). This kernel is the TPU equivalent:
 
     out[m,n] = Σ_g  sx[m,g] · sw[g,n] · ( Σ_{k∈g} xq[m,k] · wq[k,n] )
 
 The inner products are int8×int8→int32 on the MXU (exact), one unrolled
 (bm,32)@(32,bn) dot per group inside a 256-deep K block; the float work per
 block is 8 scale-broadcast multiply-accumulates. No `precision=HIGHEST`
-passes, no in-VMEM dequant of the weights.
+passes, no in-VMEM dequant of the weights. Weight values are treated
+exactly for every format that fits int8 (q8_0, and q4_0's -8..7 range);
+only the activations see ggml-equivalent q8_1 rounding.
 
-Status: interpret-validated; NOT hardware-validated yet (run
-tools/validate_tpu_kernels.py on the chip and add a marker before wiring it
-into ops/linear.py — unvalidated Pallas compositions have wedged the
-remote-compile tunnel, see CLAUDE.md).
+Hardware gating: ops/linear.py routes here only after
+tools/validate_tpu_kernels.py proved the kernel AND its composition into
+the scanned decoder on the chip — markers /tmp/qa_kernel_ok_qmm_int8 and
+/tmp/qa_kernel_ok_qmm_int8_decoder (unvalidated Pallas compositions have
+wedged the remote-compile tunnel, see CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -59,7 +61,10 @@ def _kernel(xq_ref, sx_ref, qs_ref, sw_ref, o_ref, acc_ref, *, out_dtype,
         p = jax.lax.dot_general(
             xg, wg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)            # exact
-        scale = sx_ref[:, g][:, None] * sw_ref[g, :][None, :]
+        # sx block is TRANSPOSED (groups, m): its lane dim is m, which is
+        # always 128-divisible or the full padded M (Mosaic tiling rule);
+        # a (m, groups) layout would put the tiny group count on lanes
+        scale = sx_ref[g, :][:, None] * sw_ref[g, :][None, :]
         acc_ref[...] += p.astype(jnp.float32) * scale
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -94,10 +99,11 @@ def quant_matmul_int8(
     block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
 
     xq, sx = quantize_activations(x)
+    sx_t = sx.T                              # (K//32, M): lanes = m
     m_pad = -M % block_m
     if m_pad:
         xq = jnp.pad(xq, ((0, m_pad), (0, 0)))
-        sx = jnp.pad(sx, ((0, m_pad), (0, 0)))
+        sx_t = jnp.pad(sx_t, ((0, 0), (0, m_pad)))
     Mp = M + m_pad
 
     grid = (Mp // block_m, N // block_n, K // block_k)
@@ -108,8 +114,8 @@ def quant_matmul_int8(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
-                pl.BlockSpec((block_m, block_k // GROUP),
-                             lambda i, j, k: (i, k)),
+                pl.BlockSpec((block_k // GROUP, block_m),
+                             lambda i, j, k: (k, i)),
                 pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
                 pl.BlockSpec((block_k // GROUP, block_n),
                              lambda i, j, k: (k, j)),
@@ -121,5 +127,26 @@ def quant_matmul_int8(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_use_interpret(),
-    )(xq, sx, qs, scales)
+    )(xq, sx_t, qs, scales)
     return out[:M] if m_pad else out
+
+
+def quant_linear_int8(x: jax.Array, qw: dict) -> jax.Array:
+    """Batched-activation entry: x (..., K) @ {"qs": (K,N), "scales":
+    (K//32,N)[, "mins": (K//32,N)]} via the exact-integer group matmul.
+    Works for any ggml format whose values fit int8 (q8_0, q4_0, q5_0,
+    and the min-offset q4_1/q5_1 — the integer dots are exact; only the
+    activations are q8_1-quantized, matching ggml's own mmq numerics).
+    The q4_1/q5_1 min term rides outside the kernel as an exact
+    group-sum matmul (ops/quant_matmul.py::group_min_term)."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2d = x.reshape(-1, K)
+    qs = qw["qs"]
+    if qs.dtype != jnp.int8:
+        qs = qs.astype(jnp.int8)          # int4 storage -> int8 operand
+    y = quant_matmul_int8(x2d, qs, qw["scales"])
+    if "mins" in qw:
+        from qwen2_audio_tpu.ops.quant_matmul import group_min_term
+        y = y + group_min_term(x2d, qw["mins"]).astype(y.dtype)
+    return y.reshape(*lead, -1)

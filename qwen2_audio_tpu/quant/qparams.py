@@ -82,18 +82,74 @@ def _unpack_q8_0(raw: np.ndarray, n_rows: int, n_cols: int
             d.reshape(n_rows, n_cols // QK))
 
 
+def _unpack_nibble_body(body: np.ndarray) -> np.ndarray:
+    lo = (body & 0x0F).astype(np.int8)
+    hi = (body >> 4).astype(np.int8)
+    return np.concatenate([lo, hi], axis=1)           # j / j+16 layout
+
+
+def _unpack_qh_bits(qh_bytes: np.ndarray) -> np.ndarray:
+    qh = qh_bytes.copy().view(np.uint32).reshape(-1)
+    shifts = np.arange(32, dtype=np.uint32)
+    return (((qh[:, None] >> shifts[None, :]) & 1) << 4).astype(np.int8)
+
+
+def _unpack_q4_1(raw, n_rows, n_cols):
+    b = raw.reshape(-1, 20)
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+    m = b[:, 2:4].copy().view(np.float16).astype(np.float32)
+    vals = _unpack_nibble_body(b[:, 4:])              # 0..15
+    return (vals.reshape(n_rows, n_cols), d.reshape(n_rows, n_cols // QK),
+            m.reshape(n_rows, n_cols // QK))
+
+
+def _unpack_q5_0(raw, n_rows, n_cols):
+    b = raw.reshape(-1, 22)
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+    vals = (_unpack_nibble_body(b[:, 6:]) | _unpack_qh_bits(b[:, 2:6])) - 16
+    return (vals.reshape(n_rows, n_cols).astype(np.int8),
+            d.reshape(n_rows, n_cols // QK))
+
+
+def _unpack_q5_1(raw, n_rows, n_cols):
+    b = raw.reshape(-1, 24)
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+    m = b[:, 2:4].copy().view(np.float16).astype(np.float32)
+    vals = _unpack_nibble_body(b[:, 8:]) | _unpack_qh_bits(b[:, 4:8])  # 0..31
+    return (vals.reshape(n_rows, n_cols), d.reshape(n_rows, n_cols // QK),
+            m.reshape(n_rows, n_cols // QK))
+
+
 def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
                                    ) -> dict:
-    """Quantized GGMLTensor (torch [out,in] shape) -> kernel dict, bit-exact."""
+    """Quantized GGMLTensor (torch [out,in] shape) -> kernel dict, bit-exact.
+
+    All five legacy formats share ``w = q*d (+ m)``: q4_0/q5_0 fold their
+    offset into the integer values; q4_1/q5_1 carry a per-group min in a
+    "mins" leaf that ops/quant_matmul.py adds as a rank-G correction term
+    (≙ the m*sum term of ggml_vec_dot_q4_1_q8_1, ggml-quants.c)."""
     n_rows, n_cols = t.shape
+    raw = np.asarray(t.raw)
     if t.ttype == GGMLType.Q4_0:
-        vals, d = _unpack_q4_0(np.asarray(t.raw), n_rows, n_cols)
+        vals, d = _unpack_q4_0(raw, n_rows, n_cols)
         return device_weight_from_arrays(vals, d, narrow=True,
                                          to_device=to_device)
     if t.ttype == GGMLType.Q8_0:
-        vals, d = _unpack_q8_0(np.asarray(t.raw), n_rows, n_cols)
+        vals, d = _unpack_q8_0(raw, n_rows, n_cols)
         return device_weight_from_arrays(vals, d, narrow=False,
                                          to_device=to_device)
+    if t.ttype == GGMLType.Q5_0:
+        vals, d = _unpack_q5_0(raw, n_rows, n_cols)
+        return device_weight_from_arrays(vals, d, narrow=False,
+                                         to_device=to_device)
+    if t.ttype in (GGMLType.Q4_1, GGMLType.Q5_1):
+        unpack = _unpack_q4_1 if t.ttype == GGMLType.Q4_1 else _unpack_q5_1
+        vals, d, m = unpack(raw, n_rows, n_cols)
+        out = device_weight_from_arrays(vals, d, narrow=False,
+                                        to_device=to_device)
+        mins = np.ascontiguousarray(m.T, dtype=np.float32)
+        out["mins"] = jnp.asarray(mins) if to_device else mins
+        return out
     raise ValueError(f"unsupported device quant type {t.ttype}")
 
 
@@ -137,7 +193,8 @@ _ENCODER_QUANT_KEYS = ("q", "k", "v", "o", "fc1", "fc2")
 
 def quantize_decoder_params(params: dict, ttype: GGMLType,
                             quantize_lm_head: bool = True,
-                            mode: str = "ggml") -> dict:
+                            mode: str = "ggml",
+                            to_device: bool = True) -> dict:
     """Replace the stacked decoder linears (L, K, N) with quantized dicts;
     biases/norms/embed stay dense.
 
@@ -145,11 +202,13 @@ def quantize_decoder_params(params: dict, ttype: GGMLType,
     ggml block format (logits parity).
     mode="fast": {"qs8": (L,K,N), "scale_n": (L,N)} — per-channel w8a8 for
     the int8 MXU path (peak decode throughput, ~2x coarser quantization).
+    ``to_device=False`` keeps the quantized leaves as numpy — the form
+    io/param_cache.py persists so a later process skips re-quantization.
     """
     out = {k: v for k, v in params.items()}
     layers = dict(params["layers"])
 
-    def quant_one(w2d, to_device=True):
+    def quant_one(w2d, to_device=to_device):
         if mode == "fast":
             return fast_w8_from_array(w2d, to_device=to_device)
         return quantize_array_for_device(w2d, ttype, to_device=to_device)
@@ -164,10 +223,13 @@ def quantize_decoder_params(params: dict, ttype: GGMLType,
                      for i in range(w.shape[0])]
         for leaf in per_layer[0]:
             host = np.stack([d[leaf] for d in per_layer])
-            dt = (_qs_dtype(True) if leaf == "qs" and mode != "fast"
-                  and per_layer[0][leaf].dtype == np.int8 else None)
-            entry[leaf] = jnp.asarray(host) if dt is None \
-                else jnp.asarray(host, dtype=jnp.int8)
+            if not to_device:
+                entry[leaf] = host
+            else:
+                dt = (_qs_dtype(True) if leaf == "qs" and mode != "fast"
+                      and per_layer[0][leaf].dtype == np.int8 else None)
+                entry[leaf] = jnp.asarray(host) if dt is None \
+                    else jnp.asarray(host, dtype=jnp.int8)
         layers[key] = entry
     out["layers"] = layers
     if quantize_lm_head and "lm_head" in params:

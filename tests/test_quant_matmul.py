@@ -14,21 +14,27 @@ from qwen2_audio_tpu.quant.qparams import (
 )
 
 
-@pytest.mark.parametrize("ttype", [GGMLType.Q8_0, GGMLType.Q4_0])
+ALL_LEGACY = [GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
+              GGMLType.Q5_1]
+
+
+@pytest.mark.parametrize("ttype", ALL_LEGACY)
 def test_kernel_matches_dequant_reference(ttype, rng):
     K, N, M = 256, 256, 64
     w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
     qw = quantize_array_for_device(w, ttype)
     x = rng.standard_normal((M, K)).astype(np.float32)
 
-    got = np.asarray(quant_matmul(jnp.asarray(x), qw["qs"], qw["scales"],
-                                  block_m=64, block_n=128, block_k=128))
+    got = np.asarray(quant_linear(jnp.asarray(x), qw))
     want = x @ np.asarray(dequantize_weight(qw))
-    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
 
 
 @pytest.mark.parametrize("ttype,tol", [(GGMLType.Q8_0, 0.02),
-                                       (GGMLType.Q4_0, 0.2)])
+                                       (GGMLType.Q4_0, 0.2),
+                                       (GGMLType.Q4_1, 0.2),
+                                       (GGMLType.Q5_0, 0.1),
+                                       (GGMLType.Q5_1, 0.1)])
 def test_device_weight_matches_codec_dequant(ttype, tol, rng):
     """Device layout values must bit-match the ggml codec dequantization."""
     from qwen2_audio_tpu.quant import codecs
@@ -202,3 +208,64 @@ def test_int8_group_matmul_prototype(rng):
     dense = x @ w
     rel = np.abs(got - dense).max() / np.abs(dense).max()
     assert rel < 0.03, rel
+
+
+@pytest.mark.parametrize("ttype,tol", [(GGMLType.Q8_0, 0.03),
+                                       (GGMLType.Q4_0, 0.2),
+                                       (GGMLType.Q4_1, 0.2),
+                                       (GGMLType.Q5_0, 0.1),
+                                       (GGMLType.Q5_1, 0.1)])
+def test_int8_mode_linear_dispatch(ttype, tol, rng):
+    """linear() in "int8" group-matmul mode routes {"qs","scales"} weights
+    through the exact-integer kernel — for q4_0 too (values -8..7 are int8-
+    exact); output stays within the activation-rounding envelope of the
+    dequant path."""
+    from qwen2_audio_tpu.ops.linear import linear, set_group_matmul_mode
+    K, N = 256, 128
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    qw = quantize_array_for_device(w, ttype)
+    qw["b"] = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((3, 4, K)).astype(np.float32))
+    try:
+        set_group_matmul_mode("dequant")
+        ref = np.asarray(linear(x, qw))
+        set_group_matmul_mode("int8")
+        got = np.asarray(linear(x, qw))
+    finally:
+        set_group_matmul_mode(None)
+    assert got.shape == (3, 4, N)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < tol * scale + 1e-3
+
+
+def test_int8_mode_decoder_parity(rng):
+    """Quantized decoder logits in int8 mode track the dequant-mode logits
+    (the wiring the bench uses for the fast ggml-parity decode)."""
+    from qwen2_audio_tpu.models.qwen2_decoder import (
+        create_cache, decoder_forward, embed_tokens, random_decoder_params)
+    from qwen2_audio_tpu.ops.linear import set_group_matmul_mode
+    cfg = Qwen2DecoderConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=False)
+    params = random_decoder_params(rng, cfg)
+    qparams = quantize_decoder_params(params, GGMLType.Q8_0)
+    toks = jnp.asarray(rng.integers(0, 128, (1, 6)))
+    x = embed_tokens(params, toks)
+
+    outs = {}
+    try:
+        for mode in ("dequant", "int8"):
+            set_group_matmul_mode(mode)
+            cache = create_cache(cfg, 1, 8, dtype=jnp.float32)
+            lg, cache = decoder_forward(qparams, cfg, x, cache, 0,
+                                        block_only=True)
+            step = embed_tokens(params, jnp.asarray([[7]]))
+            lg2, _ = decoder_forward(qparams, cfg, step, cache, 6)
+            outs[mode] = np.asarray(lg2)
+            decoder_forward.clear_cache()
+    finally:
+        set_group_matmul_mode(None)
+    err = np.abs(outs["int8"] - outs["dequant"]).max()
+    scale = np.abs(outs["dequant"]).max()
+    assert err < 0.05 * scale + 0.05, err

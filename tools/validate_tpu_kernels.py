@@ -68,6 +68,27 @@ def main() -> int:
     assert np.abs(got - want).max() < 2e-3
     mark("qmm_q4")
 
+    # 2b. exact-integer group matmul (ggml-mmq analog), standalone:
+    # oracle = the SAME integer math in numpy (weight dots exact, q8_1
+    # activation rounding) — must match almost bit-for-bit
+    from qwen2_audio_tpu.ops.quant_matmul_int8 import (
+        quant_matmul_int8, quantize_activations)
+    for qw_i, name in ((qw, "q8"), (qw4, "q4")):
+        got = np.asarray(quant_matmul_int8(x, qw_i["qs"].astype(jnp.int8),
+                                           qw_i["scales"]))
+        xq, sx = map(np.asarray, quantize_activations(x))
+        qsn = np.asarray(qw_i["qs"]).astype(np.int32)
+        scn = np.asarray(qw_i["scales"])
+        M, K = xq.shape
+        N = qsn.shape[1]
+        G = K // 32
+        p = np.einsum("mgk,gkn->mgn", xq.reshape(M, G, 32).astype(np.int32),
+                      qsn.reshape(G, 32, N))
+        want = np.einsum("mgn,mg,gn->mn", p.astype(np.float64), sx, scn)
+        err = np.abs(got - want).max()
+        assert err < 1e-2, (name, err)
+    mark("qmm_int8")
+
     # 3. fused mel kernel
     from qwen2_audio_tpu.audio import mel_filterbank
     from qwen2_audio_tpu.audio.mel import log_mel_spectrogram
@@ -125,6 +146,30 @@ def main() -> int:
                                     logits_last_only=True, use_flash=True)
     assert np.isfinite(np.asarray(logits)).all()
     mark("fa_decoder")
+
+    # 7. composed: exact-int8 group matmul inside the scanned quantized
+    # decoder (prefill + one T=1 decode step) vs the dequant kernel path
+    from qwen2_audio_tpu.ops.linear import set_group_matmul_mode
+    from qwen2_audio_tpu.quant.qparams import quantize_decoder_params
+    dpq = quantize_decoder_params(dp, GGMLType.Q8_0)
+    step = jnp.asarray(rng.standard_normal((1, 1, 512)) * 0.1, jnp.bfloat16)
+    outs = {}
+    for mode in ("dequant", "int8"):
+        set_group_matmul_mode(mode)
+        cache = create_cache(dcfg, 1, 512, dtype=jnp.bfloat16)
+        lg, cache = decoder_forward(dpq, dcfg, x, cache, 0, block_only=True,
+                                    logits_last_only=True)
+        lg2, cache = decoder_forward(dpq, dcfg, step, cache, x.shape[1])
+        outs[mode] = np.asarray(lg2, np.float32)
+        # separate jit cache per mode: decoder_forward hashes on arg
+        # structure only, so clear between modes
+        decoder_forward.clear_cache()
+    set_group_matmul_mode(None)
+    diff = np.abs(outs["int8"] - outs["dequant"]).max()
+    scale = np.abs(outs["dequant"]).max() + 1e-6
+    assert np.isfinite(outs["int8"]).all() and diff / scale < 0.05, \
+        (diff, scale)
+    mark("qmm_int8_decoder")
 
     print("[validate] ALL OK", flush=True)
     return 0
