@@ -141,6 +141,7 @@ class WhisperState:
         self.timings = Timings()
         self.exp_n_audio_ctx = 0
         self.lang_id = 0
+        self.no_speech_prob = 0.0
         self.segments: list[dict] = []
         self.result_tokens: list[int] = []
 
@@ -312,28 +313,49 @@ class WhisperContext:
     def full_parallel(self, params: FullParams, samples: np.ndarray,
                       n_processors: int) -> int:
         """≙ whisper_full_parallel (header :464-469; declared but never
-        implemented in the fork). Here: split the audio into n chunks and
-        run them as one batch through the encoder."""
+        implemented in the fork; upstream whisper.cpp ran n states over n
+        audio chunks in n threads). Here the batch dimension does the work:
+        the audio's 30 s windows are encoded AND decoded in batches of
+        ``n_processors`` through runtime/serving.py, yielding one decoded
+        segment per window in state.segments — full per-chunk
+        transcriptions, like upstream, not just encoder output."""
         if n_processors <= 1:
             return self.full(params, samples)
-        chunks = np.array_split(np.asarray(samples, np.float32), n_processors)
-        outs = []
-        for ch in chunks:   # mel windows are cheap; encode batches below
-            st = WhisperState()
-            if self.pcm_to_mel_with_state(st, ch) != 0:
-                return -2
-            outs.append(mel_input_window(st.mel, 0, self.hparams.n_audio_ctx))
-        t0 = time_us()
-        batch = jnp.asarray(np.stack(outs))
-        out = encoder_forward(
-            self.encoder_params, batch, self.hparams,
-            gelu_approximate=self.params.gelu_approximate,
-            use_flash=self.params.flash_attn,
-            compute_dtype=self.params.compute_dtype)
-        enc = np.asarray(jax.device_get(out))
-        self.state.embd_enc = enc.reshape(-1, enc.shape[-1])
-        self.state.timings.t_encode_us += time_us() - t0
-        self.state.timings.n_encode += n_processors
+        if self.decoder is None:
+            # encoder-only context (the reference's actual runtime surface):
+            # batch the chunk windows through one encoder executable
+            chunks = np.array_split(np.asarray(samples, np.float32),
+                                    n_processors)
+            outs = []
+            for ch in chunks:   # mel windows are cheap; encode batches below
+                st = WhisperState()
+                if self.pcm_to_mel_with_state(st, ch) != 0:
+                    return -2
+                outs.append(mel_input_window(st.mel, 0,
+                                             self.hparams.n_audio_ctx))
+            t0 = time_us()
+            batch = jnp.asarray(np.stack(outs))
+            out = encoder_forward(
+                self.encoder_params, batch, self.hparams,
+                gelu_approximate=self.params.gelu_approximate,
+                use_flash=self.params.flash_attn,
+                compute_dtype=self.params.compute_dtype)
+            enc = np.asarray(jax.device_get(out))
+            self.state.embd_enc = enc.reshape(-1, enc.shape[-1])
+            self.state.timings.t_encode_us += time_us() - t0
+            self.state.timings.n_encode += n_processors
+            return 0
+        from qwen2_audio_tpu.runtime.serving import transcribe_long_form
+        state = self.state
+        try:
+            for _ in transcribe_long_form(self, samples, params,
+                                          batch_size=n_processors):
+                pass   # segments/callbacks are emitted by the generator
+        except RuntimeError as e:
+            log_error("full_parallel: %s\n", str(e))
+            return -2
+        state.result_tokens = [t for s in state.segments
+                               for t in s["tokens"]]
         return 0
 
     # ---- accessors (header :296-357) ----

@@ -82,6 +82,13 @@ class GenerationResult:
     avg_logprob: list[float]
     # raw logits of the last decoded position (B, V) — whisper_get_logits
     final_logits: np.ndarray | None = None
+    # raw logits of the FIRST decode step (B, V) — feeds the no-speech
+    # probability (≙ whisper.cpp's state->no_speech_prob from the initial
+    # distribution)
+    first_logits: np.ndarray | None = None
+    # per-token start times in centiseconds (DTW alignment), when
+    # token_timestamps was requested
+    token_times_cs: list[list[int]] | None = None
 
 
 def _token_entropy(ids: list[int], window: int = 32) -> float:
@@ -182,6 +189,7 @@ def greedy_decode(
                                     block_only=True, logits_last_only=True,
                                     use_flash=_prefill_flash())
     last_raw = logits[:, -1]
+    first_raw = last_raw
     last = last_raw if sup is None else last_raw + sup
     if timings is not None:
         last.block_until_ready()
@@ -234,7 +242,8 @@ def greedy_decode(
     # raw (pre-suppression) logits: whisper_get_logits returns model logits
     return GenerationResult(tokens=out_tokens, logprobs=out_lps,
                             avg_logprob=avg,
-                            final_logits=np.asarray(last_raw))
+                            final_logits=np.asarray(last_raw),
+                            first_logits=np.asarray(first_raw))
 
 
 def beam_search(
@@ -270,6 +279,7 @@ def beam_search(
     cache = jax.tree.map(
         lambda a: jnp.repeat(a, K, axis=1) if a.ndim > 1 else a, cache1)
     cache = cache._replace(pos=cache1.pos)
+    first_raw = np.asarray(logits[:, -1])
     last = np.asarray(jax.nn.log_softmax(logits[:, -1], axis=-1))
     if suppress_mask is not None:
         last = last + suppress_mask[None, :]
@@ -351,12 +361,147 @@ def beam_search(
     finished.sort(key=lambda x: x[0], reverse=True)
     best_score, best_tokens, best_lps = finished[0]
     return GenerationResult(tokens=[best_tokens], logprobs=[best_lps],
-                            avg_logprob=[float(np.mean(best_lps))])
+                            avg_logprob=[float(np.mean(best_lps))],
+                            first_logits=first_raw)
+
+
+def compute_token_timestamps(
+    bundle: DecoderBundle,
+    prefill: jax.Array,            # (1, T0, D) — the decoded prompt embeds
+    ids: list[int],                # generated tokens
+    aud0: int,                     # first audio-embed position in the block
+    n_aud: int,                    # number of audio-embed positions
+    n_content: int,                # content positions (rest is zero-pad)
+    n_top: int = -1,               # alignment heads: all heads of top-N layers
+    t_offset_cs: int = 0,
+) -> list[int]:
+    """Per-token start times (centiseconds) via DTW over decoder attention.
+
+    One teacher-forced forward over [prompt; generated tokens] records each
+    generated token's pre-softmax attention to the audio-prefix positions
+    (the self-attention analog of whisper.cpp's cross-attention recording,
+    src/qwen2-whisper.cpp:4112-4184), then models/dtw.py aligns. Encoder
+    output positions are 40 ms apart (stride-4 over 10 ms mel frames), so
+    frames_per_second = 25.
+    """
+    from qwen2_audio_tpu.models.dtw import token_timestamps_from_attention
+    from qwen2_audio_tpu.models.qwen2_decoder import create_cache
+
+    if not ids:
+        return []
+    cfg = bundle.cfg
+    T0 = prefill.shape[1]
+    gen = embed_tokens(bundle.params, jnp.asarray([ids]))
+    x = jnp.concatenate([prefill, gen.astype(prefill.dtype)], axis=1)
+    cache = create_cache(cfg, 1, x.shape[1], dtype=bundle.cache_dtype)
+    _, _, taps = decoder_forward(
+        bundle.params, cfg, x, cache, 0, block_only=True,
+        logits_last_only=True,
+        attn_slice=(T0, len(ids), aud0, n_aud))
+    # taps: (L, 1, Hq, n_tokens, n_aud) pre-softmax scores
+    taps = np.asarray(taps)[:, 0]                     # (L, Hq, n, n_aud)
+    L = taps.shape[0]
+    if n_top <= 0:
+        n_top = max(1, L // 2)    # ≙ WHISPER_AHEADS_N_TOP_MOST default
+    heads = taps[L - min(n_top, L):].reshape(-1, len(ids), n_aud)
+    times_s = token_timestamps_from_attention(
+        heads, n_content, frames_per_second=25.0)
+    return [t_offset_cs + int(round(t * 100.0)) for t in times_s]
+
+
+def _token_surfaces(bundle: DecoderBundle, ids: list[int]) -> list[str]:
+    to_str = bundle.token_strings or (
+        (lambda i: bundle.detokenize([i])) if bundle.detokenize else None)
+    if to_str is None:
+        return [f"<{i}>" for i in ids]
+    out = []
+    for i in ids:
+        try:
+            out.append(to_str(i))
+        except Exception:
+            out.append("")
+    return out
+
+
+def split_segment_by_length(bundle: DecoderBundle, ids: list[int],
+                            lps: list[float], times_cs: list[int],
+                            max_len: int, split_on_word: bool,
+                            t1_cs: int) -> list[dict]:
+    """≙ whisper.cpp's max_len/split_on_word segment wrapping (applied from
+    token-level timestamps): greedily pack tokens until the surface text
+    exceeds max_len characters, preferring word starts when split_on_word."""
+    surfaces = _token_surfaces(bundle, ids)
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_len = 0
+    for i, s in enumerate(surfaces):
+        starts_word = s.startswith((" ", "\n")) or i == 0
+        if cur and cur_len + len(s) > max_len and \
+                (starts_word or not split_on_word):
+            groups.append(cur)
+            cur, cur_len = [], 0
+        cur.append(i)
+        cur_len += len(s)
+    if cur:
+        groups.append(cur)
+
+    segs = []
+    for gi, g in enumerate(groups):
+        first, last = g[0], g[-1]
+        t0 = times_cs[first]
+        t1 = (times_cs[groups[gi + 1][0]] if gi + 1 < len(groups) else t1_cs)
+        segs.append({
+            "t0": t0, "t1": max(t1, t0),
+            "text": "".join(surfaces[i] for i in g),
+            "tokens": [ids[i] for i in g],
+            "probs": [float(np.exp(min(lps[i], 0.0))) for i in g],
+            "token_times": [times_cs[i] for i in g],
+            "speaker_turn_next": False,
+        })
+    return segs
+
+
+_WARNED_FLAGS: set = set()
+
+
+def _warn_once(flag: str, message: str) -> None:
+    if flag not in _WARNED_FLAGS:
+        _WARNED_FLAGS.add(flag)
+        from qwen2_audio_tpu.utils.logging import log_warn
+        log_warn("%s\n", message)
+
+
+def _check_unsupported(params) -> int:
+    """Flags the reference honors but this decoder cannot: error for the
+    ones that change the output contract, loud warning for advisory ones
+    (a silently accepted no-op is worse than a refusal)."""
+    from qwen2_audio_tpu.utils.logging import log_error
+    if params.detect_language:
+        # ≙ whisper_lang_auto_detect: requires per-language tokens in the
+        # decoder vocab; Qwen2's text vocabulary has none
+        log_error("detect_language is not supported: the Qwen2 decoder "
+                  "vocabulary has no whisper language tokens; set "
+                  "params.language explicitly\n")
+        return -6
+    if params.tdrz_enable:
+        _warn_once("tdrz", "tdrz_enable ignored: tinydiarize speaker-turn "
+                   "tokens are not in the Qwen2 vocabulary")
+    if params.max_initial_ts != 1.0:
+        _warn_once("max_initial_ts", "max_initial_ts ignored: the Qwen2 "
+                   "decoder emits no whisper timestamp tokens")
+    if (params.thold_pt != 0.01 or params.thold_ptsum != 0.01):
+        _warn_once("thold_pt", "thold_pt/thold_ptsum ignored: they tune the "
+                   "non-DTW timestamp heuristic; token_timestamps here uses "
+                   "DTW attention alignment (models/dtw.py)")
+    return 0
 
 
 def run(ctx, state, params) -> int:
     """whisper_full()'s decode stage: called after the encoder wrote
     state.embd_enc. Populates state.segments / result_tokens / logits."""
+    rc = _check_unsupported(params)
+    if rc != 0:
+        return rc
     bundle: DecoderBundle = ctx.decoder
     audio = bundle.project_audio(state.embd_enc)
 
@@ -379,14 +524,28 @@ def run(ctx, state, params) -> int:
     result = None
     for ti, temp in enumerate(temperatures):
         if params.strategy == "beam" and temp == 0.0:
-            result = beam_search(
-                bundle, prefill, beam_size=params.beam_size,
-                max_new_tokens=params.max_new_tokens,
-                length_penalty=params.length_penalty,
-                repetition_penalty=params.repetition_penalty,
-                abort_callback=params.abort_callback,
-                timings=state.timings,
-                suppress_mask=suppress_mask)
+            if params.abort_callback is None:
+                # fast path: expand/top-k/reorder under one lax.while_loop
+                from qwen2_audio_tpu.runtime.generate import beam_search_device
+                t0 = time_us()
+                result = beam_search_device(
+                    bundle, prefill, beam_size=params.beam_size,
+                    max_new_tokens=params.max_new_tokens,
+                    length_penalty=params.length_penalty,
+                    repetition_penalty=params.repetition_penalty,
+                    suppress_mask=suppress_mask)
+                state.timings.t_decode_us += time_us() - t0
+                state.timings.n_decode += len(result.tokens[0])
+            else:
+                # host loop: per-token abort checks cost a round trip each
+                result = beam_search(
+                    bundle, prefill, beam_size=params.beam_size,
+                    max_new_tokens=params.max_new_tokens,
+                    length_penalty=params.length_penalty,
+                    repetition_penalty=params.repetition_penalty,
+                    abort_callback=params.abort_callback,
+                    timings=state.timings,
+                    suppress_mask=suppress_mask)
         elif params.abort_callback is not None:
             # host loop: per-token abort checks cost a round trip each step
             result = greedy_decode(
@@ -428,16 +587,59 @@ def run(ctx, state, params) -> int:
         state.timings.n_fail_p += 1
 
     ids = result.tokens[0]
-    state.result_tokens = ids
     state.logits = result.final_logits
-    state.segments = [{
-        "t0": params.offset_ms // 10,
-        "t1": params.offset_ms // 10 + 3000,
-        "text": bundle.text(ids),
-        "tokens": ids,
-        "probs": [float(np.exp(l)) for l in result.logprobs[0]],
-        "speaker_turn_next": False,
-    }]
+
+    # no-speech gate (≙ whisper.cpp state->no_speech_prob: probability mass
+    # the model assigns to "emit nothing" at the first decode step; without
+    # a <|nosp|> token in the Qwen2 vocab, EOS-at-step-0 plays that role)
+    no_speech_prob = 0.0
+    if result.first_logits is not None:
+        fl = np.asarray(result.first_logits[0], np.float64)
+        p = np.exp(fl - fl.max())
+        no_speech_prob = float(p[bundle.eos_token_id] / p.sum())
+    state.no_speech_prob = no_speech_prob
+    if (no_speech_prob > params.no_speech_thold
+            and result.avg_logprob[0] < params.logprob_thold):
+        # silent window: emit no text (whisper_full skips such segments)
+        state.result_tokens = []
+        state.segments = []
+        return 0
+
+    t0_cs = params.offset_ms // 10
+    t1_cs = t0_cs + 3000
+    token_times = None
+    if params.token_timestamps:
+        aud0 = len(bundle.bos_tokens)
+        n_aud = int(audio.shape[0])
+        n_len = state.mel.n_len_org if state.mel is not None else 4 * n_aud
+        # encoder positions cover 4 mel frames (10 ms) each
+        n_content = max(1, min(n_aud, -(-n_len // 4)))
+        n_top = getattr(ctx.params, "dtw_n_top", -1)
+        token_times = compute_token_timestamps(
+            bundle, prefill, ids, aud0, n_aud, n_content,
+            n_top=n_top, t_offset_cs=t0_cs)
+
+    state.result_tokens = ids
+    if token_times is not None and params.max_len > 0:
+        state.segments = split_segment_by_length(
+            bundle, ids, result.logprobs[0], token_times,
+            params.max_len, params.split_on_word, t1_cs)
+    else:
+        if params.max_len > 0:
+            _warn_once("max_len", "max_len/split_on_word need "
+                       "token_timestamps=True here (DTW times drive the "
+                       "split); emitting one segment")
+        seg = {
+            "t0": t0_cs,
+            "t1": t1_cs,
+            "text": bundle.text(ids),
+            "tokens": ids,
+            "probs": [float(np.exp(l)) for l in result.logprobs[0]],
+            "speaker_turn_next": False,
+        }
+        if token_times is not None:
+            seg["token_times"] = token_times
+        state.segments = [seg]
     if params.new_segment_callback is not None:
-        params.new_segment_callback(ctx, state, 1)
+        params.new_segment_callback(ctx, state, len(state.segments))
     return 0

@@ -69,3 +69,39 @@ def test_export_encoder_to_ggml(tmp_path, rng):
     rc = ctx.full(full_default_params(),
                   (0.1 * rng.standard_normal(32000)).astype(np.float32))
     assert rc == 0
+
+
+def test_param_cache_roundtrip(tmp_path, rng):
+    """Device-layout disk cache: quantized pytree (incl. bf16 + int8 + list
+    nesting) round-trips bit-exactly through one .npz."""
+    import ml_dtypes
+    from qwen2_audio_tpu.config import GGMLType, Qwen2DecoderConfig
+    from qwen2_audio_tpu.io.param_cache import cached_build, load_pytree, save_pytree
+    from qwen2_audio_tpu.models.qwen2_decoder import random_decoder_params
+    from qwen2_audio_tpu.quant.qparams import quantize_decoder_params
+
+    cfg = Qwen2DecoderConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=False)
+    p = random_decoder_params(rng, cfg, host=True)
+    p["_aux"] = [np.arange(3), {"x": np.float32(2.5) * np.ones(2)}]
+    p["_bf16"] = np.ones((4, 4), ml_dtypes.bfloat16)
+    q = quantize_decoder_params(p, GGMLType.Q8_0, to_device=False)
+
+    path = str(tmp_path / "cache.npz")
+    save_pytree(path, q)
+    r = load_pytree(path)
+
+    import jax
+    leaves_a, td_a = jax.tree_util.tree_flatten(q)
+    leaves_b, td_b = jax.tree_util.tree_flatten(r)
+    assert td_a == td_b
+    for a, b in zip(leaves_a, leaves_b):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # cached_build: second call must not invoke the builder
+    calls = []
+    t1 = cached_build(path, lambda: calls.append(1) or q)
+    assert not calls and jax.tree_util.tree_structure(t1) == td_a

@@ -55,6 +55,61 @@ def test_device_eos_short_circuit(bundle, rng):
         assert bundle.eos_token_id not in toks[:-1]
 
 
+@pytest.mark.parametrize("length_penalty,rep_penalty",
+                         [(-1.0, 1.0), (1.0, 1.0), (0.6, 1.3)])
+def test_device_beam_matches_host(bundle, rng, length_penalty, rep_penalty):
+    from qwen2_audio_tpu.runtime.decoding import beam_search
+    from qwen2_audio_tpu.runtime.generate import beam_search_device
+    prompt = rng.integers(2, 90, (1, 5))
+    prefill = embed_tokens(bundle.params, jnp.asarray(prompt))
+    host = beam_search(bundle, prefill, beam_size=4, max_new_tokens=10,
+                       length_penalty=length_penalty,
+                       repetition_penalty=rep_penalty)
+    dev = beam_search_device(bundle, prefill, beam_size=4,
+                             max_new_tokens=10,
+                             length_penalty=length_penalty,
+                             repetition_penalty=rep_penalty)
+    assert dev.tokens == host.tokens
+    np.testing.assert_allclose(dev.logprobs[0], host.logprobs[0], atol=2e-3)
+
+
+def test_device_beam_matches_hf(rng):
+    """Device beam vs HF num_beams generate — the external oracle."""
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+    from qwen2_audio_tpu.models.qwen2_decoder import (
+        decoder_params_from_hf_state_dict)
+    from qwen2_audio_tpu.runtime.generate import beam_search_device
+
+    cfg = Qwen2Config(
+        vocab_size=CFG.vocab_size, hidden_size=CFG.hidden_size,
+        intermediate_size=CFG.intermediate_size,
+        num_hidden_layers=CFG.num_hidden_layers,
+        num_attention_heads=CFG.num_attention_heads,
+        num_key_value_heads=CFG.num_key_value_heads,
+        rope_theta=CFG.rope_theta, tie_word_embeddings=False,
+        attn_implementation="eager")
+    torch.manual_seed(7)
+    hf = Qwen2ForCausalLM(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = decoder_params_from_hf_state_dict(sd, CFG)
+    b = DecoderBundle(cfg=CFG, params=params, proj_w=jnp.eye(64),
+                      proj_b=jnp.zeros(64), eos_token_id=95,
+                      bos_tokens=[], post_audio_tokens=[],
+                      max_ctx=64, cache_dtype=jnp.float32)
+    prompt = rng.integers(2, 90, (1, 5))
+    with torch.no_grad():
+        want = hf.generate(torch.from_numpy(prompt), max_new_tokens=8,
+                           num_beams=4, do_sample=False, eos_token_id=95,
+                           pad_token_id=0, length_penalty=1.0,
+                           early_stopping=True).numpy()[0, 5:]
+    prefill = embed_tokens(params, jnp.asarray(prompt))
+    got = beam_search_device(b, prefill, beam_size=4, max_new_tokens=8,
+                             length_penalty=1.0)
+    tt = [t for t in want if t != 0]
+    np.testing.assert_array_equal(np.asarray(got.tokens[0][:len(tt)]), tt)
+
+
 def test_full_pipeline_uses_device_path(rng):
     import io
     from qwen2_audio_tpu.audio import mel_filterbank

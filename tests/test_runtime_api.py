@@ -103,6 +103,44 @@ def test_full_parallel_batches(ctx, rng):
     assert ctx.state.embd_enc.shape == (2 * 750, HP.n_audio_state)
 
 
+def test_full_parallel_transcribes_chunks(model_buf, rng):
+    """With a decoder attached, -p N produces one decoded segment per 30 s
+    window (upstream whisper_full_parallel semantics), matching the
+    sequential full() output per chunk."""
+    from qwen2_audio_tpu.config import Qwen2DecoderConfig
+    from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+
+    dcfg = Qwen2DecoderConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=False)
+    c = WhisperContext.init_from_buffer_with_params(model_buf)
+    c.decoder = random_bundle(np.random.default_rng(5), dcfg,
+                              enc_state=HP.n_audio_state, max_ctx=1024)
+    samples = (0.1 * rng.standard_normal(16000 * 65)).astype(np.float32)
+
+    p = full_default_params()
+    p.max_new_tokens = 6
+    p.temperature_inc = 0.0
+    rc = c.full_parallel(p, samples, n_processors=2)
+    assert rc == 0
+    assert len(c.state.segments) == 3          # 65 s -> 3 windows
+    assert all(s["tokens"] for s in c.state.segments)
+    assert c.state.result_tokens == [
+        t for s in c.state.segments for t in s["tokens"]]
+
+    # sequential oracle: full() on each 30 s window
+    for i, seg in enumerate(c.state.segments):
+        c2 = WhisperContext.init_from_buffer_with_params(model_buf)
+        c2.decoder = c.decoder
+        p2 = full_default_params()
+        p2.max_new_tokens = 6
+        p2.temperature_inc = 0.0
+        p2.offset_ms = i * 30_000
+        assert c2.full(p2, samples) == 0
+        assert c2.state.result_tokens == seg["tokens"]
+
+
 def test_print_emb_enc(ctx, rng, capsys):
     ctx.full(full_default_params(), (0.1 * rng.standard_normal(32000)).astype(np.float32))
     fp = ctx.print_emb_enc()

@@ -1,0 +1,112 @@
+"""Round-2 flag semantics: no_speech_thold, detect_language, DTW token
+timestamps end-to-end, max_len segment splitting, advisory warnings.
+
+These were accepted-but-inert in round 1; now each FullParams field either
+changes behavior or refuses loudly (the reference itself marks
+no_speech_thold "TODO: not implemented", include/qwen2-whisper.h:418 — this
+implementation goes further and honors it).
+"""
+
+import io
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from qwen2_audio_tpu.audio import mel_filterbank
+from qwen2_audio_tpu.config import Qwen2DecoderConfig, WhisperHParams
+from qwen2_audio_tpu.io.export import write_encoder_checkpoint
+from qwen2_audio_tpu.models.encoder import random_encoder_params
+from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+from qwen2_audio_tpu.runtime import WhisperContext, full_default_params
+
+HP = WhisperHParams(n_vocab=64, n_audio_ctx=128, n_audio_state=64,
+                    n_audio_head=4, n_audio_layer=2, n_mels=16)
+DCFG = Qwen2DecoderConfig(
+    vocab_size=96, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=16, tie_word_embeddings=False)
+
+
+@pytest.fixture()
+def ctx():
+    rng = np.random.default_rng(11)
+    buf = io.BytesIO()
+    write_encoder_checkpoint(buf, random_encoder_params(rng, HP), HP,
+                             mel_filterbank(HP.n_mels), [b"x"] * 60)
+    c = WhisperContext.init_from_buffer_with_params(buf.getvalue())
+    c.decoder = random_bundle(rng, DCFG, enc_state=HP.n_audio_state,
+                              max_ctx=512)
+    return c
+
+
+def _audio(rng, seconds=3):
+    return (0.1 * rng.standard_normal(16000 * seconds)).astype(np.float32)
+
+
+def test_detect_language_errors(ctx, rng):
+    p = full_default_params()
+    p.detect_language = True
+    assert ctx.full(p, _audio(rng)) == -6
+
+
+def test_no_speech_prob_populated(ctx, rng):
+    p = full_default_params()
+    p.max_new_tokens = 4
+    p.temperature_inc = 0.0
+    assert ctx.full(p, _audio(rng)) == 0
+    assert 0.0 <= ctx.state.no_speech_prob <= 1.0
+
+
+def test_no_speech_gate_drops_segment(ctx, rng):
+    """Force the gate: thold 0 (any eos mass trips) + logprob_thold +inf
+    (any decode is 'low confidence') -> silent window, no segments."""
+    p = full_default_params()
+    p.max_new_tokens = 4
+    p.temperature_inc = 0.0
+    p.no_speech_thold = -1.0     # anything > -1 trips
+    p.logprob_thold = 1e9        # avg logprob always below
+    assert ctx.full(p, _audio(rng)) == 0
+    assert ctx.state.segments == []
+    assert ctx.state.result_tokens == []
+
+
+def test_token_timestamps_end_to_end(ctx, rng):
+    p = full_default_params()
+    p.max_new_tokens = 8
+    p.temperature_inc = 0.0
+    p.token_timestamps = True
+    assert ctx.full(p, _audio(rng)) == 0
+    seg = ctx.state.segments[0]
+    times = seg["token_times"]
+    assert len(times) == len(seg["tokens"])
+    # start times are within the window and non-decreasing
+    assert all(seg["t0"] <= t <= seg["t1"] for t in times)
+    assert all(b >= a for a, b in zip(times, times[1:]))
+
+
+def test_max_len_splits_segments(ctx, rng):
+    p = full_default_params()
+    p.max_new_tokens = 10
+    p.temperature_inc = 0.0
+    p.token_timestamps = True
+    p.max_len = 1                # force one token per segment
+    assert ctx.full(p, _audio(rng)) == 0
+    n_tok = len(ctx.state.result_tokens)
+    assert len(ctx.state.segments) == n_tok
+    # segment times tile the window in order
+    t0s = [s["t0"] for s in ctx.state.segments]
+    assert all(b >= a for a, b in zip(t0s, t0s[1:]))
+    joined = [t for s in ctx.state.segments for t in s["tokens"]]
+    assert joined == ctx.state.result_tokens
+
+
+def test_advisory_flags_warn_not_crash(ctx, rng):
+    p = full_default_params()
+    p.max_new_tokens = 3
+    p.temperature_inc = 0.0
+    p.tdrz_enable = True
+    p.max_initial_ts = 0.5
+    p.thold_pt = 0.5
+    assert ctx.full(p, _audio(rng)) == 0
+    assert len(ctx.state.segments) == 1

@@ -38,7 +38,12 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--new", type=int, default=128)
     ap.add_argument("--prefill", type=int, default=64)
+    ap.add_argument("--cache-dir", default="/tmp/qa_param_cache",
+                    help="device-layout param cache; '' disables "
+                         "(io/param_cache.py — skips re-quantization on "
+                         "repeat runs, the 7B setup-time fix)")
     args = ap.parse_args()
+    t_process0 = time.time()
 
     import jax
     import jax.numpy as jnp
@@ -67,31 +72,62 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    # generate on HOST: a dense 7B bf16 pytree on device would OOM the chip
-    # before quantization even starts
-    params = random_decoder_params(rng, cfg, dtype=dtype,
-                                   host=args.quant != "none")
-    if args.quant != "none":
-        import os
+    import os
+    if args.quant != "none" and on_tpu:
         marker = "/tmp/qa_kernel_ok_qmm_q8" if args.quant == "q8_0" \
             else "/tmp/qa_kernel_ok_qmm_q4"
-        if on_tpu and not os.path.exists(marker):
+        if not os.path.exists(marker):
             print(f"WARNING: {marker} missing — quant kernels unvalidated "
                   "on this host, composing anyway", file=sys.stderr)
+
+    def build_host():
+        # generate on HOST: a dense 7B bf16 pytree on device would OOM the
+        # chip before quantization even starts
+        p = random_decoder_params(rng, cfg, dtype=dtype,
+                                  host=args.quant != "none")
         if args.quant == "w8a8":
-            params = quantize_decoder_params(params, GGMLType.Q8_0,
-                                             mode="fast")
-        else:
+            p = quantize_decoder_params(p, GGMLType.Q8_0, mode="fast",
+                                        to_device=False)
+        elif args.quant != "none":
             ttype = (GGMLType.Q8_0 if args.quant == "q8_0"
                      else GGMLType.Q4_0)
-            params = quantize_decoder_params(params, ttype)
+            p = quantize_decoder_params(p, ttype, to_device=False)
+        return p
+
+    if args.quant != "none" and args.cache_dir:
+        from qwen2_audio_tpu.io.param_cache import cached_build
+        path = os.path.join(args.cache_dir,
+                            f"bench-{args.size}-{args.quant}.npz")
+        params = cached_build(path, build_host)
+        print(f"host params ready in {time.time()-t0:.1f}s "
+              f"(cache: {path})", file=sys.stderr)
+    else:
+        params = build_host()
+        print(f"host params built in {time.time()-t0:.1f}s", file=sys.stderr)
+
     if args.quant != "none":
-        # upload the remaining dense leaves (embed/norms/biases) once
-        params = jax.tree.map(
-            lambda a: jnp.asarray(a, dtype=dtype)
-            if isinstance(a, np.ndarray) and a.dtype.kind == "f" else
-            (jnp.asarray(a) if isinstance(a, np.ndarray) else a), params)
-    print(f"params built in {time.time()-t0:.1f}s", file=sys.stderr)
+        # leaf-by-leaf upload: quantized leaves keep their exact dtypes
+        # (scales/mins/scale_n MUST stay f32 for parity), dense float
+        # leaves go to the compute dtype
+        t0 = time.time()
+
+        def upload(node):
+            if isinstance(node, dict):
+                if "qs" in node or "qs8" in node:
+                    return {k: (jnp.asarray(v, dtype=dtype) if k == "b"
+                                else jnp.asarray(v))
+                            for k, v in node.items()}
+                return {k: upload(v) for k, v in node.items()}
+            if isinstance(node, list):
+                return [upload(v) for v in node]
+            if isinstance(node, np.ndarray):
+                return (jnp.asarray(node, dtype=dtype)
+                        if node.dtype.kind == "f" else jnp.asarray(node))
+            return node
+
+        params = upload(params)
+        jax.block_until_ready(params)
+        print(f"uploaded in {time.time()-t0:.1f}s", file=sys.stderr)
 
     bundle = DecoderBundle(
         cfg=cfg, params=params, proj_w=jnp.eye(h, dtype=dtype),
@@ -102,11 +138,16 @@ def main() -> int:
     prefill = jnp.asarray(
         rng.standard_normal((args.batch, args.prefill, h)) * 0.1, dtype)
 
+    if args.quant in ("q8_0", "q4_0"):
+        from qwen2_audio_tpu.ops.linear import group_matmul_mode
+        print(f"group matmul mode: {group_matmul_mode()}", file=sys.stderr)
     t0 = time.time()
     r = greedy_decode_device(bundle, prefill, max_new_tokens=args.new)
     compile_s = time.time() - t0
     print(f"compile+warm {compile_s:.1f}s "
           f"({len(r.tokens[0])} tokens)", file=sys.stderr)
+    print(f"time-to-first-token from process start: "
+          f"{time.time()-t_process0:.1f}s", file=sys.stderr)
 
     best = float("inf")
     for _ in range(3):
