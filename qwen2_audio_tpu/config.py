@@ -31,6 +31,8 @@ class GGMLType(enum.IntEnum):
     Q5_1 = 7
     Q8_0 = 8
     Q8_1 = 9
+    Q4_K = 12
+    Q6_K = 14
     BF16 = 30
 
 
@@ -44,6 +46,8 @@ class GGMLFType(enum.IntEnum):
     MOSTLY_Q8_0 = 7
     MOSTLY_Q5_0 = 8
     MOSTLY_Q5_1 = 9
+    MOSTLY_Q4_K = 12
+    MOSTLY_Q6_K = 14
     MOSTLY_BF16 = 24
 
 
@@ -55,6 +59,8 @@ FTYPE_TO_TYPE = {
     GGMLFType.MOSTLY_Q8_0: GGMLType.Q8_0,
     GGMLFType.MOSTLY_Q5_0: GGMLType.Q5_0,
     GGMLFType.MOSTLY_Q5_1: GGMLType.Q5_1,
+    GGMLFType.MOSTLY_Q4_K: GGMLType.Q4_K,
+    GGMLFType.MOSTLY_Q6_K: GGMLType.Q6_K,
     GGMLFType.MOSTLY_BF16: GGMLType.BF16,
 }
 

@@ -133,8 +133,15 @@ def quantize_checkpoint(
             and not _NEVER_QUANT.search(name)
         )
         if quantize_this:
-            t = quantize_tensor(t, qtype)
-            log_info("quantize: %s -> %s\n", name, qtype.name)
+            qt = qtype
+            if qt in codecs.KBLOCK_BYTES and t.shape[-1] % codecs.QK_K:
+                # k-quant super-blocks need 256-divisible rows; fall back
+                # like llama.cpp does for incompatible tensors
+                qt = GGMLType.Q8_0
+                log_info("quantize: %s rows %% 256 != 0, falling back to "
+                         "q8_0\n", name)
+            t = quantize_tensor(t, qt)
+            log_info("quantize: %s -> %s\n", name, qt.name)
         out_tensors.append(t)
         result[name] = int(t.ttype)
 

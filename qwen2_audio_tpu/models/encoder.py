@@ -211,9 +211,11 @@ def encoder_params_from_ggml(model_file, dtype=jnp.float32,
 
     Tensor names follow the HF-style map at src/qwen2-whisper.cpp:1603-1662.
 
-    ``keep_quantized``: q4_0/q8_0 layer weights stay in their block form as
-    {"qs","scales"} device dicts (bit-exact with the file payload) and run
-    through the Pallas dequant matmul instead of being expanded to dense.
+    ``keep_quantized``: quantized layer weights stay in their block form as
+    {"qs","scales"[,"mins"]} device dicts (bit-exact with the file payload)
+    and run through the Pallas quant matmuls instead of being expanded to
+    dense — all five legacy formats plus q4_K; q6_K (per-16 groups) always
+    dequantizes to dense.
     """
     from qwen2_audio_tpu.config import GGMLType as _GT
     hp = model_file.hparams
@@ -227,7 +229,8 @@ def encoder_params_from_ggml(model_file, dtype=jnp.float32,
 
     def lin(prefix, bias=True):
         t = ts[prefix + ".weight"]
-        if keep_quantized and t.ttype in (_GT.Q4_0, _GT.Q8_0):
+        if keep_quantized and t.ttype in (_GT.Q4_0, _GT.Q8_0, _GT.Q4_1,
+                                          _GT.Q5_0, _GT.Q5_1, _GT.Q4_K):
             from qwen2_audio_tpu.quant.qparams import device_weight_from_ggml_tensor
             out = device_weight_from_ggml_tensor(t)
         else:

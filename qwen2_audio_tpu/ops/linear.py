@@ -29,20 +29,28 @@ from qwen2_audio_tpu.ops.quant_matmul import quant_linear
 from qwen2_audio_tpu.ops.quant_matmul_int8 import quant_linear_int8
 
 # How {"qs","scales"} weights are multiplied:
-#   "int8"    exact-integer group matmul (ggml-mmq analog; activations see
-#             q8_1-equivalent rounding — ggml's own numerics)
-#   "dequant" dequantize-in-VMEM + f32 HIGHEST matmul (no activation
-#             rounding at all; ~2.5x slower at decode)
-#   None      auto: "int8" on TPU once tools/validate_tpu_kernels.py wrote
+#   "bf16"    dequantize-in-VMEM, ONE native bf16 MXU pass. Weights and
+#             activations each single-rounded to 8 mantissa bits — the
+#             same information budget as ggml-mmq's 8-bit q8_1 activation
+#             quantization, finer than its f16 dmmv path. Fastest decode.
+#   "int8"    exact-integer group matmul (ggml-mmq analog; weight values
+#             enter the dot EXACTLY, activations see q8_1-equivalent
+#             rounding). Bandwidth-equal to bf16 mode but pays one
+#             K=32-deep MXU dot per group — slower at decode; use when
+#             integer-exact weight dots are required.
+#   "dequant" dequantize-in-VMEM + f32 HIGHEST matmul (no rounding beyond
+#             the f32 dequant itself; ~2.5x slower at decode)
+#   None      auto: "bf16" on TPU once tools/validate_tpu_kernels.py wrote
 #             the composed-decoder marker for this host, else "dequant"
 # NOTE: read at TRACE time. Set it before the first forward; flipping it
 # later will not invalidate already-compiled jit caches.
 _GROUP_MATMUL_MODE: str | None = None
 _INT8_MARKER = "/tmp/qa_kernel_ok_qmm_int8_decoder"
+_BF16_MARKER = "/tmp/qa_kernel_ok_qmm_bf16_decoder"
 
 
 def set_group_matmul_mode(mode: str | None) -> None:
-    assert mode in (None, "int8", "dequant"), mode
+    assert mode in (None, "bf16", "int8", "dequant"), mode
     global _GROUP_MATMUL_MODE
     _GROUP_MATMUL_MODE = mode
 
@@ -50,9 +58,11 @@ def set_group_matmul_mode(mode: str | None) -> None:
 def group_matmul_mode() -> str:
     if _GROUP_MATMUL_MODE is not None:
         return _GROUP_MATMUL_MODE
-    if jax.default_backend() in ("tpu", "axon") \
-            and os.path.exists(_INT8_MARKER):
-        return "int8"
+    if jax.default_backend() in ("tpu", "axon"):
+        if os.path.exists(_BF16_MARKER):
+            return "bf16"
+        if os.path.exists(_INT8_MARKER):
+            return "int8"
     return "dequant"
 
 
@@ -74,8 +84,11 @@ def linear(x: jax.Array, p: dict) -> jax.Array:
     if "qs8" in p:
         y = _w8a8(x, p)
     elif "qs" in p:
-        y = (quant_linear_int8(x, p) if group_matmul_mode() == "int8"
-             else quant_linear(x, p))
+        mode = group_matmul_mode()
+        if mode == "int8":
+            y = quant_linear_int8(x, p)
+        else:
+            y = quant_linear(x, p, fast=mode == "bf16")
     else:
         y = x @ p["w"].astype(x.dtype)
     if "b" in p:

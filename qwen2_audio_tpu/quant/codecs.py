@@ -26,6 +26,12 @@ from qwen2_audio_tpu.config import GGMLType
 QK = 32  # group size shared by all supported formats (QK4_0 == QK8_0 == 32)
 
 # bytes per 32-element block, matching sizeof(block_*) with packed f16 scales
+# 256-element super-block formats (QK_K): bytes per super-block
+KBLOCK_BYTES = {
+    GGMLType.Q4_K: 2 + 2 + 12 + 128,   # d, dmin, 6-bit scales/mins, nibbles
+    GGMLType.Q6_K: 128 + 64 + 16 + 2,  # ql, qh, int8 scales, d
+}
+
 BLOCK_BYTES = {
     GGMLType.Q4_0: 2 + 16,          # f16 d + 16 nibble bytes
     GGMLType.Q4_1: 2 + 2 + 16,      # f16 d + f16 m + 16 nibble bytes
@@ -68,7 +74,9 @@ def quantize_q4_0(x: np.ndarray) -> np.ndarray:
     xb = _blocks(x)
     maxv = _signed_absmax(xb)
     d = maxv / -8.0
-    inv = np.where(d != 0.0, np.float32(1.0) / d, 0.0).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        inv = np.where(d != 0.0, np.float32(1.0) / d, 0.0
+                       ).astype(np.float32)
     q = _trunc_u8(xb * inv[:, None] + np.float32(8.5), 15)
     packed = q[:, :16] | (q[:, 16:] << 4)
     out = np.empty((xb.shape[0], 18), dtype=np.uint8)
@@ -82,7 +90,9 @@ def quantize_q4_1(x: np.ndarray) -> np.ndarray:
     mn = xb.min(axis=1)
     mx = xb.max(axis=1)
     d = (mx - mn) / np.float32(15.0)
-    inv = np.where(d != 0.0, np.float32(1.0) / d, 0.0).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        inv = np.where(d != 0.0, np.float32(1.0) / d, 0.0
+                       ).astype(np.float32)
     q = _trunc_u8((xb - mn[:, None]) * inv[:, None] + np.float32(0.5), 15)
     packed = q[:, :16] | (q[:, 16:] << 4)
     out = np.empty((xb.shape[0], 20), dtype=np.uint8)
@@ -104,7 +114,9 @@ def quantize_q5_0(x: np.ndarray) -> np.ndarray:
     xb = _blocks(x)
     maxv = _signed_absmax(xb)
     d = maxv / -16.0
-    inv = np.where(d != 0.0, np.float32(1.0) / d, 0.0).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        inv = np.where(d != 0.0, np.float32(1.0) / d, 0.0
+                       ).astype(np.float32)
     q = _trunc_u8(xb * inv[:, None] + np.float32(16.5), 31)
     packed = (q[:, :16] & 0x0F) | ((q[:, 16:] & 0x0F) << 4)
     qh = _pack_qh(q)
@@ -120,7 +132,9 @@ def quantize_q5_1(x: np.ndarray) -> np.ndarray:
     mn = xb.min(axis=1)
     mx = xb.max(axis=1)
     d = (mx - mn) / np.float32(31.0)
-    inv = np.where(d != 0.0, np.float32(1.0) / d, 0.0).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        inv = np.where(d != 0.0, np.float32(1.0) / d, 0.0
+                       ).astype(np.float32)
     # note: the reference applies no MIN cap here ((uint8_t)(x0 + 0.5f))
     q = ((xb - mn[:, None]) * inv[:, None] + np.float32(0.5)).astype(np.uint8)
     packed = (q[:, :16] & 0x0F) | ((q[:, 16:] & 0x0F) << 4)
@@ -137,7 +151,9 @@ def quantize_q8_0(x: np.ndarray) -> np.ndarray:
     xb = _blocks(x)
     amax = np.abs(xb).max(axis=1)
     d = amax / np.float32(127.0)
-    inv = np.where(d != 0.0, np.float32(1.0) / d, 0.0).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        inv = np.where(d != 0.0, np.float32(1.0) / d, 0.0
+                       ).astype(np.float32)
     # roundf = round half away from zero (not banker's rounding)
     scaled = xb * inv[:, None]
     q = np.sign(scaled) * np.floor(np.abs(scaled) + np.float32(0.5))
@@ -204,7 +220,340 @@ def dequantize_q8_0(raw: np.ndarray, n: int) -> np.ndarray:
     return (q * d).astype(np.float32).reshape(-1)[:n]
 
 
+# --------------------------------------------------------------------------- #
+# k-quants: 256-element super-blocks (q4_K, q6_K)
+#
+# Layouts: ggml/src/ggml-common.h (block_q4_K 144 B: f16 d + f16 dmin +
+# 12 B packed 6-bit scales/mins + 128 B nibbles; block_q6_K 210 B: 128 B
+# low nibbles + 64 B high bits + 16 int8 scales + f16 d).
+# Quantizers: ggml/src/ggml-quants.c quantize_row_q4_K_ref:2483 (
+# make_qkx2_quants:1817 scale/min search per 32-group, 6-bit super-scales)
+# and quantize_row_q6_K_ref:2908 (make_qx_quants:1645 per 16-group).
+#
+# Both directions are BIT-EXACT against the reference source semantics:
+# the dequantizers match any ggml build (single-rounded elementwise f32),
+# and the quantizers reproduce the C search with strict sequential-f32
+# accumulation (np.cumsum pins the `acc += term` order), verified
+# byte-for-byte against ggml-quants.c compiled -ffp-contract=off
+# -fno-tree-vectorize (tools/crosscheck_ggml.py --codec-oracle). Note that
+# ggml's own default -O2/-march=native builds reassociate these sums
+# (FMA/SIMD) and differ from THEMSELVES across machines on ~0.1% of
+# borderline blocks; the strict-FP compile is the canonical target.
+# --------------------------------------------------------------------------- #
+
+QK_K = 256
+
+
+def _nearest_int(v: np.ndarray) -> np.ndarray:
+    """ggml nearest_int: round-half-to-even (the 12582912.0f trick)."""
+    return np.rint(v).astype(np.int32)
+
+
+def _seqsum(a: np.ndarray) -> np.ndarray:
+    """Sequential float32 row sum — np.cumsum computes every prefix, which
+    pins the accumulation order and rounding to the C loop's
+    `acc += term` exactly (np.sum uses pairwise summation and diverges)."""
+    return np.cumsum(a.astype(np.float32), axis=1, dtype=np.float32)[:, -1]
+
+
+def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
+                      rmin: float, rdelta: float, nstep: int
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized make_qkx2_quants (use_mad=False): x, weights (G, n).
+    Returns (scale (G,), the_min (G,), L (G, n) uint8).
+
+    All arithmetic is strict float32 in the reference's operation order
+    (sequential accumulations via _seqsum) so the chosen codes match the
+    C search bit-for-bit."""
+    f32 = np.float32
+    x = x.astype(f32)
+    w = weights.astype(f32)
+    xmin0 = x.min(axis=1)
+    xmax = x.max(axis=1)
+    xmin = np.minimum(xmin0, f32(0.0))
+    # C clamps min to 0 BEFORE the max == min early-out (ggml-quants.c:1836-
+    # 1841), so a constant-positive group takes the full search with min=0;
+    # only constant-zero / constant-negative groups hit the flat path.
+    flat = xmax == xmin
+    rng = np.where(xmax > xmin, (xmax - xmin).astype(f32), f32(1.0))
+    sum_w = _seqsum(w)
+    sum_x = _seqsum((w * x).astype(f32))
+
+    iscale = (f32(nmax) / rng).astype(f32)
+    scale = (f32(1.0) / iscale).astype(f32)
+    L = np.clip(_nearest_int((iscale[:, None] * (x - xmin[:, None]).astype(f32)
+                              ).astype(f32)), 0, nmax)
+    Lf = L.astype(f32)
+    diff = (((scale[:, None] * Lf).astype(f32) + xmin[:, None]).astype(f32)
+            - x).astype(f32)
+    best_mad = _seqsum((w * (diff * diff).astype(f32)).astype(f32))
+    cur_min = xmin.copy()
+
+    for step in range(nstep + 1):
+        # the C search is STATEFUL: an accepted update overwrites `min`,
+        # and later iterations quantize against the new min AND the new
+        # (max - min) denominator
+        denom = np.where(flat, f32(1.0), (xmax - cur_min).astype(f32))
+        c = f32(f32(f32(rmin) + f32(f32(rdelta) * f32(step))) + f32(nmax))
+        isc = (c / denom).astype(f32)
+        Laux = np.clip(_nearest_int((isc[:, None]
+                                     * (x - cur_min[:, None]).astype(f32)
+                                     ).astype(f32)), 0, nmax)
+        lf = Laux.astype(f32)
+        wl = (w * lf).astype(f32)
+        sum_l = _seqsum(wl)
+        sum_l2 = _seqsum((wl * lf).astype(f32))
+        sum_xl = _seqsum((wl * x).astype(f32))
+        D = (np.float32(sum_w * sum_l2) - np.float32(sum_l * sum_l)
+             ).astype(f32)
+        Dp = np.where(D > 0, D, f32(1.0))
+        this_scale = ((np.float32(sum_w * sum_xl)
+                       - np.float32(sum_x * sum_l)).astype(f32) / Dp
+                      ).astype(f32)
+        this_min = ((np.float32(sum_l2 * sum_x)
+                     - np.float32(sum_l * sum_xl)).astype(f32) / Dp
+                    ).astype(f32)
+        pos = this_min > 0
+        this_min = np.where(pos, f32(0.0), this_min)
+        this_scale = np.where(
+            pos, (sum_xl / np.where(sum_l2 > 0, sum_l2, f32(1.0))
+                  ).astype(f32), this_scale)
+        diff = (((this_scale[:, None] * lf).astype(f32)
+                 + this_min[:, None]).astype(f32) - x).astype(f32)
+        mad = _seqsum((w * (diff * diff).astype(f32)).astype(f32))
+        upd = (D > 0) & (mad < best_mad)
+        L = np.where(upd[:, None], Laux, L)
+        best_mad = np.where(upd, mad, best_mad)
+        scale = np.where(upd, this_scale, scale)
+        cur_min = np.where(upd, this_min, cur_min)
+
+    scale = np.where(flat, f32(0.0), scale)
+    the_min = np.where(flat, -xmin, -cur_min)
+    L = np.where(flat[:, None], 0, L)
+    return (scale.astype(np.float32), the_min.astype(np.float32),
+            L.astype(np.uint8))
+
+
+def _pack_k4_scales(ls: np.ndarray, lm: np.ndarray) -> np.ndarray:
+    """(nb, 8) 6-bit scales + mins -> (nb, 12) packed bytes
+    (quantize_row_q4_K_ref:2519-2528 layout)."""
+    nb = ls.shape[0]
+    sc = np.zeros((nb, 12), np.uint8)
+    sc[:, 0:4] = ls[:, 0:4] & 63
+    sc[:, 4:8] = lm[:, 0:4] & 63
+    sc[:, 8:12] = (ls[:, 4:8] & 0xF) | ((lm[:, 4:8] & 0xF) << 4)
+    sc[:, 0:4] |= (ls[:, 4:8] >> 4) << 6
+    sc[:, 4:8] |= (lm[:, 4:8] >> 4) << 6
+    return sc
+
+
+def _unpack_k4_scales(sc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(nb, 12) packed bytes -> 6-bit (sc (nb,8), m (nb,8))
+    (get_scale_min_k4, ggml-quants.c:1898)."""
+    q = sc.astype(np.int32)
+    d = np.empty((sc.shape[0], 8), np.int32)
+    m = np.empty_like(d)
+    d[:, 0:4] = q[:, 0:4] & 63
+    m[:, 0:4] = q[:, 4:8] & 63
+    d[:, 4:8] = (q[:, 8:12] & 0xF) | ((q[:, 0:4] >> 6) << 4)
+    m[:, 4:8] = (q[:, 8:12] >> 4) | ((q[:, 4:8] >> 6) << 4)
+    return d, m
+
+
+def quantize_q4_K(x: np.ndarray) -> np.ndarray:
+    xb = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    if xb.size % QK_K:
+        raise ValueError(f"size {xb.size} not a multiple of {QK_K}")
+    nb = xb.size // QK_K
+    xg = xb.reshape(nb * 8, 32)
+
+    sum_x2 = _seqsum((xg * xg).astype(np.float32))
+    av_x = np.sqrt((sum_x2 / np.float32(32.0)).astype(np.float32)
+                   ).astype(np.float32)
+    weights = (av_x[:, None] + np.abs(xg)).astype(np.float32)
+    scales, mins, L = _make_qkx2_quants(xg, weights, 15, -1.0, 0.1, 20)
+    scales = scales.reshape(nb, 8)
+    mins = mins.reshape(nb, 8)
+    L = L.reshape(nb, 8, 32)
+
+    # C starts both maxima at +0.0 and updates on strictly-greater only
+    # (quantize_row_q4_K_ref:2494-2510), so an all-non-positive column yields
+    # +0.0 — never -0.0 (which would flip the f16 dmin sign byte)
+    max_scale = np.where(scales.max(1) > 0, scales.max(1), np.float32(0.0))
+    max_min = np.where(mins.max(1) > 0, mins.max(1), np.float32(0.0))
+    with np.errstate(divide="ignore"):
+        inv_scale = np.where(max_scale > 0, 63.0 / max_scale, 0.0
+                             ).astype(np.float32)
+        inv_min = np.where(max_min > 0, 63.0 / max_min, 0.0
+                           ).astype(np.float32)
+    ls = np.minimum(63, _nearest_int(inv_scale[:, None] * scales)
+                    ).astype(np.uint8)
+    lm = np.minimum(63, _nearest_int(inv_min[:, None] * mins)
+                    ).astype(np.uint8)
+    packed_sc = _pack_k4_scales(ls, lm)
+    d = (max_scale / 63.0).astype(np.float16)
+    dmin = (max_min / 63.0).astype(np.float16)
+
+    # re-quantize L against the DECODED (f16, 6-bit) scales, like the ref
+    sc_dec, m_dec = _unpack_k4_scales(packed_sc)
+    dd = (d.astype(np.float32)[:, None] * sc_dec.astype(np.float32)
+          ).astype(np.float32)                           # (nb, 8)
+    dm = (dmin.astype(np.float32)[:, None] * m_dec.astype(np.float32)
+          ).astype(np.float32)
+    safe = np.where(dd != 0, dd, 1.0)
+    L2 = np.clip(_nearest_int((xb.reshape(nb, 8, 32) + dm[:, :, None])
+                              / safe[:, :, None]), 0, 15)
+    L = np.where((dd != 0)[:, :, None], L2, L).astype(np.uint8)
+
+    # pack nibbles: per 64-chunk, low = elems 0..31, high = 32..63
+    Lc = L.reshape(nb, 4, 2, 32)
+    qs = (Lc[:, :, 0] | (Lc[:, :, 1] << 4)).reshape(nb, 128).astype(np.uint8)
+
+    out = np.empty((nb, 144), np.uint8)
+    out[:, 0:2] = d.view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = dmin.view(np.uint8).reshape(-1, 2)
+    out[:, 4:16] = packed_sc
+    out[:, 16:] = qs
+    return out.reshape(-1)
+
+
+def dequantize_q4_K(raw: np.ndarray, n: int) -> np.ndarray:
+    b = raw.reshape(-1, 144)
+    nb = b.shape[0]
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)    # (nb, 1)
+    dmin = b[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc, m = _unpack_k4_scales(b[:, 4:16])
+    qs = b[:, 16:].reshape(nb, 4, 32)
+    lo = (qs & 0xF).astype(np.float32)
+    hi = (qs >> 4).astype(np.float32)
+    q = np.stack([lo, hi], axis=2).reshape(nb, 8, 32)
+    dd = d * sc.astype(np.float32)                               # (nb, 8)
+    dm = dmin * m.astype(np.float32)
+    y = dd[:, :, None] * q - dm[:, :, None]
+    return y.astype(np.float32).reshape(-1)[:n]
+
+
+def _make_qx_quants(x: np.ndarray, nmax: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized make_qx_quants (rmse_type=1, w = x^2): x (G, n).
+    Returns (scale (G,), L (G, n) uint8 with +nmax offset).
+    Strict f32 in the reference's operation order (see _make_qkx2_quants)."""
+    f32 = np.float32
+    x = x.astype(f32)
+    G, n = x.shape
+    a = np.abs(x)
+    idx = np.argmax(a, axis=1)
+    rows = np.arange(G)
+    amax = a[rows, idx]
+    maxv = x[rows, idx]
+    dead = amax < f32(1e-15)                    # GROUP_MAX_EPS
+    safe_max = np.where(dead, f32(1.0), maxv)
+
+    w = (x * x).astype(f32)
+
+    def pass_at(iscale):
+        l = np.clip(_nearest_int((iscale[:, None] * x).astype(f32)),
+                    -nmax, nmax - 1)
+        lf = l.astype(f32)
+        wx = (w * x).astype(f32)
+        wl = (w * lf).astype(f32)
+        sumlx = _seqsum((wx * lf).astype(f32))
+        suml2 = _seqsum((wl * lf).astype(f32))
+        return l, sumlx, suml2
+
+    iscale0 = (f32(-nmax) / safe_max).astype(f32)
+    L, sumlx, suml2 = pass_at(iscale0)
+    scale = np.where(suml2 > 0,
+                     (sumlx / np.where(suml2 > 0, suml2, f32(1.0))
+                      ).astype(f32), f32(0.0))
+    best = (scale * sumlx).astype(f32)
+    for step in range(-9, 10):
+        if step == 0:
+            continue
+        c = -f32(f32(nmax) + f32(f32(0.1) * f32(step)))
+        isc = (c / safe_max).astype(f32)
+        l, slx, sl2 = pass_at(isc)
+        upd = (sl2 > 0) & (np.float32(slx * slx) > np.float32(best * sl2))
+        L = np.where(upd[:, None], l, L)
+        scale = np.where(upd, (slx / np.where(sl2 > 0, sl2, f32(1.0))
+                               ).astype(f32), scale)
+        best = np.where(upd, (scale * slx).astype(f32), best)
+
+    L = np.where(dead[:, None], -nmax, L) + nmax
+    scale = np.where(dead, f32(0.0), scale)
+    return scale.astype(np.float32), L.astype(np.uint8)
+
+
+def quantize_q6_K(x: np.ndarray) -> np.ndarray:
+    xb = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    if xb.size % QK_K:
+        raise ValueError(f"size {xb.size} not a multiple of {QK_K}")
+    nb = xb.size // QK_K
+    xg = xb.reshape(nb, 16, 16)
+
+    scales, L = _make_qx_quants(xg.reshape(-1, 16), 32)
+    scales = scales.reshape(nb, 16)
+    L = L.reshape(nb, 16, 16).astype(np.int32)
+
+    absmax_idx = np.argmax(np.abs(scales), axis=1)
+    rows = np.arange(nb)
+    max_scale = scales[rows, absmax_idx]
+    dead_blk = np.abs(max_scale) < 1e-15        # GROUP_MAX_EPS
+    safe_ms = np.where(dead_blk, 1.0, max_scale)
+
+    iscale = (-128.0 / safe_ms).astype(np.float32)
+    d = (1.0 / iscale).astype(np.float16)
+    sc8 = np.minimum(127, _nearest_int(iscale[:, None] * scales)
+                     ).astype(np.int8)
+
+    dd = d.astype(np.float32)[:, None] * sc8.astype(np.float32)  # (nb, 16)
+    safe = np.where(dd != 0, dd, 1.0)
+    L2 = np.clip(_nearest_int(xg / safe[:, :, None]), -32, 31) + 32
+    L = np.where((dd != 0)[:, :, None], L2, L).astype(np.uint8)
+
+    # pack: per 128-chunk, ql holds nibbles of (0..31, 64..95) and
+    # (32..63, 96..127); qh holds the two high bits of all four runs
+    Lh = L.reshape(nb, 2, 4, 32)                # chunks of 128, 4 runs
+    q1, q2, q3, q4 = (Lh[:, :, i] for i in range(4))
+    ql = np.concatenate([(q1 & 0xF) | ((q3 & 0xF) << 4),
+                         (q2 & 0xF) | ((q4 & 0xF) << 4)], axis=2)
+    qh = ((q1 >> 4) | ((q2 >> 4) << 2) | ((q3 >> 4) << 4)
+          | ((q4 >> 4) << 6))
+    zero = dead_blk[:, None]
+
+    out = np.empty((nb, 210), np.uint8)
+    out[:, 0:128] = np.where(zero, 0, ql.reshape(nb, 128)).astype(np.uint8)
+    out[:, 128:192] = np.where(zero, 0, qh.reshape(nb, 64)).astype(np.uint8)
+    out[:, 192:208] = np.where(zero, 0,
+                               sc8.view(np.uint8).reshape(nb, 16))
+    dz = np.where(dead_blk, np.float16(0.0), d).astype(np.float16)
+    out[:, 208:210] = dz.view(np.uint8).reshape(-1, 2)
+    return out.reshape(-1)
+
+
+def dequantize_q6_K(raw: np.ndarray, n: int) -> np.ndarray:
+    b = raw.reshape(-1, 210)
+    nb = b.shape[0]
+    ql = b[:, 0:128].reshape(nb, 2, 64)
+    qh = b[:, 128:192].reshape(nb, 2, 32)
+    sc = b[:, 192:208].copy().view(np.int8).astype(np.float32)  # (nb, 16)
+    d = b[:, 208:210].copy().view(np.float16).astype(np.float32)  # (nb, 1)
+
+    lo = ql & 0xF
+    hi = ql >> 4
+    q1 = (lo[:, :, :32] | (((qh >> 0) & 3) << 4)).astype(np.int32) - 32
+    q2 = (lo[:, :, 32:] | (((qh >> 2) & 3) << 4)).astype(np.int32) - 32
+    q3 = (hi[:, :, :32] | (((qh >> 4) & 3) << 4)).astype(np.int32) - 32
+    q4 = (hi[:, :, 32:] | (((qh >> 6) & 3) << 4)).astype(np.int32) - 32
+    q = np.stack([q1, q2, q3, q4], axis=2).reshape(nb, 256)  # position order
+    dsc = d * np.repeat(sc, 16, axis=1)          # d * sc[pos // 16]
+    y = dsc * q.astype(np.float32)
+    return y.astype(np.float32).reshape(-1)[:n]
+
+
 _QUANTIZERS = {
+    GGMLType.Q4_K: quantize_q4_K,
+    GGMLType.Q6_K: quantize_q6_K,
     GGMLType.Q4_0: quantize_q4_0,
     GGMLType.Q4_1: quantize_q4_1,
     GGMLType.Q5_0: quantize_q5_0,
@@ -213,6 +562,8 @@ _QUANTIZERS = {
 }
 
 _DEQUANTIZERS = {
+    GGMLType.Q4_K: dequantize_q4_K,
+    GGMLType.Q6_K: dequantize_q6_K,
     GGMLType.Q4_0: dequantize_q4_0,
     GGMLType.Q4_1: dequantize_q4_1,
     GGMLType.Q5_0: dequantize_q5_0,
@@ -231,7 +582,10 @@ def dequantize(raw: np.ndarray, ttype: GGMLType, n: int | None = None) -> np.nda
     ttype = GGMLType(ttype)
     raw = np.ascontiguousarray(raw, dtype=np.uint8)
     if n is None:
-        n = raw.size // BLOCK_BYTES[ttype] * QK
+        if ttype in KBLOCK_BYTES:
+            n = raw.size // KBLOCK_BYTES[ttype] * QK_K
+        else:
+            n = raw.size // BLOCK_BYTES[ttype] * QK
     return _DEQUANTIZERS[ttype](raw, n)
 
 
@@ -246,4 +600,8 @@ def type_size_bytes(ttype: GGMLType, n_elements: int) -> int:
         if n_elements % QK:
             raise ValueError(f"{n_elements} not a multiple of {QK}")
         return n_elements // QK * BLOCK_BYTES[ttype]
+    if ttype in KBLOCK_BYTES:
+        if n_elements % QK_K:
+            raise ValueError(f"{n_elements} not a multiple of {QK_K}")
+        return n_elements // QK_K * KBLOCK_BYTES[ttype]
     raise ValueError(f"unsupported ggml type {ttype}")

@@ -111,3 +111,86 @@ def test_q4_0_nibble_layout(rng):
     assert d == np.float16(1.0)
     assert raw[2] & 0x0F == 0
     assert raw[2] >> 4 == 15
+
+
+def test_kquant_roundtrip_bounds(rng):
+    """q4_K / q6_K: 256-super-block codecs stay inside the expected error
+    envelope and byte budget (block_q4_K 144 B, block_q6_K 210 B)."""
+    from qwen2_audio_tpu.quant import codecs
+    from qwen2_audio_tpu.config import GGMLType
+    x = (rng.standard_normal(8 * 256) * 0.2).astype(np.float32)
+    for t, bpb, tol in ((GGMLType.Q4_K, 144, 0.08),
+                        (GGMLType.Q6_K, 210, 0.03)):
+        raw = codecs.quantize(x, t)
+        assert raw.size == 8 * bpb
+        assert codecs.type_size_bytes(t, x.size) == raw.size
+        y = codecs.dequantize(raw, t, x.size)
+        rel = np.abs(y - x).max() / np.abs(x).max()
+        assert rel < tol, (t, rel)
+
+
+def test_q4_K_device_weight_bit_exact(rng):
+    """q4_K device dict (32-group scales+mins) dequantizes bit-exactly to
+    the codec dequantization — the parity invariant the matmul rests on."""
+    import jax.numpy as jnp
+    from qwen2_audio_tpu.config import GGMLType
+    from qwen2_audio_tpu.io.ggml_format import GGMLTensor
+    from qwen2_audio_tpu.ops.quant_matmul import dequantize_weight, quant_linear
+    from qwen2_audio_tpu.quant import codecs
+    N, K = 16, 512   # torch [out, in]; K % 256 == 0
+    w = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+    raw = codecs.quantize(w, GGMLType.Q4_K)
+    t = GGMLTensor("w", (N, K), GGMLType.Q4_K, raw)
+    from qwen2_audio_tpu.quant.qparams import device_weight_from_ggml_tensor
+    qw = device_weight_from_ggml_tensor(t)
+    assert "mins" in qw and qw["scales"].shape == (K // 32, N)
+
+    want = codecs.dequantize(raw, GGMLType.Q4_K, w.size).reshape(N, K).T
+    got = np.asarray(dequantize_weight(qw))
+    np.testing.assert_array_equal(got, want)
+
+    x = rng.standard_normal((4, K)).astype(np.float32)
+    y = np.asarray(quant_linear(jnp.asarray(x), qw))
+    np.testing.assert_allclose(y, x @ want, atol=2e-3, rtol=1e-3)
+
+
+def test_quantize_checkpoint_q4_K(rng):
+    """The quantize tool re-encodes 2-D weights to q4_K (256-divisible
+    rows) and falls back to q8_0 otherwise — then the checkpoint loads."""
+    import io as _io
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.config import GGMLFType, GGMLType, WhisperHParams
+    from qwen2_audio_tpu.io.export import quantize_checkpoint, write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.runtime import WhisperContext, full_default_params
+
+    hp = WhisperHParams(n_vocab=64, n_audio_ctx=256, n_audio_state=256,
+                        n_audio_head=4, n_audio_layer=1, n_mels=16)
+    params = random_encoder_params(np.random.default_rng(0), hp)
+    buf = _io.BytesIO()
+    write_encoder_checkpoint(buf, params, hp, mel_filterbank(16),
+                             [b"x"] * 60)
+    buf.seek(0)
+    out = _io.BytesIO()
+    result = quantize_checkpoint(buf, out, GGMLFType.MOSTLY_Q4_K)
+    assert GGMLType.Q4_K in set(result.values())
+
+    ctx = WhisperContext.init_from_buffer_with_params(out.getvalue())
+    rc = ctx.full(full_default_params(),
+                  (0.1 * np.random.default_rng(1).standard_normal(32000)
+                   ).astype(np.float32))
+    assert rc == 0
+
+
+def test_codec_oracle_vs_reference_libggml():
+    """Byte-level bit-exactness vs the reference's OWN ggml-quants.c
+    (strict-FP compile; see tools/crosscheck_ggml.py --codec-oracle).
+    Skips when the CPU cmake build of the reference is absent."""
+    import os
+    import pytest
+    if not os.path.exists("/tmp/ggml_cpu_build/ggml/src/libggml.so"):
+        pytest.skip("reference CPU build missing (cmake -DGGML_CUDA=OFF)")
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from crosscheck_ggml import build_codec_oracle, run_codec_oracle
+    assert run_codec_oracle(build_codec_oracle()) == 0

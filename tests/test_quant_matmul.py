@@ -238,9 +238,10 @@ def test_int8_mode_linear_dispatch(ttype, tol, rng):
     assert np.abs(got - ref).max() < tol * scale + 1e-3
 
 
-def test_int8_mode_decoder_parity(rng):
-    """Quantized decoder logits in int8 mode track the dequant-mode logits
-    (the wiring the bench uses for the fast ggml-parity decode)."""
+@pytest.mark.parametrize("fast_mode", ["int8", "bf16"])
+def test_fast_mode_decoder_parity(rng, fast_mode):
+    """Quantized decoder logits in each fast mode track the dequant-mode
+    logits (the wiring the bench uses for the fast ggml-parity decode)."""
     from qwen2_audio_tpu.models.qwen2_decoder import (
         create_cache, decoder_forward, embed_tokens, random_decoder_params)
     from qwen2_audio_tpu.ops.linear import set_group_matmul_mode
@@ -255,7 +256,7 @@ def test_int8_mode_decoder_parity(rng):
 
     outs = {}
     try:
-        for mode in ("dequant", "int8"):
+        for mode in ("dequant", fast_mode):
             set_group_matmul_mode(mode)
             cache = create_cache(cfg, 1, 8, dtype=jnp.float32)
             lg, cache = decoder_forward(qparams, cfg, x, cache, 0,
@@ -266,6 +267,6 @@ def test_int8_mode_decoder_parity(rng):
             decoder_forward.clear_cache()
     finally:
         set_group_matmul_mode(None)
-    err = np.abs(outs["int8"] - outs["dequant"]).max()
+    err = np.abs(outs[fast_mode] - outs["dequant"]).max()
     scale = np.abs(outs["dequant"]).max()
     assert err < 0.05 * scale + 0.05, err

@@ -42,6 +42,12 @@ def main() -> int:
                     help="device-layout param cache; '' disables "
                          "(io/param_cache.py — skips re-quantization on "
                          "repeat runs, the 7B setup-time fix)")
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "q8"],
+                    help="KV cache dtype (q8 = int8 cache consumed "
+                         "directly by the decode attention)")
+    ap.add_argument("--beam", type=int, default=0,
+                    help="if > 0, run device-side beam search with this "
+                         "beam width instead of greedy")
     args = ap.parse_args()
     t_process0 = time.time()
 
@@ -57,7 +63,8 @@ def main() -> int:
     from qwen2_audio_tpu.models.qwen2_decoder import random_decoder_params
     from qwen2_audio_tpu.quant.qparams import quantize_decoder_params
     from qwen2_audio_tpu.runtime.decoding import DecoderBundle
-    from qwen2_audio_tpu.runtime.generate import greedy_decode_device
+    from qwen2_audio_tpu.runtime.generate import (
+        beam_search_device, greedy_decode_device)
 
     h, inter, L, H, KV, dh, V = SIZES[args.size]
     cfg = Qwen2DecoderConfig(
@@ -133,7 +140,14 @@ def main() -> int:
         cfg=cfg, params=params, proj_w=jnp.eye(h, dtype=dtype),
         proj_b=jnp.zeros(h, dtype=dtype), eos_token_id=-1,  # never emitted
         bos_tokens=[], post_audio_tokens=[],
-        max_ctx=args.prefill + args.new + 8, cache_dtype=dtype)
+        max_ctx=args.prefill + args.new + 8,
+        cache_dtype="q8" if args.kv == "q8" else dtype)
+
+    def decode_once():
+        if args.beam > 0:
+            return beam_search_device(bundle, prefill, beam_size=args.beam,
+                                      max_new_tokens=args.new)
+        return greedy_decode_device(bundle, prefill, max_new_tokens=args.new)
 
     prefill = jnp.asarray(
         rng.standard_normal((args.batch, args.prefill, h)) * 0.1, dtype)
@@ -142,7 +156,7 @@ def main() -> int:
         from qwen2_audio_tpu.ops.linear import group_matmul_mode
         print(f"group matmul mode: {group_matmul_mode()}", file=sys.stderr)
     t0 = time.time()
-    r = greedy_decode_device(bundle, prefill, max_new_tokens=args.new)
+    r = decode_once()
     compile_s = time.time() - t0
     print(f"compile+warm {compile_s:.1f}s "
           f"({len(r.tokens[0])} tokens)", file=sys.stderr)
@@ -152,12 +166,17 @@ def main() -> int:
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        r = greedy_decode_device(bundle, prefill, max_new_tokens=args.new)
+        r = decode_once()
         best = min(best, max(time.time() - t0 - 0.030, 1e-9))
-    n_tok = sum(len(t) for t in r.tokens)
+    if args.beam > 0:
+        # beam emits one hypothesis; per-step work is beam_size streams
+        n_tok = len(r.tokens[0])
+    else:
+        n_tok = sum(len(t) for t in r.tokens)
     tps = n_tok / best
-    print(f"decode: {n_tok} tokens in {best*1e3:.1f} ms -> "
-          f"{tps:.1f} tok/s ({tps/args.batch:.1f} tok/s/stream)")
+    tag = f" beam={args.beam}" if args.beam else ""
+    print(f"decode{tag} kv={args.kv}: {n_tok} tokens in {best*1e3:.1f} ms "
+          f"-> {tps:.1f} tok/s ({tps/args.batch:.1f} tok/s/stream)")
     return 0
 
 

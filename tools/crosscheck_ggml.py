@@ -1,0 +1,251 @@
+#!/usr/bin/env python
+"""Direct cross-check against the actual ggml reference binary.
+
+Closes the BASELINE config-#3 loop ("logits parity vs ggml") without the
+HF-oracle detour: build a synthetic checkpoint, run the reference's
+CPU-only `main` (examples/main/main.cpp:573-583 prints the 20-float
+encoder fingerprint, whisper_print_emb_enc src/qwen2-whisper.cpp:4191-4203)
+and our WhisperContext on the same WAV, and diff the fingerprints —
+for f32, q8_0, q5_1, q5_0, q4_1, q4_0, q4_K and q6_K checkpoints —
+every quantized payload is produced by OUR quantizer and decoded by BOTH
+runtimes, so a mismatch catches either side's codec or matmul.
+
+f16 checkpoints are excluded for a documented reference-side reason: the
+fork changed ggml_conv_1d's im2col dst type to F32
+(/root/reference/ggml/src/ggml.c:6642; upstream whisper.cpp uses F16), so
+the conv lowers to mul_mat(f32 im2col, f16 kernel) — an op the CPU backend
+rejects (ggml-backend.cpp:1156 requires src1 f32 or the vec_dot type) and
+the scheduler aborts (`node_backend_id != -1`). A stock f16-converted
+model therefore cannot run CPU-only in the reference at all; it only ever
+ran under CUDA. The quantized configs still exercise f16 GROUP SCALES and
+every quantized payload path on both sides.
+
+Usage:
+    cmake -S /root/reference -B /tmp/ggml_cpu_build -DGGML_CUDA=OFF -G Ninja
+    ninja -C /tmp/ggml_cpu_build main
+    python tools/crosscheck_ggml.py [--ref-bin /tmp/ggml_cpu_build/bin/main]
+                                    [--tol 0.01]
+
+Exit 0 iff every format's max |Δ| over the 20 fingerprint floats <= tol.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import re
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+
+def run_reference(ref_bin: str, model: str, wav: str,
+                  timeout_s: float = 1800.0) -> np.ndarray:
+    """Run the ggml main; return the first fingerprint line's floats.
+
+    main loops whisper_full 100x (examples/main/main.cpp:574); every
+    iteration prints the identical fingerprint, so the process is
+    terminated as soon as the first line appears."""
+    import select
+    import time as _time
+    proc = subprocess.Popen(
+        [ref_bin, "-m", model, "-f", wav, "-t", "4", "--no-prints"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    pat = re.compile(r"^( -?\d+\.\d{3}){20}$")
+    line = None
+    deadline = _time.monotonic() + timeout_s
+    try:
+        while _time.monotonic() < deadline:
+            r, _, _ = select.select([proc.stdout], [], [], 1.0)
+            if r:
+                l = proc.stdout.readline()
+                if not l:
+                    break
+                if pat.fullmatch(l.rstrip("\n")):
+                    line = l
+                    break
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+    if line is None:
+        err = proc.stderr.read() if proc.stderr else ""
+        raise RuntimeError(
+            f"reference produced no fingerprint (rc={proc.returncode})\n"
+            f"stderr:\n{err[-2000:]}")
+    return np.asarray([float(v) for v in line.split()])
+
+
+def build_codec_oracle(build_dir: str = "/tmp/ggml_cpu_build") -> str:
+    """Compile tools/ggml_quant_oracle.c against the reference's libggml,
+    plus a strict-FP object of ggml-quants.c itself.
+
+    ggml's own -O2/-march=native builds reassociate the quantizer's f32
+    sums (FMA/SIMD) and differ from THEMSELVES across machines on ~0.1%
+    of borderline blocks, so the canonical bit-exactness target is the C
+    source semantics: sequential f32 (-ffp-contract=off
+    -fno-tree-vectorize). Legacy formats have no reductions and are
+    identical under any flags."""
+    ref = "/root/reference/ggml"
+    quants_o = "/tmp/qa_ggml_quants_strict.o"
+    out = "/tmp/qa_ggml_quant_oracle"
+    here = os.path.dirname(os.path.abspath(__file__))
+    subprocess.run(
+        ["gcc", "-O2", "-ffp-contract=off", "-fno-tree-vectorize",
+         f"-I{ref}/include", f"-I{ref}/src",
+         "-c", f"{ref}/src/ggml-quants.c", "-o", quants_o], check=True)
+    subprocess.run(
+        ["gcc", "-O2", f"-I{ref}/include", f"-I{ref}/src",
+         os.path.join(here, "ggml_quant_oracle.c"), quants_o,
+         f"-L{build_dir}/ggml/src", "-lggml",
+         f"-Wl,-rpath,{build_dir}/ggml/src", "-lm", "-o", out], check=True)
+    return out
+
+
+def run_codec_oracle(oracle: str, tol_unused: float = 0.0) -> int:
+    """Byte-level cross-check: our quantize/dequantize vs the reference's
+    own ggml_quantize_chunk / to_float, all 7 formats, edge blocks
+    included. Exit 0 iff payloads AND dequants are bit-identical."""
+    from qwen2_audio_tpu.config import GGMLType
+    from qwen2_audio_tpu.quant import codecs
+
+    rng = np.random.default_rng(7)
+    n = 256 * 64
+    x = (rng.standard_normal(n) * rng.uniform(0.01, 2.0)).astype(np.float32)
+    x[:256] = 0.0                       # all-zero block
+    x[256:512] = np.float32(1.5)        # constant-positive block
+    x[512:768] = np.float32(-2.25)      # constant-negative block
+    x[768] = -0.0                       # signed zero
+    tmp = tempfile.mkdtemp(prefix="qa_codec_oracle_")
+    src = os.path.join(tmp, "in.f32")
+    x.tofile(src)
+    fail = False
+    for t in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+              GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q6_K):
+        qf, df = os.path.join(tmp, "out.q"), os.path.join(tmp, "out.f32")
+        subprocess.run([oracle, str(int(t)), str(n), src, qf, df],
+                       check=True, capture_output=True)
+        ref_q = np.fromfile(qf, dtype=np.uint8)
+        ref_d = np.fromfile(df, dtype=np.float32)
+        ours_q = codecs.quantize(x, t).view(np.uint8)
+        ours_d = codecs.dequantize(ref_q, t, n)
+        q_ok = ours_q.size == ref_q.size and (ours_q == ref_q).all()
+        d_ok = (ours_d == ref_d).all()
+        print(f"[codec-oracle] {t.name:5s} payload bit-exact={q_ok} "
+              f"dequant bit-exact={d_ok}", flush=True)
+        fail |= not (q_ok and d_ok)
+    print(f"[codec-oracle] {'FAIL' if fail else 'ALL BIT-EXACT'}")
+    return 1 if fail else 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref-bin", default="/tmp/ggml_cpu_build/bin/main")
+    ap.add_argument("--tol", type=float, default=0.01)
+    ap.add_argument("--formats", default="f32,q8_0,q5_1,q5_0,q4_1,q4_0,q4_k,q6_k")
+    ap.add_argument("--codec-oracle", action="store_true",
+                    help="byte-level quantizer/dequantizer cross-check "
+                         "against the reference's own ggml-quants.c "
+                         "(needs the CPU cmake build for libggml)")
+    args = ap.parse_args()
+
+    if args.codec_oracle:
+        build_dir = os.path.dirname(os.path.dirname(args.ref_bin))
+        return run_codec_oracle(build_codec_oracle(build_dir))
+
+    if not os.path.exists(args.ref_bin):
+        print(f"reference binary missing at {args.ref_bin}; build it with "
+              "cmake -DGGML_CUDA=OFF first (see module docstring)",
+              file=sys.stderr)
+        return 2
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # bit-stable f32 comparison
+
+    from qwen2_audio_tpu.audio import mel_filterbank, write_wav
+    from qwen2_audio_tpu.config import GGMLFType, WhisperHParams
+    from qwen2_audio_tpu.io.export import quantize_checkpoint, write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.runtime import ContextParams, WhisperContext, full_default_params
+
+    ftypes = {
+        "f32": None,
+        "q8_0": GGMLFType.MOSTLY_Q8_0,
+        "q5_1": GGMLFType.MOSTLY_Q5_1,
+        "q5_0": GGMLFType.MOSTLY_Q5_0,
+        "q4_1": GGMLFType.MOSTLY_Q4_1,
+        "q4_0": GGMLFType.MOSTLY_Q4_0,
+        "q4_k": GGMLFType.MOSTLY_Q4_K,
+        "q6_k": GGMLFType.MOSTLY_Q6_K,
+    }
+
+    # small but real tower: enough layers for quant noise to accumulate
+    hp = WhisperHParams(n_vocab=64, n_audio_ctx=1500, n_audio_state=128,
+                        n_audio_head=4, n_audio_layer=2, n_mels=80,
+                        n_text_state=128)   # loader asserts text==audio dim
+    rng = np.random.default_rng(42)
+    params = random_encoder_params(rng, hp)
+
+    tmp = tempfile.mkdtemp(prefix="qa_crosscheck_")
+    base = os.path.join(tmp, "model-f32.bin")
+    # f32 base: the fork's conv graph cannot run f16 kernels on CPU (see
+    # module docstring); conv weights stay f32 in quantized files too,
+    # exactly like ggml_common_quantize_0 (2-D-only quantization)
+    write_encoder_checkpoint(base, params, hp, mel_filterbank(hp.n_mels),
+                             [b"tok%d" % i for i in range(60)],
+                             use_f16=False)
+
+    wav = os.path.join(tmp, "tone.wav")
+    t = np.arange(16000 * 4) / 16000.0
+    sig = (0.3 * np.sin(2 * np.pi * 440 * t)
+           + 0.2 * np.sin(2 * np.pi * 1313 * t)
+           + 0.05 * rng.standard_normal(t.size))
+    write_wav(wav, sig.astype(np.float32))
+
+    worst = {}
+    failed = False
+    for name in args.formats.split(","):
+        model = base
+        if ftypes[name] is not None:
+            model = os.path.join(tmp, f"model-{name}.bin")
+            with open(base, "rb") as f:
+                src = io.BytesIO(f.read())
+            with open(model, "wb") as f:
+                quantize_checkpoint(src, f, ftypes[name])
+
+        ref = run_reference(args.ref_bin, model, wav)
+
+        ctx = WhisperContext.init_from_file_with_params(
+            model, ContextParams(keep_quantized=name != "f32"))
+        p = full_default_params()
+        rc = ctx.full(p, sig.astype(np.float32))
+        assert rc == 0, rc
+        ours = np.asarray([float(v) for v in
+                           ctx.print_emb_enc().split()])
+
+        d = float(np.abs(ref - ours).max())
+        worst[name] = d
+        status = "OK" if d <= args.tol else "FAIL"
+        if d > args.tol:
+            failed = True
+        print(f"[crosscheck] {name:5s} max|Δfingerprint| = {d:.4f}  "
+              f"{status}", flush=True)
+        if d > args.tol:
+            print(f"  ref : {' '.join(f'{v:.3f}' for v in ref)}")
+            print(f"  ours: {' '.join(f'{v:.3f}' for v in ours)}")
+
+    print(f"[crosscheck] {'FAIL' if failed else 'ALL OK'} "
+          f"(tol {args.tol}): {worst}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -154,7 +154,7 @@ def main() -> int:
     dpq = quantize_decoder_params(dp, GGMLType.Q8_0)
     step = jnp.asarray(rng.standard_normal((1, 1, 512)) * 0.1, jnp.bfloat16)
     outs = {}
-    for mode in ("dequant", "int8"):
+    for mode in ("dequant", "int8", "bf16"):
         set_group_matmul_mode(mode)
         cache = create_cache(dcfg, 1, 512, dtype=jnp.bfloat16)
         lg, cache = decoder_forward(dpq, dcfg, x, cache, 0, block_only=True,
@@ -165,11 +165,13 @@ def main() -> int:
         # structure only, so clear between modes
         decoder_forward.clear_cache()
     set_group_matmul_mode(None)
-    diff = np.abs(outs["int8"] - outs["dequant"]).max()
     scale = np.abs(outs["dequant"]).max() + 1e-6
-    assert np.isfinite(outs["int8"]).all() and diff / scale < 0.05, \
-        (diff, scale)
-    mark("qmm_int8_decoder")
+    for mode, marker in (("int8", "qmm_int8_decoder"),
+                         ("bf16", "qmm_bf16_decoder")):
+        diff = np.abs(outs[mode] - outs["dequant"]).max()
+        assert np.isfinite(outs[mode]).all() and diff / scale < 0.05, \
+            (mode, diff, scale)
+        mark(marker)
 
     print("[validate] ALL OK", flush=True)
     return 0
