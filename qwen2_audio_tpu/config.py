@@ -31,7 +31,10 @@ class GGMLType(enum.IntEnum):
     Q5_1 = 7
     Q8_0 = 8
     Q8_1 = 9
+    Q2_K = 10
+    Q3_K = 11
     Q4_K = 12
+    Q5_K = 13
     Q6_K = 14
     BF16 = 30
 
@@ -46,7 +49,10 @@ class GGMLFType(enum.IntEnum):
     MOSTLY_Q8_0 = 7
     MOSTLY_Q5_0 = 8
     MOSTLY_Q5_1 = 9
+    MOSTLY_Q2_K = 10
+    MOSTLY_Q3_K = 11
     MOSTLY_Q4_K = 12
+    MOSTLY_Q5_K = 13
     MOSTLY_Q6_K = 14
     MOSTLY_BF16 = 24
 
@@ -59,7 +65,10 @@ FTYPE_TO_TYPE = {
     GGMLFType.MOSTLY_Q8_0: GGMLType.Q8_0,
     GGMLFType.MOSTLY_Q5_0: GGMLType.Q5_0,
     GGMLFType.MOSTLY_Q5_1: GGMLType.Q5_1,
+    GGMLFType.MOSTLY_Q2_K: GGMLType.Q2_K,
+    GGMLFType.MOSTLY_Q3_K: GGMLType.Q3_K,
     GGMLFType.MOSTLY_Q4_K: GGMLType.Q4_K,
+    GGMLFType.MOSTLY_Q5_K: GGMLType.Q5_K,
     GGMLFType.MOSTLY_Q6_K: GGMLType.Q6_K,
     GGMLFType.MOSTLY_BF16: GGMLType.BF16,
 }

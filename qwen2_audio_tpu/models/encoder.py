@@ -214,8 +214,8 @@ def encoder_params_from_ggml(model_file, dtype=jnp.float32,
     ``keep_quantized``: quantized layer weights stay in their block form as
     {"qs","scales"[,"mins"]} device dicts (bit-exact with the file payload)
     and run through the Pallas quant matmuls instead of being expanded to
-    dense — all five legacy formats plus q4_K; q6_K (per-16 groups) always
-    dequantizes to dense.
+    dense — all five legacy formats plus q4_K/q5_K; q2_K/q3_K/q6_K
+    (per-16 groups) always dequantize to dense.
     """
     from qwen2_audio_tpu.config import GGMLType as _GT
     hp = model_file.hparams
@@ -230,7 +230,8 @@ def encoder_params_from_ggml(model_file, dtype=jnp.float32,
     def lin(prefix, bias=True):
         t = ts[prefix + ".weight"]
         if keep_quantized and t.ttype in (_GT.Q4_0, _GT.Q8_0, _GT.Q4_1,
-                                          _GT.Q5_0, _GT.Q5_1, _GT.Q4_K):
+                                          _GT.Q5_0, _GT.Q5_1, _GT.Q4_K,
+                                          _GT.Q5_K):
             from qwen2_audio_tpu.quant.qparams import device_weight_from_ggml_tensor
             out = device_weight_from_ggml_tensor(t)
         else:

@@ -28,7 +28,10 @@ QK = 32  # group size shared by all supported formats (QK4_0 == QK8_0 == 32)
 # bytes per 32-element block, matching sizeof(block_*) with packed f16 scales
 # 256-element super-block formats (QK_K): bytes per super-block
 KBLOCK_BYTES = {
+    GGMLType.Q2_K: 16 + 64 + 2 + 2,    # 4-bit scale|min bytes, 2-bit quants, d, dmin
+    GGMLType.Q3_K: 32 + 64 + 12 + 2,   # hmask, 2-bit quants, 6-bit scales, d
     GGMLType.Q4_K: 2 + 2 + 12 + 128,   # d, dmin, 6-bit scales/mins, nibbles
+    GGMLType.Q5_K: 2 + 2 + 12 + 32 + 128,  # d, dmin, scales, qh, nibbles
     GGMLType.Q6_K: 128 + 64 + 16 + 2,  # ql, qh, int8 scales, d
 }
 
@@ -257,9 +260,10 @@ def _seqsum(a: np.ndarray) -> np.ndarray:
 
 
 def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
-                      rmin: float, rdelta: float, nstep: int
+                      rmin: float, rdelta: float, nstep: int,
+                      use_mad: bool = False
                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized make_qkx2_quants (use_mad=False): x, weights (G, n).
+    """Vectorized make_qkx2_quants: x, weights (G, n).
     Returns (scale (G,), the_min (G,), L (G, n) uint8).
 
     All arithmetic is strict float32 in the reference's operation order
@@ -286,7 +290,8 @@ def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
     Lf = L.astype(f32)
     diff = (((scale[:, None] * Lf).astype(f32) + xmin[:, None]).astype(f32)
             - x).astype(f32)
-    best_mad = _seqsum((w * (diff * diff).astype(f32)).astype(f32))
+    err = np.abs(diff) if use_mad else (diff * diff).astype(f32)
+    best_mad = _seqsum((w * err).astype(f32))
     cur_min = xmin.copy()
 
     for step in range(nstep + 1):
@@ -320,7 +325,8 @@ def _make_qkx2_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
                   ).astype(f32), this_scale)
         diff = (((this_scale[:, None] * lf).astype(f32)
                  + this_min[:, None]).astype(f32) - x).astype(f32)
-        mad = _seqsum((w * (diff * diff).astype(f32)).astype(f32))
+        err = np.abs(diff) if use_mad else (diff * diff).astype(f32)
+        mad = _seqsum((w * err).astype(f32))
         upd = (D > 0) & (mad < best_mad)
         L = np.where(upd[:, None], Laux, L)
         best_mad = np.where(upd, mad, best_mad)
@@ -386,9 +392,11 @@ def quantize_q4_K(x: np.ndarray) -> np.ndarray:
                              ).astype(np.float32)
         inv_min = np.where(max_min > 0, 63.0 / max_min, 0.0
                            ).astype(np.float32)
-    ls = np.minimum(63, _nearest_int(inv_scale[:, None] * scales)
+    # C casts nearest_int to uint8_t (mod 256) BEFORE MIN(63, ·), so a
+    # negative regression scale wraps high then clamps to 63
+    ls = np.minimum(63, _nearest_int(inv_scale[:, None] * scales) & 0xFF
                     ).astype(np.uint8)
-    lm = np.minimum(63, _nearest_int(inv_min[:, None] * mins)
+    lm = np.minimum(63, _nearest_int(inv_min[:, None] * mins) & 0xFF
                     ).astype(np.uint8)
     packed_sc = _pack_k4_scales(ls, lm)
     d = (max_scale / 63.0).astype(np.float16)
@@ -431,6 +439,330 @@ def dequantize_q4_K(raw: np.ndarray, n: int) -> np.ndarray:
     dm = dmin * m.astype(np.float32)
     y = dd[:, :, None] * q - dm[:, :, None]
     return y.astype(np.float32).reshape(-1)[:n]
+
+
+def quantize_q5_K(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q5_K_ref (ggml-quants.c:2676): q4_K's structure with
+    5-bit quants (nmax 31, rmin -0.5, nstep 15); the 5th bits go to qh."""
+    xb = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    if xb.size % QK_K:
+        raise ValueError(f"size {xb.size} not a multiple of {QK_K}")
+    nb = xb.size // QK_K
+    xg = xb.reshape(nb * 8, 32)
+
+    sum_x2 = _seqsum((xg * xg).astype(np.float32))
+    av_x = np.sqrt((sum_x2 / np.float32(32.0)).astype(np.float32)
+                   ).astype(np.float32)
+    weights = (av_x[:, None] + np.abs(xg)).astype(np.float32)
+    scales, mins, L = _make_qkx2_quants(xg, weights, 31, -0.5, 0.1, 15)
+    scales = scales.reshape(nb, 8)
+    mins = mins.reshape(nb, 8)
+    L = L.reshape(nb, 8, 32)
+
+    max_scale = np.where(scales.max(1) > 0, scales.max(1), np.float32(0.0))
+    max_min = np.where(mins.max(1) > 0, mins.max(1), np.float32(0.0))
+    with np.errstate(divide="ignore"):
+        inv_scale = np.where(max_scale > 0, 63.0 / max_scale, 0.0
+                             ).astype(np.float32)
+        inv_min = np.where(max_min > 0, 63.0 / max_min, 0.0
+                           ).astype(np.float32)
+    ls = np.minimum(63, _nearest_int(inv_scale[:, None] * scales) & 0xFF
+                    ).astype(np.uint8)
+    lm = np.minimum(63, _nearest_int(inv_min[:, None] * mins) & 0xFF
+                    ).astype(np.uint8)
+    packed_sc = _pack_k4_scales(ls, lm)
+    d = (max_scale / 63.0).astype(np.float16)
+    dmin = (max_min / 63.0).astype(np.float16)
+
+    sc_dec, m_dec = _unpack_k4_scales(packed_sc)
+    dd = (d.astype(np.float32)[:, None] * sc_dec.astype(np.float32)
+          ).astype(np.float32)
+    dm = (dmin.astype(np.float32)[:, None] * m_dec.astype(np.float32)
+          ).astype(np.float32)
+    safe = np.where(dd != 0, dd, 1.0)
+    L2 = np.clip(_nearest_int((xb.reshape(nb, 8, 32) + dm[:, :, None])
+                              / safe[:, :, None]), 0, 31)
+    L = np.where((dd != 0)[:, :, None], L2, L).astype(np.int32)
+
+    # per 64-chunk: ql nibbles hold (l & 15) of the two 32-halves; qh[j]
+    # collects the 5th bits, two bits per chunk (quantize_row_q5_K_ref:2742)
+    Lc = L.reshape(nb, 4, 2, 32)
+    hi = (Lc > 15).astype(np.uint8)              # (nb, 4, 2, 32)
+    lo = (Lc - (hi.astype(np.int32) << 4)).astype(np.uint8)
+    ql = (lo[:, :, 0] | (lo[:, :, 1] << 4)).reshape(nb, 128)
+    shifts = (2 * np.arange(4))[None, :, None, None]
+    qh = ((hi.astype(np.uint32) << shifts)
+          << np.array([0, 1])[None, None, :, None]).sum(axis=(1, 2)
+                                                        ).astype(np.uint8)
+
+    out = np.empty((nb, 176), np.uint8)
+    out[:, 0:2] = d.view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = dmin.view(np.uint8).reshape(-1, 2)
+    out[:, 4:16] = packed_sc
+    out[:, 16:48] = qh
+    out[:, 48:] = ql
+    return out.reshape(-1)
+
+
+def dequantize_q5_K(raw: np.ndarray, n: int) -> np.ndarray:
+    """dequantize_row_q5_K (ggml-quants.c:2763)."""
+    b = raw.reshape(-1, 176)
+    nb = b.shape[0]
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+    dmin = b[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc, m = _unpack_k4_scales(b[:, 4:16])
+    qh = b[:, 16:48]                              # (nb, 32)
+    qs = b[:, 48:].reshape(nb, 4, 32)
+    lo = (qs & 0xF).astype(np.int32)
+    hi4 = (qs >> 4).astype(np.int32)
+    shifts = (2 * np.arange(4))[None, :, None]
+    bit_lo = ((qh[:, None, :] >> shifts) & 1).astype(np.int32)
+    bit_hi = ((qh[:, None, :] >> (shifts + 1)) & 1).astype(np.int32)
+    q = np.stack([lo + (bit_lo << 4), hi4 + (bit_hi << 4)],
+                 axis=2).reshape(nb, 8, 32).astype(np.float32)
+    dd = d * sc.astype(np.float32)
+    dm = dmin * m.astype(np.float32)
+    y = dd[:, :, None] * q - dm[:, :, None]
+    return y.astype(np.float32).reshape(-1)[:n]
+
+
+def quantize_q2_K(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q2_K_ref (ggml-quants.c:1909): per-16 groups, 2-bit
+    quants, 4-bit super-quantized scales|mins, use_mad search."""
+    xb = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    if xb.size % QK_K:
+        raise ValueError(f"size {xb.size} not a multiple of {QK_K}")
+    nb = xb.size // QK_K
+    xg = xb.reshape(nb * 16, 16)
+
+    weights = np.abs(xg).astype(np.float32)
+    scales, mins, L = _make_qkx2_quants(xg, weights, 3, -0.5, 0.1, 15,
+                                        use_mad=True)
+    scales = scales.reshape(nb, 16)
+    mins = mins.reshape(nb, 16)
+    L = L.reshape(nb, 16, 16).astype(np.int32)
+
+    max_scale = np.where(scales.max(1) > 0, scales.max(1), np.float32(0.0))
+    max_min = np.where(mins.max(1) > 0, mins.max(1), np.float32(0.0))
+    with np.errstate(divide="ignore"):
+        inv_scale = np.where(max_scale > 0,
+                             np.float32(15.0) / max_scale, np.float32(0.0)
+                             ).astype(np.float32)
+        inv_min = np.where(max_min > 0,
+                           np.float32(15.0) / max_min, np.float32(0.0)
+                           ).astype(np.float32)
+    # C stores the UNCLAMPED nearest_int into a uint8 (mod 256), then ORs
+    # the min nibble over it (quantize_row_q2_K_ref:1937-1957); blocks with
+    # max <= 0 write zeros (inv forced to 0 keeps those lanes finite)
+    ls = np.where(max_scale[:, None] > 0,
+                  _nearest_int(inv_scale[:, None] * scales), 0) & 0xFF
+    lm = np.where(max_min[:, None] > 0,
+                  _nearest_int(inv_min[:, None] * mins), 0)
+    sc_bytes = (ls | ((lm << 4) & 0xFF)).astype(np.uint8)      # (nb, 16)
+    d = np.where(max_scale > 0, max_scale / np.float32(15.0),
+                 np.float32(0.0)).astype(np.float16)
+    dmin = np.where(max_min > 0, max_min / np.float32(15.0),
+                    np.float32(0.0)).astype(np.float16)
+
+    dd = (d.astype(np.float32)[:, None]
+          * (sc_bytes & 0xF).astype(np.float32)).astype(np.float32)
+    dm = (dmin.astype(np.float32)[:, None]
+          * (sc_bytes >> 4).astype(np.float32)).astype(np.float32)
+    safe = np.where(dd != 0, dd, 1.0)
+    L2 = np.clip(_nearest_int((xb.reshape(nb, 16, 16) + dm[:, :, None])
+                              / safe[:, :, None]), 0, 3)
+    L = np.where((dd != 0)[:, :, None], L2, L).astype(np.uint8)
+
+    # 2-bit packing: 128-chunks, byte j/4+l = L[j+l] | L[+32]<<2 | ... <<6
+    Lq = L.reshape(nb, 2, 4, 32)
+    qs = (Lq[:, :, 0] | (Lq[:, :, 1] << 2) | (Lq[:, :, 2] << 4)
+          | (Lq[:, :, 3] << 6)).reshape(nb, 64).astype(np.uint8)
+
+    out = np.empty((nb, 84), np.uint8)
+    out[:, 0:16] = sc_bytes
+    out[:, 16:80] = qs
+    out[:, 80:82] = d.view(np.uint8).reshape(-1, 2)
+    out[:, 82:84] = dmin.view(np.uint8).reshape(-1, 2)
+    return out.reshape(-1)
+
+
+def dequantize_q2_K(raw: np.ndarray, n: int) -> np.ndarray:
+    """dequantize_row_q2_K (ggml-quants.c:1979)."""
+    b = raw.reshape(-1, 84)
+    nb = b.shape[0]
+    sc_bytes = b[:, 0:16]
+    qs = b[:, 16:80].reshape(nb, 2, 2, 16)     # (chunk, half-of-16, l)
+    d = b[:, 80:82].copy().view(np.float16).astype(np.float32)
+    dmin = b[:, 82:84].copy().view(np.float16).astype(np.float32)
+    # group g = 8*chunk + 2*shift_idx + half; elements qs[chunk, half, l]
+    # >> (2*shift_idx)
+    shifts = (2 * np.arange(4))[None, None, :, None, None]
+    q2 = ((qs[:, :, None, :, :] >> shifts) & 3).astype(np.float32)
+    # q2: (nb, chunk, j, half, 16) -> group order (nb, 16, 16)
+    q2 = q2.reshape(nb, 16, 16)
+    dl = d * (sc_bytes & 0xF).astype(np.float32)       # (nb, 16)
+    ml = dmin * (sc_bytes >> 4).astype(np.float32)
+    y = dl[:, :, None] * q2 - ml[:, :, None]
+    return y.astype(np.float32).reshape(-1)[:n]
+
+
+def _make_q3_quants(x: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized make_q3_quants (do_rmse=True, ggml-quants.c:1715-1765):
+    weighted init then 5 rounds of SEQUENTIAL per-element coordinate
+    descent (running sums mutate within a round, so the element loop stays
+    a loop; groups are vectorized). Returns (scale (G,), L (G,n) uint8 with
+    +nmax offset)."""
+    f32 = np.float32
+    x = x.astype(f32)
+    G, n = x.shape
+    a = np.abs(x)
+    idx = np.argmax(a, axis=1)
+    rows = np.arange(G)
+    amax = a[rows, idx]
+    maxv = x[rows, idx]
+    dead = amax < f32(1e-15)                    # GROUP_MAX_EPS
+    safe_max = np.where(dead, f32(1.0), maxv)
+
+    iscale = (f32(-nmax) / safe_max).astype(f32)
+    L = np.clip(_nearest_int((iscale[:, None] * x).astype(f32)),
+                -nmax, nmax - 1)
+    w = (x * x).astype(f32)
+    wx = (w * x).astype(f32)
+    Lf = L.astype(f32)
+    sumlx = _seqsum((wx * Lf).astype(f32))
+    suml2 = _seqsum(((w * Lf).astype(f32) * Lf).astype(f32))
+    active = ~dead
+    for _ in range(5):
+        changed_any = np.zeros(G, bool)
+        for i in range(n):
+            wi, xi = w[:, i], x[:, i]
+            Li = L[:, i].astype(f32)
+            slx = (sumlx - ((wi * xi).astype(f32) * Li).astype(f32)
+                   ).astype(f32)
+            sl2 = (suml2 - ((wi * Li).astype(f32) * Li).astype(f32)
+                   ).astype(f32)
+            pos = slx > 0
+            with np.errstate(divide="ignore", invalid="ignore",
+                             over="ignore"):
+                # inactive lanes may hit 0/0 or f32 overflow; they are
+                # discarded by the `accept` mask exactly as C's early
+                # `if (slx > 0)` skips them
+                ratio = np.where(pos, ((xi * sl2).astype(f32)
+                                       / np.where(pos, slx, f32(1.0))
+                                       ).astype(f32), f32(0.0))
+                new_l = np.clip(_nearest_int(ratio), -nmax, nmax - 1)
+                nlf = new_l.astype(f32)
+                slx2 = (slx + ((wi * xi).astype(f32) * nlf).astype(f32)
+                        ).astype(f32)
+                sl22 = (sl2 + ((wi * nlf).astype(f32) * nlf).astype(f32)
+                        ).astype(f32)
+                accept = (active & pos & (new_l != L[:, i]) & (sl22 > 0)
+                          & (((slx2 * slx2).astype(f32) * suml2).astype(f32)
+                             > ((sumlx * sumlx).astype(f32) * sl22
+                                ).astype(f32)))
+            L[:, i] = np.where(accept, new_l, L[:, i])
+            sumlx = np.where(accept, slx2, sumlx).astype(f32)
+            suml2 = np.where(accept, sl22, suml2).astype(f32)
+            changed_any |= accept
+        active &= changed_any
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = (sumlx / suml2).astype(f32)
+    scale = np.where(dead, f32(0.0), scale)
+    L = np.where(dead[:, None], 0, L + nmax)
+    return scale.astype(np.float32), L.astype(np.uint8)
+
+
+def quantize_q3_K(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q3_K_ref (ggml-quants.c:2251): per-16 groups, 3-bit
+    symmetric quants, 6-bit packed scales, high bits in hmask."""
+    xb = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    if xb.size % QK_K:
+        raise ValueError(f"size {xb.size} not a multiple of {QK_K}")
+    nb = xb.size // QK_K
+    xg = xb.reshape(nb, 16, 16)
+
+    scales, L = _make_q3_quants(xg.reshape(-1, 16), 4)
+    scales = scales.reshape(nb, 16)
+    L = L.reshape(nb, 16, 16).astype(np.int32)
+
+    absmax_idx = np.argmax(np.abs(scales), axis=1)
+    rows = np.arange(nb)
+    max_scale = scales[rows, absmax_idx]
+    zero_blk = max_scale == 0.0                 # C: if (max_scale)
+    safe_ms = np.where(zero_blk, np.float32(1.0), max_scale)
+
+    iscale = (np.float32(-32.0) / safe_ms).astype(np.float32)
+    sc6 = (np.clip(_nearest_int(iscale[:, None] * scales), -32, 31) + 32
+           ).astype(np.int32)                   # (nb, 16), 0..63
+    sc6 = np.where(zero_blk[:, None], 0, sc6)
+    d = np.where(zero_blk, np.float32(0.0),
+                 (np.float32(1.0) / iscale).astype(np.float32)
+                 ).astype(np.float16)
+
+    sc_bytes = np.zeros((nb, 12), np.uint8)
+    sc_bytes[:, 0:8] = (sc6[:, :8] & 0xF) | ((sc6[:, 8:] & 0xF) << 4)
+    hi2 = sc6 >> 4                               # (nb, 16), 0..3
+    for k in range(4):
+        sc_bytes[:, 8 + k] = (hi2[:, k] | (hi2[:, k + 4] << 2)
+                              | (hi2[:, k + 8] << 4) | (hi2[:, k + 12] << 6))
+    # zero_blk blocks keep all-zero scale bytes (C memsets then skips)
+
+    # re-quantize against the decoded 6-bit scales (ggml-quants.c:2290)
+    sc_dec = sc6 - 32
+    dd = (d.astype(np.float32)[:, None] * sc_dec.astype(np.float32)
+          ).astype(np.float32)
+    safe = np.where(dd != 0, dd, 1.0)
+    L2 = np.clip(_nearest_int(xg / safe[:, :, None]), -4, 3) + 4
+    L = np.where((dd != 0)[:, :, None], L2, L).astype(np.int32)  # 0..7
+
+    Lflat = L.reshape(nb, 256)
+    pos = np.arange(256)
+    hbit = (Lflat > 3).astype(np.uint32)
+    hm = np.zeros((nb, 32), np.uint32)
+    # hmask[j % 32] bit (j // 32) (quantize_row_q3_K_ref:2306-2316)
+    for bit in range(8):
+        seg = hbit[:, 32 * bit:32 * (bit + 1)]
+        hm |= seg << bit
+    hmask = hm.astype(np.uint8)
+    Llow = np.where(Lflat > 3, Lflat - 4, Lflat)
+    Lq = Llow.reshape(nb, 2, 4, 32)
+    qs = (Lq[:, :, 0] | (Lq[:, :, 1] << 2) | (Lq[:, :, 2] << 4)
+          | (Lq[:, :, 3] << 6)).reshape(nb, 64).astype(np.uint8)
+
+    out = np.empty((nb, 110), np.uint8)
+    out[:, 0:32] = hmask
+    out[:, 32:96] = qs
+    out[:, 96:108] = sc_bytes
+    out[:, 108:110] = d.view(np.uint8).reshape(-1, 2)
+    return out.reshape(-1)
+
+
+def dequantize_q3_K(raw: np.ndarray, n: int) -> np.ndarray:
+    """dequantize_row_q3_K (ggml-quants.c:2327)."""
+    b = raw.reshape(-1, 110)
+    nb = b.shape[0]
+    hmask = b[:, 0:32]
+    qs = b[:, 32:96].reshape(nb, 2, 2, 16)     # (chunk, half, l)
+    sc_bytes = b[:, 96:108].astype(np.int32)
+    d = b[:, 108:110].copy().view(np.float16).astype(np.float32)
+
+    # unpack 6-bit signed scales (get-scale logic quantize_row_q3_K_ref:2291)
+    low = np.empty((nb, 16), np.int32)
+    low[:, :8] = sc_bytes[:, :8] & 0xF
+    low[:, 8:] = sc_bytes[:, :8] >> 4
+    ks = np.arange(16)
+    hi2 = (sc_bytes[:, 8 + (ks % 4)] >> (2 * (ks // 4))[None, :]) & 3
+    sc = (low | (hi2 << 4)) - 32                 # (nb, 16)
+
+    hmask_h = hmask.reshape(nb, 2, 16)           # [half, l]
+    out = np.empty((nb, 16, 16), np.float32)
+    for g in range(16):
+        c, j, h = g // 8, (g % 8) // 2, g % 2
+        q2 = ((qs[:, c, h] >> (2 * j)) & 3).astype(np.int32)
+        hb = ((hmask_h[:, h] >> (4 * c + j)) & 1).astype(np.int32)
+        val = (q2 - np.where(hb == 1, 0, 4)).astype(np.float32)
+        out[:, g] = (d * sc[:, g:g + 1]).astype(np.float32) * val
+    return out.astype(np.float32).reshape(-1)[:n]
 
 
 def _make_qx_quants(x: np.ndarray, nmax: int
@@ -552,7 +884,10 @@ def dequantize_q6_K(raw: np.ndarray, n: int) -> np.ndarray:
 
 
 _QUANTIZERS = {
+    GGMLType.Q2_K: quantize_q2_K,
+    GGMLType.Q3_K: quantize_q3_K,
     GGMLType.Q4_K: quantize_q4_K,
+    GGMLType.Q5_K: quantize_q5_K,
     GGMLType.Q6_K: quantize_q6_K,
     GGMLType.Q4_0: quantize_q4_0,
     GGMLType.Q4_1: quantize_q4_1,
@@ -562,7 +897,10 @@ _QUANTIZERS = {
 }
 
 _DEQUANTIZERS = {
+    GGMLType.Q2_K: dequantize_q2_K,
+    GGMLType.Q3_K: dequantize_q3_K,
     GGMLType.Q4_K: dequantize_q4_K,
+    GGMLType.Q5_K: dequantize_q5_K,
     GGMLType.Q6_K: dequantize_q6_K,
     GGMLType.Q4_0: dequantize_q4_0,
     GGMLType.Q4_1: dequantize_q4_1,

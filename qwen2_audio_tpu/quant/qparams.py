@@ -142,6 +142,32 @@ def _unpack_q4_K(raw, n_rows, n_cols):
             mins.reshape(n_rows, n_cols // QK))
 
 
+def _unpack_q5_K(raw, n_rows, n_cols):
+    """q5_K super-blocks -> {vals 0..31, per-32-group scale, per-32-group
+    (negative) min}: same q4_1-style form as q4_K with the 5th bit from
+    qh (layout dequantize_row_q5_K, ggml-quants.c:2763)."""
+    from qwen2_audio_tpu.quant.codecs import _unpack_k4_scales
+    b = raw.reshape(-1, 176)
+    nb = b.shape[0]
+    d = b[:, 0:2].copy().view(np.float16).astype(np.float32)
+    dmin = b[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc, m = _unpack_k4_scales(b[:, 4:16])
+    qh = b[:, 16:48]
+    qs = b[:, 48:].reshape(nb, 4, 32)
+    lo = (qs & 0xF).astype(np.int32)
+    hi4 = (qs >> 4).astype(np.int32)
+    shifts = (2 * np.arange(4))[None, :, None]
+    bit_lo = ((qh[:, None, :] >> shifts) & 1).astype(np.int32)
+    bit_hi = ((qh[:, None, :] >> (shifts + 1)) & 1).astype(np.int32)
+    vals = np.stack([lo + (bit_lo << 4), hi4 + (bit_hi << 4)],
+                    axis=2).reshape(nb, 256).astype(np.int8)
+    scales = d * sc.astype(np.float32)            # (nb, 8)
+    mins = -(dmin * m.astype(np.float32))
+    return (vals.reshape(n_rows, n_cols),
+            scales.reshape(n_rows, n_cols // QK),
+            mins.reshape(n_rows, n_cols // QK))
+
+
 def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
                                    ) -> dict:
     """Quantized GGMLTensor (torch [out,in] shape) -> kernel dict, bit-exact.
@@ -149,10 +175,10 @@ def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
     All five legacy formats share ``w = q*d (+ m)``: q4_0/q5_0 fold their
     offset into the integer values; q4_1/q5_1 carry a per-group min in a
     "mins" leaf that ops/quant_matmul.py adds as a rank-G correction term
-    (≙ the m*sum term of ggml_vec_dot_q4_1_q8_1, ggml-quants.c). q4_K
-    reduces to the same form at 32-group granularity (super-block scale x
-    6-bit sub-scale). q6_K has per-16 groups — no device form; the loader
-    dequantizes it to dense on load instead."""
+    (≙ the m*sum term of ggml_vec_dot_q4_1_q8_1, ggml-quants.c). q4_K and
+    q5_K reduce to the same form at 32-group granularity (super-block
+    scale x 6-bit sub-scale). q2_K/q3_K/q6_K have per-16 groups — no
+    device form; the loader dequantizes them to dense on load instead."""
     n_rows, n_cols = t.shape
     raw = np.asarray(t.raw)
     if t.ttype == GGMLType.Q4_0:
@@ -167,9 +193,11 @@ def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
         vals, d = _unpack_q5_0(raw, n_rows, n_cols)
         return device_weight_from_arrays(vals, d, narrow=False,
                                          to_device=to_device)
-    if t.ttype in (GGMLType.Q4_1, GGMLType.Q5_1, GGMLType.Q4_K):
+    if t.ttype in (GGMLType.Q4_1, GGMLType.Q5_1, GGMLType.Q4_K,
+                   GGMLType.Q5_K):
         unpack = {GGMLType.Q4_1: _unpack_q4_1, GGMLType.Q5_1: _unpack_q5_1,
-                  GGMLType.Q4_K: _unpack_q4_K}[t.ttype]
+                  GGMLType.Q4_K: _unpack_q4_K,
+                  GGMLType.Q5_K: _unpack_q5_K}[t.ttype]
         vals, d, m = unpack(raw, n_rows, n_cols)
         out = device_weight_from_arrays(vals, d, narrow=False,
                                         to_device=to_device)

@@ -114,12 +114,15 @@ def test_q4_0_nibble_layout(rng):
 
 
 def test_kquant_roundtrip_bounds(rng):
-    """q4_K / q6_K: 256-super-block codecs stay inside the expected error
-    envelope and byte budget (block_q4_K 144 B, block_q6_K 210 B)."""
+    """All five k-quants: 256-super-block codecs stay inside the expected
+    error envelope and byte budget (block sizes from ggml-common.h)."""
     from qwen2_audio_tpu.quant import codecs
     from qwen2_audio_tpu.config import GGMLType
     x = (rng.standard_normal(8 * 256) * 0.2).astype(np.float32)
-    for t, bpb, tol in ((GGMLType.Q4_K, 144, 0.08),
+    for t, bpb, tol in ((GGMLType.Q2_K, 84, 0.45),
+                        (GGMLType.Q3_K, 110, 0.25),
+                        (GGMLType.Q4_K, 144, 0.08),
+                        (GGMLType.Q5_K, 176, 0.05),
                         (GGMLType.Q6_K, 210, 0.03)):
         raw = codecs.quantize(x, t)
         assert raw.size == 8 * bpb
@@ -129,34 +132,57 @@ def test_kquant_roundtrip_bounds(rng):
         assert rel < tol, (t, rel)
 
 
-def test_q4_K_device_weight_bit_exact(rng):
-    """q4_K device dict (32-group scales+mins) dequantizes bit-exactly to
-    the codec dequantization — the parity invariant the matmul rests on."""
+def test_kquant_double_roundtrip_bounded(rng):
+    """A second quantize∘dequantize round does not compound the error
+    beyond the first round's envelope. (Exact idempotence does NOT hold —
+    ggml's own search re-picks scales on requantized data; verified the
+    second-pass bytes still match the reference oracle.)"""
+    from qwen2_audio_tpu.quant import codecs
+    from qwen2_audio_tpu.config import GGMLType
+    x = (rng.standard_normal(4 * 256) * 1.3).astype(np.float32)
+    for t in (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+              GGMLType.Q5_K, GGMLType.Q6_K):
+        y = codecs.dequantize(codecs.quantize(x, t), t, x.size)
+        y2 = codecs.dequantize(codecs.quantize(y, t), t, x.size)
+        e1 = np.abs(y - x).max()
+        e2 = np.abs(y2 - x).max()
+        assert e2 <= 2.0 * e1 + 1e-6, (t, e1, e2)
+
+
+def test_kquant_device_weight_bit_exact(rng):
+    """q4_K / q5_K device dicts (32-group scales+mins) dequantize
+    bit-exactly to the codec dequantization — the parity invariant the
+    matmul rests on."""
     import jax.numpy as jnp
     from qwen2_audio_tpu.config import GGMLType
     from qwen2_audio_tpu.io.ggml_format import GGMLTensor
     from qwen2_audio_tpu.ops.quant_matmul import dequantize_weight, quant_linear
     from qwen2_audio_tpu.quant import codecs
-    N, K = 16, 512   # torch [out, in]; K % 256 == 0
-    w = rng.standard_normal((N, K)).astype(np.float32) * 0.1
-    raw = codecs.quantize(w, GGMLType.Q4_K)
-    t = GGMLTensor("w", (N, K), GGMLType.Q4_K, raw)
     from qwen2_audio_tpu.quant.qparams import device_weight_from_ggml_tensor
-    qw = device_weight_from_ggml_tensor(t)
-    assert "mins" in qw and qw["scales"].shape == (K // 32, N)
+    N, K = 16, 512   # torch [out, in]; K % 256 == 0
+    for t in (GGMLType.Q4_K, GGMLType.Q5_K):
+        w = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+        raw = codecs.quantize(w, t)
+        gt = GGMLTensor("w", (N, K), t, raw)
+        qw = device_weight_from_ggml_tensor(gt)
+        assert "mins" in qw and qw["scales"].shape == (K // 32, N)
 
-    want = codecs.dequantize(raw, GGMLType.Q4_K, w.size).reshape(N, K).T
-    got = np.asarray(dequantize_weight(qw))
-    np.testing.assert_array_equal(got, want)
+        want = codecs.dequantize(raw, t, w.size).reshape(N, K).T
+        got = np.asarray(dequantize_weight(qw))
+        np.testing.assert_array_equal(got, want, err_msg=str(t))
 
-    x = rng.standard_normal((4, K)).astype(np.float32)
-    y = np.asarray(quant_linear(jnp.asarray(x), qw))
-    np.testing.assert_allclose(y, x @ want, atol=2e-3, rtol=1e-3)
+        x = rng.standard_normal((4, K)).astype(np.float32)
+        y = np.asarray(quant_linear(jnp.asarray(x), qw))
+        np.testing.assert_allclose(y, x @ want, atol=2e-3, rtol=1e-3,
+                                   err_msg=str(t))
 
 
-def test_quantize_checkpoint_q4_K(rng):
-    """The quantize tool re-encodes 2-D weights to q4_K (256-divisible
-    rows) and falls back to q8_0 otherwise — then the checkpoint loads."""
+@pytest.mark.parametrize("ftype_name", ["Q2_K", "Q3_K", "Q4_K", "Q5_K",
+                                         "Q6_K"])
+def test_quantize_checkpoint_kquants(ftype_name):
+    """The quantize tool re-encodes 2-D weights to each k-quant
+    (256-divisible rows, q8_0 fallback otherwise, like llama.cpp) — then
+    the checkpoint loads and runs end-to-end."""
     import io as _io
     from qwen2_audio_tpu.audio import mel_filterbank
     from qwen2_audio_tpu.config import GGMLFType, GGMLType, WhisperHParams
@@ -172,8 +198,9 @@ def test_quantize_checkpoint_q4_K(rng):
                              [b"x"] * 60)
     buf.seek(0)
     out = _io.BytesIO()
-    result = quantize_checkpoint(buf, out, GGMLFType.MOSTLY_Q4_K)
-    assert GGMLType.Q4_K in set(result.values())
+    result = quantize_checkpoint(buf, out,
+                                 GGMLFType[f"MOSTLY_{ftype_name}"])
+    assert GGMLType[ftype_name] in set(result.values())
 
     ctx = WhisperContext.init_from_buffer_with_params(out.getvalue())
     rc = ctx.full(full_default_params(),

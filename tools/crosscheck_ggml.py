@@ -129,7 +129,8 @@ def run_codec_oracle(oracle: str, tol_unused: float = 0.0) -> int:
     x.tofile(src)
     fail = False
     for t in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
-              GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q6_K):
+              GGMLType.Q8_0, GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+              GGMLType.Q5_K, GGMLType.Q6_K):
         qf, df = os.path.join(tmp, "out.q"), os.path.join(tmp, "out.f32")
         subprocess.run([oracle, str(int(t)), str(n), src, qf, df],
                        check=True, capture_output=True)

@@ -26,7 +26,10 @@
 #include "ggml.h"
 
 /* strict-FP object (ggml-quants.c compiled -ffp-contract=off) */
+void quantize_row_q2_K_ref(const float *x, void *y, int64_t k);
+void quantize_row_q3_K_ref(const float *x, void *y, int64_t k);
 void quantize_row_q4_K_ref(const float *x, void *y, int64_t k);
+void quantize_row_q5_K_ref(const float *x, void *y, int64_t k);
 void quantize_row_q6_K_ref(const float *x, void *y, int64_t k);
 
 int main(int argc, char **argv) {
@@ -54,8 +57,14 @@ int main(int argc, char **argv) {
 
     const size_t row_size = ggml_row_size(type, n);
     void *q = malloc(row_size);
-    if (type == GGML_TYPE_Q4_K) {
+    if (type == GGML_TYPE_Q2_K) {
+        quantize_row_q2_K_ref(src, q, n);
+    } else if (type == GGML_TYPE_Q3_K) {
+        quantize_row_q3_K_ref(src, q, n);
+    } else if (type == GGML_TYPE_Q4_K) {
         quantize_row_q4_K_ref(src, q, n);
+    } else if (type == GGML_TYPE_Q5_K) {
+        quantize_row_q5_K_ref(src, q, n);
     } else if (type == GGML_TYPE_Q6_K) {
         quantize_row_q6_K_ref(src, q, n);
     } else {
