@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("--max-new-tokens", type=int, default=128)
     a("--temperature", type=float, default=0.0)
     a("--debug-mode", action="store_true")
+    a("--rpc", default=None, metavar="HOST:PORT",
+      help="offload to a remote qwen2_audio_tpu.runtime.rpc server "
+           "(≙ ggml's RPC backend, ggml-rpc.cpp)")
     return p
 
 
@@ -111,7 +114,15 @@ def main(argv: list[str] | None = None) -> int:
         log_set(lambda level, text, ud: None)
 
     cparams = ContextParams(use_gpu=not args.no_gpu, flash_attn=args.flash_attn)
-    ctx = WhisperContext.init_from_file_with_params(args.model, cparams)
+    if args.rpc:
+        from qwen2_audio_tpu.runtime.rpc import RemoteWhisperContext
+        ctx = RemoteWhisperContext.connect(args.rpc)
+        ctx.load_model_file(args.model, cparams)
+        if not args.no_prints:
+            print(f"rpc: offloading to {args.rpc} "
+                  f"(backend {ctx.server_backend})", file=sys.stderr)
+    else:
+        ctx = WhisperContext.init_from_file_with_params(args.model, cparams)
 
     if args.decoder:
         from qwen2_audio_tpu.io.hf import load_qwen2_audio

@@ -296,11 +296,23 @@ class RemoteWhisperContext:
     ≙ the reference's client-side proxy backend
     (ggml_backend_rpc_init, ggml-rpc.cpp)."""
 
+    class _StateView:
+        """Duck-types WhisperState for CLI/output-format consumers."""
+
+        def __init__(self, owner: "RemoteWhisperContext"):
+            self._owner = owner
+
+        @property
+        def segments(self) -> list[dict]:
+            return self._owner.segments
+
     def __init__(self, sock: socket.socket, server_info: dict):
         self._sock = sock
         self._info = server_info
         self._ctx_id: int | None = None
         self.segments: list[dict] = []   # same dict schema as WhisperState
+        self.state = RemoteWhisperContext._StateView(self)
+        self.decoder = None              # decoder attach is local-only
 
     # -- connection ----------------------------------------------------------
     @classmethod
@@ -349,6 +361,12 @@ class RemoteWhisperContext:
             [np.asarray(samples, np.float32)])
         self.segments = resp["segments"]
         return resp["rc"]
+
+    def full_parallel(self, params: Any, samples: np.ndarray,
+                      n_processors: int) -> int:
+        """Chunk parallelism happens server-side through the batched
+        serving decode; the proxy forwards a plain full()."""
+        return self.full(params, samples)
 
     def encode(self, offset: int = 0, audio_ctx: int = 0) -> int:
         resp, _ = self._call(CMD_ENCODE, {"ctx_id": self._require(),
