@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("-ocsv", "--output-csv", action="store_true")
     a("-oj", "--output-json", action="store_true")
     a("-of", "--output-file", default=None)
+    a("-fp", "--font-path", default="/System/Library/Fonts/Supplemental/"
+      "Courier New Bold.ttf",
+      help="monospace font for the -owts karaoke script")
     a("-np", "--no-prints", action="store_true")
     a("-ps", "--print-special", action="store_true")
     a("-pc", "--print-colors", action="store_true")
@@ -155,6 +158,12 @@ def main(argv: list[str] | None = None) -> int:
         fp.suppress_regex = args.suppress_regex
         fp.initial_prompt = args.prompt
         fp.debug_mode = args.debug_mode
+        # ≙ reference main.cpp:520-522: -owts implies token timestamps and
+        # a 60-char default wrap
+        fp.token_timestamps = args.output_words or args.max_len > 0
+        fp.max_len = (60 if args.output_words and args.max_len == 0
+                      else args.max_len)
+        fp.split_on_word = args.split_on_word
 
         # benchmark + parity loop (reference main.cpp:573-583)
         t0 = time.perf_counter()
@@ -172,7 +181,22 @@ def main(argv: list[str] | None = None) -> int:
 
         if ctx.decoder is not None:
             for i in range(ctx.full_n_segments()):
-                print(ctx.full_get_segment_text(i))
+                if args.print_colors:
+                    from cli.output_formats import colorize_segment
+                    print(colorize_segment(ctx.state.segments[i]))
+                else:
+                    print(ctx.full_get_segment_text(i))
+
+        if args.output_words and ctx.state.segments:
+            from cli.output_formats import write_wts
+            base = (args.output_file or fname)
+            base = base[:-4] if base.endswith(".wav") else base
+            write_wts(f"{base}.wts", ctx.state.segments, fname,
+                      int(len(samples) / 16000.0 * 100),
+                      font_path=args.font_path)
+            if not args.no_prints:
+                print(f"saved karaoke script to {base}.wts",
+                      file=sys.stderr)
 
         if ctx.state.segments and any((args.output_txt, args.output_vtt,
                                        args.output_srt, args.output_lrc,

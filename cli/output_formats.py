@@ -104,6 +104,75 @@ WRITERS = {
 }
 
 
+# probability color ramp for -pc (≙ upstream whisper.cpp k_colors: 10
+# ANSI steps red -> green; the fork kept the flag, examples/main/main.cpp:155)
+K_COLORS = ["\033[38;5;196m", "\033[38;5;202m", "\033[38;5;208m",
+            "\033[38;5;214m", "\033[38;5;220m", "\033[38;5;226m",
+            "\033[38;5;190m", "\033[38;5;154m", "\033[38;5;118m",
+            "\033[38;5;82m"]
+ANSI_RESET = "\033[0m"
+
+
+def colorize_segment(seg: dict) -> str:
+    """Per-token probability coloring (≙ upstream main.cpp print with
+    params.print_colors: col = max(0, min(9, 3*p*p*p*10 - 0.01))). Falls
+    back to plain text when the segment has no per-token surfaces."""
+    probs = seg.get("probs")
+    tokens = seg.get("token_texts") or None
+    if not probs or tokens is None or len(tokens) != len(probs):
+        return seg["text"]
+    parts = []
+    for surface, p in zip(tokens, probs):
+        col = max(0, min(9, int(3.0 * p * p * p * 10.0 - 0.01)))
+        parts.append(f"{K_COLORS[col]}{surface}{ANSI_RESET}")
+    return "".join(parts)
+
+
+def write_wts(path: str, segments: list[dict], audio_path: str,
+              duration_cs: int, font_path: str =
+              "/System/Library/Fonts/Supplemental/Courier New Bold.ttf"
+              ) -> None:
+    """Karaoke video bash script (-owts): ffmpeg drawtext windows driven
+    by per-token DTW times — the role of upstream whisper.cpp's
+    output_wts (the fork kept the -owts/--font-path flags,
+    examples/main/main.cpp:146,211-212, but stripped the writer with the
+    decoder). Requires token_timestamps (the CLI forces them on)."""
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "’") \
+                .replace('"', "\\\"").replace(":", "\\:").replace("%", "\\%")
+
+    filters = []
+    for seg in segments:
+        times = seg.get("token_times")
+        toks = seg.get("token_texts")
+        if times and toks:
+            # one window per token: spoken-so-far prefix in yellow
+            windows = [(tt, times[i + 1] if i + 1 < len(times)
+                        else seg["t1"],
+                        "".join(toks[: i + 1]).strip())
+                       for i, tt in enumerate(times)]
+        else:
+            windows = [(seg["t0"], seg["t1"], seg["text"].strip())]
+        for t0, t1, text in windows:
+            if t1 <= t0 or not text:
+                continue
+            filters.append(
+                f"drawtext=fontfile='{font_path}':fontsize=24:"
+                f"fontcolor=yellow:x=(w-text_w)/2:y=h/2:"
+                f"text='{esc(text)}':"
+                f"enable='between(t,{t0 / 100.0},{t1 / 100.0})'")
+    script = (
+        "#!/bin/bash\n"
+        "# generated by qwen2-audio-tpu (-owts); run to render a karaoke "
+        "video\n"
+        f"ffmpeg -i '{audio_path}' -f lavfi -i "
+        f"color=size=1200x120:duration={duration_cs / 100.0}:rate=25:"
+        "color=black -vf \"" + ",".join(filters) + "\" "
+        f"-c:v libx264 -pix_fmt yuv420p -shortest -y '{path}.mp4'\n")
+    with open(path, "w") as f:
+        f.write(script)
+
+
 def write_outputs(base_path: str, segments: list[dict], args) -> list[str]:
     """Write every format the CLI flags request; returns written paths."""
     written = []

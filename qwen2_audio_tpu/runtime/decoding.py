@@ -454,6 +454,7 @@ def split_segment_by_length(bundle: DecoderBundle, ids: list[int],
             "t0": t0, "t1": max(t1, t0),
             "text": "".join(surfaces[i] for i in g),
             "tokens": [ids[i] for i in g],
+            "token_texts": [surfaces[i] for i in g],
             "probs": [float(np.exp(min(lps[i], 0.0))) for i in g],
             "token_times": [times_cs[i] for i in g],
             "speaker_turn_next": False,
@@ -634,6 +635,7 @@ def run(ctx, state, params) -> int:
             "t1": t1_cs,
             "text": bundle.text(ids),
             "tokens": ids,
+            "token_texts": _token_surfaces(bundle, ids),
             "probs": [float(np.exp(l)) for l in result.logprobs[0]],
             "speaker_turn_next": False,
         }

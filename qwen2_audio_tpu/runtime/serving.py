@@ -147,9 +147,11 @@ def transcribe_long_form(
                 tokens=tokens[b],
                 avg_logprob=avglp[b],
             )
+            from qwen2_audio_tpu.runtime.decoding import _token_surfaces
             state.segments.append({
                 "t0": seg.t0_cs, "t1": seg.t1_cs, "text": seg.text,
                 "tokens": seg.tokens,
+                "token_texts": _token_surfaces(bundle, seg.tokens),
                 "probs": [float(np.exp(min(l, 0.0))) for l in lps[b]],
                 "speaker_turn_next": False,
             })

@@ -110,3 +110,26 @@ def test_advisory_flags_warn_not_crash(ctx, rng):
     p.thold_pt = 0.5
     assert ctx.full(p, _audio(rng)) == 0
     assert len(ctx.state.segments) == 1
+
+
+def test_colorize_and_wts_writer(ctx, rng, tmp_path):
+    """-pc coloring and the -owts karaoke script consume the per-token
+    surfaces/probs/times the decode path now emits."""
+    from cli.output_formats import ANSI_RESET, colorize_segment, write_wts
+    p = full_default_params()
+    p.max_new_tokens = 6
+    p.temperature_inc = 0.0
+    p.token_timestamps = True
+    assert ctx.full(p, _audio(rng)) == 0
+    seg = ctx.state.segments[0]
+    assert len(seg["token_texts"]) == len(seg["tokens"])
+
+    colored = colorize_segment(seg)
+    assert ANSI_RESET in colored                     # per-token coloring on
+    assert colorize_segment({"text": "plain"}) == "plain"
+
+    wts = tmp_path / "out.wts"
+    write_wts(str(wts), ctx.state.segments, "in.wav", 300)
+    body = wts.read_text()
+    assert body.startswith("#!/bin/bash")
+    assert "drawtext" in body and "between(t," in body
