@@ -5,3 +5,4 @@ from qwen2_audio_tpu.parallel.mesh import (  # noqa: F401
     encoder_param_spec,
     kv_cache_spec,
 )
+from qwen2_audio_tpu.parallel import distributed  # noqa: F401

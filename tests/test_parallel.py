@@ -149,3 +149,49 @@ def test_sharded_quant_cache_decode(rng):
         got, _ = decoder_forward(sp, TEXT, xs, cache, 0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_distributed_single_process_cluster():
+    """jax.distributed with a 1-process localhost coordinator: initialize,
+    build a global mesh on the virtual devices, run a psum + the
+    host-local batch pattern. Runs in a subprocess because
+    jax.distributed.initialize must precede first backend use (other
+    tests in this session have already initialized it)."""
+    import subprocess
+    import sys
+    code = """
+import jax, numpy as np
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from qwen2_audio_tpu.parallel import distributed as dist
+
+assert dist.initialize() is False          # nothing configured: no-op
+assert dist.initialize(coordinator_address="127.0.0.1:23417",
+                       num_processes=1, process_id=0)
+assert jax.process_count() == 1
+mesh = dist.global_mesh(tp=2)
+assert mesh.shape["tp"] == 2
+assert mesh.shape["dp"] == len(jax.devices()) // 2
+
+batch = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+garr = dist.host_local_batch_to_global(batch, mesh, P("dp"))
+assert garr.shape == (8, 3)
+np.testing.assert_array_equal(np.asarray(garr), batch)
+
+with mesh:
+    s = jax.jit(lambda x: jnp.sum(x))(garr)
+assert float(s) == float(batch.sum())
+
+g = dist.process_allgather(np.array([3.0]))
+assert g.shape == (1, 1) and g[0, 0] == 3.0
+dist.shutdown()
+print("DIST_OK")
+"""
+    env = {"PATH": "/usr/bin:/bin", "PYTHONPATH": "/root/repo",
+           "HOME": "/root", "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=180)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "DIST_OK" in r.stdout
