@@ -119,21 +119,39 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 
 def rope_angles(positions: jax.Array, head_dim: int, theta: float
                 ) -> tuple[jax.Array, jax.Array]:
-    """cos/sin tables for the given positions: (T, head_dim)."""
+    """cos/sin tables: positions (T,) -> (T, head_dim), or per-stream
+    positions (B, T) -> (B, T, head_dim) (the continuous-batching decode
+    path where every slot sits at its own absolute position)."""
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2,
                                            dtype=jnp.float32) / head_dim))
-    ang = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq
     ang = jnp.concatenate([ang, ang], axis=-1)
     return jnp.cos(ang), jnp.sin(ang)
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: (B, T, H, d). HF-style half-rotation."""
+    """x: (B, T, H, d); cos/sin (T, d) shared or (B, T, d) per-stream."""
     d = x.shape[-1]
     x1, x2 = x[..., : d // 2], x[..., d // 2:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
-    return (x * cos[None, :, None, :] + rotated * sin[None, :, None, :]
+    if cos.ndim == 2:
+        cos, sin = cos[None], sin[None]
+    return (x * cos[:, :, None, :] + rotated * sin[:, :, None, :]
             ).astype(x.dtype)
+
+
+def _visible_mask(q_pos0: jax.Array, T: int, S: int) -> jax.Array:
+    """Causal + cache-validity mask broadcastable over (B, Hkv, g, T, S):
+    key j visible to query t iff j <= q_pos0 + t. q_pos0 is a scalar
+    (shared position) or (B,) per-stream positions (continuous batching)."""
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    q_pos0 = jnp.asarray(q_pos0, jnp.int32)
+    if q_pos0.ndim == 0:
+        return (s_idx <= (q_pos0 + t_idx))[None, None, None]
+    # (B, T, S) -> (B, 1, 1, T, S)
+    return (s_idx[None] <= (q_pos0[:, None, None] + t_idx[None])
+            )[:, None, None]
 
 
 def _gqa_attention_quant(q: jax.Array,
@@ -162,10 +180,7 @@ def _gqa_attention_quant(q: jax.Array,
     ks = k_s.transpose(0, 2, 1)[:, :, None, None, :]      # (B,Hkv,1,1,S)
     logits = logits * ks * (d ** -0.5)
 
-    t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
-    visible = s_idx <= (q_pos0 + t_idx)
-    logits = jnp.where(visible[None, None, None], logits, -jnp.inf)
+    logits = jnp.where(_visible_mask(q_pos0, T, S), logits, -jnp.inf)
 
     w = jax.nn.softmax(logits, axis=-1)
     vs = v_s.transpose(0, 2, 1)[:, :, None, None, :]
@@ -197,10 +212,7 @@ def _gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                         preferred_element_type=jnp.float32)
     logits *= d ** -0.5
 
-    t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
-    visible = s_idx <= (q_pos0 + t_idx)
-    logits = jnp.where(visible[None, None, None], logits, -jnp.inf)
+    logits = jnp.where(_visible_mask(q_pos0, T, S), logits, -jnp.inf)
 
     w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhgts,bshd->bthgd", w, v,
@@ -239,7 +251,14 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    upd = functools.partial(jax.lax.dynamic_update_slice)
+    vec_pos = jnp.ndim(pos0) == 1     # per-stream positions (T must be 1)
+    if vec_pos:
+        bidx = jnp.arange(B)
+
+        def upd(buf, val, _start):
+            return buf.at[bidx, pos0].set(val[:, 0].astype(buf.dtype))
+    else:
+        upd = functools.partial(jax.lax.dynamic_update_slice)
     if quant_cache:
         kq_c, ks_c, vq_c, vs_c = cache_parts
         kq, ks = _quantize_kv(k)
@@ -316,7 +335,12 @@ def decoder_forward(
     x = inputs_embeds
     T = x.shape[1]
     pos0 = jnp.asarray(pos0, jnp.int32)
-    positions = pos0 + jnp.arange(T, dtype=jnp.int32)
+    if pos0.ndim == 1:                 # per-stream slot positions
+        if T != 1:
+            raise ValueError("vector pos0 requires T == 1 (decode step)")
+        positions = pos0[:, None]      # (B, 1)
+    else:
+        positions = pos0 + jnp.arange(T, dtype=jnp.int32)
     cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)
 
     quant_cache = isinstance(cache, QuantKVCache)
@@ -345,10 +369,13 @@ def decoder_forward(
         from qwen2_audio_tpu.ops.linear import linear
         logits = linear(x, params["lm_head"])
 
+    # cache.pos is a scalar high-water mark; per-stream positions are
+    # tracked by the continuous-batching caller itself
+    end = (jnp.max(pos0) if pos0.ndim else pos0) + T
     if quant_cache:
-        new_cache = QuantKVCache(*new_parts, pos=pos0 + T)
+        new_cache = QuantKVCache(*new_parts, pos=end)
     else:
-        new_cache = KVCache(k=new_parts[0], v=new_parts[1], pos=pos0 + T)
+        new_cache = KVCache(k=new_parts[0], v=new_parts[1], pos=end)
     if attn_slice is not None:
         return logits.astype(jnp.float32), new_cache, taps[0]
     return logits.astype(jnp.float32), new_cache

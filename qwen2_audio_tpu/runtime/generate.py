@@ -19,7 +19,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from qwen2_audio_tpu.models.qwen2_decoder import KVCache, create_cache, decoder_forward
+from qwen2_audio_tpu.models.qwen2_decoder import (KVCache, QuantKVCache,
+                                                  create_cache,
+                                                  decoder_forward)
 from qwen2_audio_tpu.runtime.sampling import apply_repetition_penalty
 
 
@@ -359,3 +361,103 @@ def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
         avg_logprob=[float(np.mean(l)) if l else 0.0 for l in out_l],
         final_logits=np.asarray(last_logits),
         first_logits=np.asarray(first_logits))
+
+
+# --------------------------------------------------------------------------- #
+# Continuous batching (iteration-level scheduling): a fixed pool of decode
+# slots over ONE shared KV cache; finished slots are refilled with new
+# streams while the others keep decoding. The reference has nothing like
+# it (whisper_full_parallel was declared and never implemented,
+# include/qwen2-whisper.h:464-469); this is the vLLM-style serving shape
+# expressed TPU-natively: static shapes, per-slot positions as a traced
+# (B,) vector, refill as dynamic_update_slice on the batch axis.
+# --------------------------------------------------------------------------- #
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg",),
+    donate_argnames=("cache", "slot_pos", "slot_logits", "slot_active"))
+def prefill_slot(params, cfg, cache, slot_pos, slot_logits, slot_active,
+                 slot: jax.Array, prefill: jax.Array):
+    """Prefill ONE stream (1, T0, D) and install it into slot `slot` of
+    the shared pool: its K/V block lands at cache[:, slot, :T0], its
+    next-token logits into slot_logits[slot]. One executable per T0."""
+    _, T0, _ = prefill.shape
+    mini = create_cache(cfg, 1, T0, dtype=(jnp.int8 if isinstance(
+        cache, QuantKVCache) else cache.k.dtype))
+    from qwen2_audio_tpu.runtime.decoding import _prefill_flash
+    logits, mini = decoder_forward(params, cfg, prefill, mini, 0,
+                                   block_only=True, logits_last_only=True,
+                                   use_flash=_prefill_flash())
+
+    def install(buf, block):
+        # buf (L, B, S, ...) <- block (L, 1, T0, ...) at batch index `slot`
+        start = (0, slot, 0) + (0,) * (buf.ndim - 3)
+        return jax.lax.dynamic_update_slice(buf, block.astype(buf.dtype),
+                                            start)
+
+    if isinstance(cache, QuantKVCache):
+        cache = QuantKVCache(
+            k_q=install(cache.k_q, mini.k_q), k_s=install(cache.k_s, mini.k_s),
+            v_q=install(cache.v_q, mini.v_q), v_s=install(cache.v_s, mini.v_s),
+            pos=cache.pos)
+    else:
+        cache = KVCache(k=install(cache.k, mini.k),
+                        v=install(cache.v, mini.v), pos=cache.pos)
+    slot_pos = jax.lax.dynamic_update_slice(
+        slot_pos, jnp.full((1,), T0, slot_pos.dtype), (slot,))
+    slot_logits = jax.lax.dynamic_update_slice(
+        slot_logits, logits[:, -1].astype(slot_logits.dtype), (slot, 0))
+    slot_active = jax.lax.dynamic_update_slice(
+        slot_active, jnp.ones((1,), bool), (slot,))
+    return cache, slot_pos, slot_logits, slot_active
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "chunk", "eos_token_id"),
+    donate_argnames=("cache", "slot_pos", "slot_logits", "slot_active"))
+def decode_chunk_slots(params, cfg, cache, slot_pos, slot_logits,
+                       slot_active, suppress_mask=None, *,
+                       chunk: int, eos_token_id: int):
+    """Advance every ACTIVE slot by up to `chunk` tokens (inactive slots
+    are frozen: no cache writes, no position advance). Returns
+    (cache, slot_pos, slot_logits, slot_active, tokens (B, chunk),
+    logprobs (B, chunk)); tokens of frozen/finished steps read
+    eos_token_id. Per-slot positions drive rope, the causal mask and the
+    cache scatter, so slots at different depths coexist in one program."""
+    B = slot_pos.shape[0]
+    S = (cache.k_q if isinstance(cache, QuantKVCache) else cache.k).shape[2]
+    toks0 = jnp.full((B, chunk), eos_token_id, jnp.int32)
+    lps0 = jnp.zeros((B, chunk), jnp.float32)
+
+    def body(i, st):
+        cache, pos, logits, active, toks, lps = st
+        lg = logits if suppress_mask is None else logits + suppress_mask
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        tok = jnp.where(active, tok, eos_token_id)
+        lp = jnp.where(
+            active,
+            jnp.take_along_axis(logp, tok[:, None], axis=-1)[:, 0], 0.0)
+        toks = jax.lax.dynamic_update_slice(toks, tok[:, None], (0, i))
+        lps = jax.lax.dynamic_update_slice(lps, lp[:, None], (0, i))
+        new_active = active & (tok != eos_token_id) & (pos + 1 < S)
+
+        x = params["embed"][tok][:, None, :]
+        # frozen slots re-write their CURRENT position with garbage K/V —
+        # harmless, because their position never advances and the write is
+        # overwritten by the next prefill_slot install... except position
+        # pos holds real data. Park frozen slots' writes at their own pos
+        # but restore by masking the advance: the safe trick is to clamp
+        # the write position to a scratch row (S-1) for inactive slots.
+        write_pos = jnp.where(active, pos, S - 1)
+        new_logits, cache = decoder_forward(params, cfg, x, cache, write_pos)
+        logits = jnp.where(active[:, None], new_logits[:, -1], logits)
+        pos = jnp.where(active, pos + 1, pos)
+        return cache, pos, logits, new_active & active, toks, lps
+
+    cache, slot_pos, slot_logits, slot_active, toks, lps = jax.lax.fori_loop(
+        0, chunk, body,
+        (cache, slot_pos, slot_logits, slot_active, toks0, lps0))
+    return cache, slot_pos, slot_logits, slot_active, toks, lps

@@ -164,6 +164,85 @@ def test_transcribe_long_form(rng):
     assert ctx.full_n_segments() == expected
 
 
+def test_transcribe_continuous_matches_lockstep(rng):
+    """Continuous batching (slot pool + per-slot positions) produces the
+    SAME tokens per window as the lockstep batched decode, in completion
+    order."""
+    import io
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.config import Qwen2DecoderConfig, WhisperHParams
+    from qwen2_audio_tpu.io.export import write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+    from qwen2_audio_tpu.runtime import WhisperContext, FullParams
+    from qwen2_audio_tpu.runtime.serving import (transcribe_continuous,
+                                                 transcribe_long_form)
+
+    hp = WhisperHParams(n_vocab=64, n_audio_ctx=64, n_audio_state=64,
+                        n_audio_head=4, n_audio_layer=2, n_mels=16)
+    buf = io.BytesIO()
+    write_encoder_checkpoint(buf, random_encoder_params(rng, hp), hp,
+                             mel_filterbank(hp.n_mels), [b"x"] * 60)
+    cfg = Qwen2DecoderConfig(vocab_size=96, hidden_size=64,
+                             intermediate_size=128, num_hidden_layers=2,
+                             num_attention_heads=4, num_key_value_heads=2,
+                             head_dim=16, tie_word_embeddings=False)
+    samples = (0.1 * rng.standard_normal(16000 * 5)).astype(np.float32)
+    p = FullParams(max_new_tokens=6, temperature_inc=0.0)
+
+    def run(fn, **kw):
+        ctx = WhisperContext.init_from_buffer_with_params(buf.getvalue())
+        ctx.decoder = random_bundle(np.random.default_rng(3), cfg,
+                                    enc_state=64, max_ctx=512)
+        return list(fn(ctx, samples, p, **kw))
+
+    ref = run(transcribe_long_form, batch_size=2)
+    got = run(transcribe_continuous, max_streams=2, chunk_tokens=3)
+
+    assert len(got) == len(ref)
+    by_t0_ref = {s.t0_cs: s for s in ref}
+    for s in got:
+        r = by_t0_ref[s.t0_cs]
+        assert s.tokens == r.tokens, (s.t0_cs, s.tokens, r.tokens)
+        assert s.t1_cs == r.t1_cs
+    # completion order covers every window exactly once
+    assert sorted(s.t0_cs for s in got) == sorted(by_t0_ref)
+
+
+def test_transcribe_continuous_slot_reuse(rng):
+    """More windows than slots: slots are refilled (the continuous part)
+    and every window still decodes correctly."""
+    import io
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.config import Qwen2DecoderConfig, WhisperHParams
+    from qwen2_audio_tpu.io.export import write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+    from qwen2_audio_tpu.runtime import WhisperContext, FullParams
+    from qwen2_audio_tpu.runtime.serving import transcribe_continuous
+
+    hp = WhisperHParams(n_vocab=64, n_audio_ctx=64, n_audio_state=64,
+                        n_audio_head=4, n_audio_layer=2, n_mels=16)
+    buf = io.BytesIO()
+    write_encoder_checkpoint(buf, random_encoder_params(rng, hp), hp,
+                             mel_filterbank(hp.n_mels), [b"x"] * 60)
+    cfg = Qwen2DecoderConfig(vocab_size=96, hidden_size=64,
+                             intermediate_size=128, num_hidden_layers=2,
+                             num_attention_heads=4, num_key_value_heads=2,
+                             head_dim=16, tie_word_embeddings=False)
+    ctx = WhisperContext.init_from_buffer_with_params(buf.getvalue())
+    ctx.decoder = random_bundle(np.random.default_rng(3), cfg,
+                                enc_state=64, max_ctx=512)
+    samples = (0.1 * rng.standard_normal(16000 * 10)).astype(np.float32)
+    p = FullParams(max_new_tokens=5, temperature_inc=0.0)
+    segs = list(transcribe_continuous(ctx, samples, p, max_streams=2,
+                                      chunk_tokens=4))
+    n_windows = -(-ctx.state.mel.n_len_org // 128)
+    assert len(segs) == n_windows > 2          # forced slot reuse
+    assert all(s.tokens for s in segs)
+    assert len(ctx.state.segments) == n_windows
+
+
 # ---- profiling ----
 
 def test_cost_analysis(rng):
