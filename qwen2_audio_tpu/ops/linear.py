@@ -25,7 +25,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from qwen2_audio_tpu.ops.quant_matmul import quant_linear
+from qwen2_audio_tpu.ops.quant_matmul import quant_linear, quant_linear4
 from qwen2_audio_tpu.ops.quant_matmul_int8 import quant_linear_int8
 
 # How {"qs","scales"} weights are multiplied:
@@ -83,6 +83,10 @@ def _w8a8(x: jax.Array, p: dict) -> jax.Array:
 def linear(x: jax.Array, p: dict) -> jax.Array:
     if "qs8" in p:
         y = _w8a8(x, p)
+    elif "qs4" in p:
+        # true-4-bit packed nibbles (half the HBM read of the int8 form);
+        # the f32-exactness modes apply the same way
+        y = quant_linear4(x, p, fast=group_matmul_mode() == "bf16")
     elif "qs" in p:
         mode = group_matmul_mode()
         if mode == "int8":

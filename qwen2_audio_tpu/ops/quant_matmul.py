@@ -133,12 +133,19 @@ def group_min_term(x2d: jax.Array, mins: jax.Array) -> jax.Array:
     ggml_vec_dot_q4_1_q8_1, ggml/src/ggml-quants.c)."""
     M, K = x2d.shape
     gsum = x2d.astype(jnp.float32).reshape(M, K // GROUP, GROUP).sum(-1)
-    return gsum @ mins.astype(jnp.float32)
+    # tiny (M, K/32) matmul, but on TPU the default precision truncates
+    # operands to bf16 — the min term (q4_0's folded -8*d rides on it)
+    # needs the exact f32 product
+    return jnp.dot(gsum, mins.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def quant_linear(x: jax.Array, qw: dict, fast: bool = False) -> jax.Array:
     """Batched-activation entry: x (..., K) @ quantized weight dict
-    {"qs": (K,N), "scales": (K//32,N)[, "mins": (K//32,N)]} -> (..., N)."""
+    {"qs": (K,N), "scales": (K//32,N)[, "mins": (K//32,N)]} -> (..., N).
+    Packed-nibble dicts ({"qs4"}) route to quant_linear4."""
+    if "qs4" in qw:
+        return quant_linear4(x, qw, fast=fast)
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2d = x.reshape(-1, K)
@@ -150,9 +157,139 @@ def quant_linear(x: jax.Array, qw: dict, fast: bool = False) -> jax.Array:
 
 def dequantize_weight(qw: dict, dtype=jnp.float32) -> jax.Array:
     """Reference dequantization (XLA, for tests / fallbacks)."""
+    if "qs4" in qw:
+        return dequantize_weight4(qw, dtype)
     q = qw["qs"].astype(jnp.float32)
     s = jnp.repeat(qw["scales"].astype(jnp.float32), GROUP, axis=0)
     w = q * s
     if "mins" in qw:
         w = w + jnp.repeat(qw["mins"].astype(jnp.float32), GROUP, axis=0)
     return w.astype(dtype)
+
+
+# --------------------------------------------------------------------------- #
+# Packed-nibble (true 4-bit storage) matmul: this PJRT rejects jnp.int4
+# arrays, so q4-class weights packed as int8 wasted half their bandwidth
+# advantage. Here two nibbles share one uint8 byte in HBM — ggml's own
+# in-group pairing (value j in the low nibble, j+16 in the high nibble of
+# byte g*16+j, ggml-common.h block_q4_0) — and the kernel unpacks in VMEM
+# right before the MXU. All q4 forms are expressed as UNSIGNED nibbles
+# w = n*d + m (q4_0's -8 offset folds into the min term as m = -8*d), so
+# one kernel serves q4_0 / q4_1 / q4_K.
+# ≙ the 4-bit half of ggml-cuda's dmmv/mmvq dequant-on-the-fly kernels.
+# --------------------------------------------------------------------------- #
+
+def _qmm4_kernel(x_ref, qp_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
+                 fast: bool):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p = qp_ref[...].astype(jnp.int32)              # (bk//2, bn); Mosaic
+    bk2, bn = p.shape                              # can't cast u8->f32
+    bk = bk2 * 2                                   # directly
+    lo = (p & 0xF).astype(jnp.float32)
+    hi = (p >> 4).astype(jnp.float32)
+    # packed row g*16+j holds values (g*32+j, g*32+j+16): group-local
+    # unpack via a sublane-dim reshape + concat
+    n_g = bk // GROUP
+    q = jnp.concatenate([lo.reshape(n_g, 16, bn), hi.reshape(n_g, 16, bn)],
+                        axis=1).reshape(bk, bn)
+    s = sc_ref[...].astype(jnp.float32)            # (bk//32, bn)
+    s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)).reshape(bk, bn)
+    w = q * s_full
+    if fast:
+        acc_ref[...] += jnp.dot(
+            x_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+    else:
+        acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), w,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n",
+                                              "block_k", "fast"))
+def quant_matmul4(
+    x: jax.Array,           # (M, K)
+    qs4: jax.Array,         # (K // 2, N) uint8 — two nibbles per byte
+    scales: jax.Array,      # (K // 32, N)
+    *,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    fast: bool = False,
+) -> jax.Array:
+    """x @ (unpack4(qs4) * scales) -> (M, N); min/offset terms are added
+    by the caller (quant_linear4)."""
+    M, K = x.shape
+    assert qs4.shape[0] * 2 == K and scales.shape == (K // GROUP, qs4.shape[1])
+    N = qs4.shape[1]
+
+    def pick_block(dim: int, pref: int, quantum: int) -> int:
+        for cand in range(min(pref, dim) // quantum * quantum, 0, -quantum):
+            if dim % cand == 0:
+                return cand
+        return dim
+
+    block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
+    block_n = pick_block(N, block_n, 128)
+    block_k = pick_block(K, block_k, 256)
+    assert K % block_k == 0 and N % block_n == 0
+
+    m_pad = -M % block_m
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+
+    grid = (Mp // block_m, N // block_n, K // block_k)
+    out = pl.pallas_call(
+        functools.partial(_qmm4_kernel, out_dtype=x.dtype, fast=fast),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+                pl.BlockSpec((block_k // 2, block_n),
+                             lambda i, j, k: (k, j)),
+                pl.BlockSpec((block_k // GROUP, block_n),
+                             lambda i, j, k: (k, j)),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n),
+                                   lambda i, j, k: (i, j)),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_use_interpret(),
+    )(x, qs4, scales)
+    return out[:M] if m_pad else out
+
+
+def quant_linear4(x: jax.Array, qw: dict, fast: bool = False) -> jax.Array:
+    """Packed-nibble entry: {"qs4": (K/2,N) uint8, "scales": (K/32,N),
+    "mins": (K/32,N)} — the min term carries q4_0's -8*d offset and/or the
+    format's real per-group min."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2d = x.reshape(-1, K)
+    y = quant_matmul4(x2d, qw["qs4"], qw["scales"], fast=fast)
+    y = y + group_min_term(x2d, qw["mins"]).astype(y.dtype)
+    return y.reshape(*lead, -1)
+
+
+def dequantize_weight4(qw: dict, dtype=jnp.float32) -> jax.Array:
+    """Reference unpack of the packed-nibble dict (tests / fallbacks)."""
+    p = qw["qs4"]
+    K2, N = p.shape
+    n_g = K2 * 2 // GROUP
+    lo = (p & 0xF).astype(jnp.float32).reshape(n_g, 16, N)
+    hi = (p >> 4).astype(jnp.float32).reshape(n_g, 16, N)
+    q = jnp.concatenate([lo, hi], axis=1).reshape(K2 * 2, N)
+    s = jnp.repeat(qw["scales"].astype(jnp.float32), GROUP, axis=0)
+    m = jnp.repeat(qw["mins"].astype(jnp.float32), GROUP, axis=0)
+    return (q * s + m).astype(dtype)

@@ -45,6 +45,44 @@ def _qs_dtype(narrow: bool):
     return jnp.int4 if (narrow and _int4_supported()) else jnp.int8
 
 
+_PACK4_MARKER = "/tmp/qa_kernel_ok_qmm_q4p"
+
+
+def _pack4_enabled() -> bool:
+    """True-4-bit packed storage (two nibbles per HBM byte, in-kernel
+    unpack — ops/quant_matmul.py::quant_matmul4). Env QA_PACK4=0/1
+    overrides; default on when the kernel is hardware-validated on this
+    host (marker) or the backend is CPU (interpret mode)."""
+    import os
+    env = os.environ.get("QA_PACK4")
+    if env is not None:
+        return env not in ("0", "false", "")
+    import jax
+    if jax.default_backend() not in ("tpu", "axon"):
+        return True
+    return os.path.exists(_PACK4_MARKER)
+
+
+def pack4_device_weight(vals_unsigned: np.ndarray, scales: np.ndarray,
+                        mins: np.ndarray, to_device: bool = True) -> dict:
+    """Unsigned nibbles (N, K) 0..15 + scales/mins (N, K//32) [torch
+    layout] -> packed device dict {"qs4": (K/2, N) uint8, "scales",
+    "mins"}. Byte g*16+j pairs values (g*32+j | g*32+j+16 << 4) along the
+    input dim — ggml's own in-group nibble pairing (block_q4_0)."""
+    vT = np.ascontiguousarray(vals_unsigned.T).astype(np.uint8)   # (K, N)
+    K, N = vT.shape
+    g = vT.reshape(K // QK, QK, N)
+    packed = (g[:, :16] | (g[:, 16:] << 4)).reshape(K // 2, N)
+    out = {
+        "qs4": np.ascontiguousarray(packed),
+        "scales": np.ascontiguousarray(scales.T, dtype=np.float32),
+        "mins": np.ascontiguousarray(mins.T, dtype=np.float32),
+    }
+    if to_device:
+        out = {k: jnp.asarray(v) for k, v in out.items()}
+    return out
+
+
 def device_weight_from_arrays(q_values: np.ndarray, scales: np.ndarray,
                               narrow: bool, to_device: bool = True) -> dict:
     """q_values (N, K) ints, scales (N, K//32) — torch layout in, device out.
@@ -183,6 +221,11 @@ def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
     raw = np.asarray(t.raw)
     if t.ttype == GGMLType.Q4_0:
         vals, d = _unpack_q4_0(raw, n_rows, n_cols)
+        if _pack4_enabled():
+            # w = (n-8)*d = n*d + (-8*d): the offset folds into the min
+            # term, so the packed path shares one kernel with q4_1/q4_K
+            return pack4_device_weight(vals + 8, d, -8.0 * d,
+                                       to_device=to_device)
         return device_weight_from_arrays(vals, d, narrow=True,
                                          to_device=to_device)
     if t.ttype == GGMLType.Q8_0:
@@ -199,6 +242,10 @@ def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
                   GGMLType.Q4_K: _unpack_q4_K,
                   GGMLType.Q5_K: _unpack_q5_K}[t.ttype]
         vals, d, m = unpack(raw, n_rows, n_cols)
+        if t.ttype in (GGMLType.Q4_1, GGMLType.Q4_K) and _pack4_enabled():
+            # both store unsigned nibbles 0..15 with w = n*d + m (the
+            # unpackers already return m in +m form)
+            return pack4_device_weight(vals, d, m, to_device=to_device)
         out = device_weight_from_arrays(vals, d, narrow=False,
                                         to_device=to_device)
         mins = np.ascontiguousarray(m.T, dtype=np.float32)

@@ -270,3 +270,51 @@ def test_fast_mode_decoder_parity(rng, fast_mode):
     err = np.abs(outs[fast_mode] - outs["dequant"]).max()
     scale = np.abs(outs["dequant"]).max()
     assert err < 0.05 * scale + 0.05, err
+
+
+@pytest.mark.parametrize("ttype", [GGMLType.Q4_0, GGMLType.Q4_1,
+                                   GGMLType.Q4_K])
+def test_pack4_bit_exact_vs_int8_form(ttype, monkeypatch, rng):
+    """The packed-nibble device dict dequantizes BIT-IDENTICALLY to the
+    int8-per-value form of the same ggml payload (half the HBM bytes,
+    same numbers), and the packed kernel matches the dequant reference."""
+    K, N, M = 512, 256, 8
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+
+    monkeypatch.setenv("QA_PACK4", "0")
+    qw_i8 = quantize_array_for_device(w, ttype)
+    monkeypatch.setenv("QA_PACK4", "1")
+    qw_p4 = quantize_array_for_device(w, ttype)
+    assert "qs4" in qw_p4 and qw_p4["qs4"].shape == (K // 2, N)
+    assert qw_p4["qs4"].dtype == jnp.uint8
+
+    np.testing.assert_array_equal(np.asarray(dequantize_weight(qw_p4)),
+                                  np.asarray(dequantize_weight(qw_i8)))
+
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    got = np.asarray(quant_linear(jnp.asarray(x), qw_p4))
+    want = x @ np.asarray(dequantize_weight(qw_i8))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_pack4_decoder_end_to_end(monkeypatch, rng):
+    """q4_0 decoder with packed weights decodes the same tokens as the
+    int8-form weights (same payload, same numbers, half the bytes)."""
+    from qwen2_audio_tpu.models.qwen2_decoder import create_cache, decoder_forward
+    cfg = Qwen2DecoderConfig(vocab_size=128, hidden_size=256,
+                             intermediate_size=512, num_hidden_layers=2,
+                             num_attention_heads=4, num_key_value_heads=2,
+                             head_dim=64, tie_word_embeddings=False)
+    from qwen2_audio_tpu.models.qwen2_decoder import random_decoder_params
+    params = random_decoder_params(np.random.default_rng(5), cfg)
+    x = jnp.asarray(rng.standard_normal((1, 4, cfg.hidden_size)) * 0.3,
+                    jnp.float32)
+
+    outs = {}
+    for env in ("0", "1"):
+        monkeypatch.setenv("QA_PACK4", env)
+        qp = quantize_decoder_params(params, GGMLType.Q4_0)
+        cache = create_cache(cfg, 1, 16)
+        logits, _ = decoder_forward(qp, cfg, x, cache, 0, block_only=True)
+        outs[env] = np.asarray(logits)
+    np.testing.assert_allclose(outs["1"], outs["0"], atol=1e-4, rtol=1e-4)

@@ -68,6 +68,20 @@ def main() -> int:
     assert np.abs(got - want).max() < 2e-3
     mark("qmm_q4")
 
+    # 2a. packed-nibble (true 4-bit storage) matmul, standalone: must be
+    # bit-identical to the int8-form weights of the same payload
+    import os
+    os.environ["QA_PACK4"] = "1"
+    from qwen2_audio_tpu.ops.quant_matmul import quant_linear4
+    qw4p = quantize_array_for_device(w, GGMLType.Q4_0)
+    os.environ.pop("QA_PACK4")
+    assert "qs4" in qw4p
+    got = np.asarray(quant_linear4(x, qw4p))
+    want = np.asarray(x, np.float64) @ np.asarray(dequantize_weight(qw4p),
+                                                  np.float64)
+    assert np.abs(got - want).max() < 2e-3, np.abs(got - want).max()
+    mark("qmm_q4p")
+
     # 2b. exact-integer group matmul (ggml-mmq analog), standalone:
     # oracle = the SAME integer math in numpy (weight dots exact, q8_1
     # activation rounding) — must match almost bit-for-bit
@@ -172,6 +186,28 @@ def main() -> int:
         assert np.isfinite(outs[mode]).all() and diff / scale < 0.05, \
             (mode, diff, scale)
         mark(marker)
+
+    # 8. composed: packed-nibble q4_0 inside the scanned decoder — must
+    # match the int8-form weights of the SAME payload bit-for-bit in the
+    # dequantized values (logits tiny-diff from matmul order only)
+    os.environ["QA_PACK4"] = "0"
+    dpq4_i8 = quantize_decoder_params(dp, GGMLType.Q4_0)
+    os.environ["QA_PACK4"] = "1"
+    dpq4_p = quantize_decoder_params(dp, GGMLType.Q4_0)
+    os.environ.pop("QA_PACK4")
+    outs4 = {}
+    for name, dq in (("i8", dpq4_i8), ("p4", dpq4_p)):
+        cache = create_cache(dcfg, 1, 512, dtype=jnp.bfloat16)
+        lg, cache = decoder_forward(dq, dcfg, x, cache, 0, block_only=True,
+                                    logits_last_only=True)
+        lg2, cache = decoder_forward(dq, dcfg, step, cache, x.shape[1])
+        outs4[name] = np.asarray(lg2, np.float32)
+        decoder_forward.clear_cache()
+    scale4 = np.abs(outs4["i8"]).max() + 1e-6
+    diff4 = np.abs(outs4["p4"] - outs4["i8"]).max()
+    assert np.isfinite(outs4["p4"]).all() and diff4 / scale4 < 0.02, \
+        (diff4, scale4)
+    mark("qmm_q4p_decoder")
 
     print("[validate] ALL OK", flush=True)
     return 0
