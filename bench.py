@@ -68,7 +68,8 @@ def main() -> int:
           f"d={hp.n_audio_state}", file=sys.stderr)
 
     rng = np.random.default_rng(0)
-    params = random_encoder_params(rng, hp, dtype=dtype)
+    from qwen2_audio_tpu.models.encoder import fuse_encoder_qkv
+    params = fuse_encoder_qkv(random_encoder_params(rng, hp, dtype=dtype))
 
     # 30 s synthetic speech-band audio -> real mel frontend
     t = np.arange(int(16000 * CLIP_SECONDS)) / 16000.0

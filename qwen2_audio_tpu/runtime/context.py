@@ -162,6 +162,10 @@ class WhisperContext:
             keep_q = jax.default_backend() in ("tpu", "axon")
         self.encoder_params = encoder_params_from_ggml(
             model_file, dtype=cparams.compute_dtype, keep_quantized=keep_q)
+        # fused QKV is a pure runtime layout (one (d,3d) matmul keeps the
+        # MXU fed); the canonical separate-q/k/v schema stays on disk
+        from qwen2_audio_tpu.models.encoder import fuse_encoder_qkv
+        self.encoder_params = fuse_encoder_qkv(self.encoder_params)
         self.decoder = None          # attached by qwen2_audio model loader
         self.model_file = model_file
         self.state: WhisperState | None = None

@@ -171,3 +171,26 @@ def test_fingerprint_format(rng):
     parts = fp.split()
     assert len(parts) == 20
     assert all("." in p for p in parts)
+
+
+def test_fused_qkv_matches_separate(rng):
+    """fuse_encoder_qkv (the runtime layout WhisperContext applies) is a
+    pure re-parameterization: identical outputs, dense and quantized."""
+    import jax.numpy as jnp
+    from qwen2_audio_tpu.config import GGMLType
+    from qwen2_audio_tpu.models.encoder import (encoder_forward,
+                                                fuse_encoder_qkv,
+                                                random_encoder_params)
+    from qwen2_audio_tpu.quant.qparams import quantize_encoder_params
+    hp = HP
+    params = random_encoder_params(rng, hp)
+    mel = jnp.asarray(rng.standard_normal((1, hp.n_mels,
+                                           2 * hp.n_audio_ctx)), jnp.float32)
+    a = np.asarray(encoder_forward(params, mel, hp))
+    b = np.asarray(encoder_forward(fuse_encoder_qkv(params), mel, hp))
+    np.testing.assert_allclose(b, a, atol=1e-5, rtol=1e-5)
+
+    qp = quantize_encoder_params(params, GGMLType.Q8_0)
+    aq = np.asarray(encoder_forward(qp, mel, hp))
+    bq = np.asarray(encoder_forward(fuse_encoder_qkv(qp), mel, hp))
+    np.testing.assert_allclose(bq, aq, atol=1e-5, rtol=1e-5)

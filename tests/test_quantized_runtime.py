@@ -40,8 +40,8 @@ def test_quant_kernel_path_matches_dense_dequant(quantized_buf, rng):
     qkern = WhisperContext.init_from_buffer_with_params(
         quantized_buf, ContextParams(keep_quantized=True))
     # the quantized layer weights are stored as block dicts
-    assert {"qs", "qs4"} & set(qkern.encoder_params["layers"][0]["q"])
-    assert "w" not in qkern.encoder_params["layers"][0]["q"]
+    assert {"qs", "qs4"} & set(qkern.encoder_params["layers"][0]["qkv"])
+    assert "w" not in qkern.encoder_params["layers"][0]["qkv"]
     # conv/norm/pos stay dense
     assert "w" in qkern.encoder_params["conv1"]
     assert qkern.full(full_default_params(), samples) == 0

@@ -125,3 +125,36 @@ def test_rpc_cli_end_to_end(server, model_bytes, pcm, tmp_path):
     rc = cli_main(["-m", str(model), "-f", str(wav), "--bench-iters", "1",
                    "-np", "--rpc", f"127.0.0.1:{server.port}"])
     assert rc == 0
+
+
+def test_rpc_native_cpp_client(server, model_bytes, pcm, tmp_path):
+    """The C++ client (native/qa_rpc_client.cpp, ≙ ggml-rpc's native
+    client role) speaks the wire protocol end-to-end: load model, full(),
+    fingerprint — and the fingerprint matches the Python client's."""
+    import os
+    import subprocess
+    bin_path = os.path.join(os.path.dirname(__file__), "..",
+                            "native", "build", "qa_rpc")
+    if not os.path.exists(bin_path):
+        pytest.skip("native build absent (cmake native/ first)")
+    from qwen2_audio_tpu.audio import write_wav
+    model = tmp_path / "model.bin"
+    model.write_bytes(model_bytes)
+    wav = tmp_path / "in.wav"
+    write_wav(str(wav), pcm)
+
+    r = subprocess.run(
+        [bin_path, f"127.0.0.1:{server.port}", str(model), str(wav)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    native_fp = r.stdout.strip()
+
+    # both sides must see the identical samples: the wav stores int16 PCM,
+    # so read it back rather than reusing the float source
+    from qwen2_audio_tpu.audio import read_wav
+    wav_pcm, _ = read_wav(str(wav))
+    cli = RemoteWhisperContext.connect(f"127.0.0.1:{server.port}")
+    cli.load_model_bytes(model_bytes)
+    assert cli.full(full_default_params(), wav_pcm) == 0
+    assert native_fp == cli.print_emb_enc().strip()
+    cli.close()
