@@ -20,13 +20,32 @@ from qwen2_audio_tpu.quant import codecs  # noqa: E402
        st.sampled_from([GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
                         GGMLType.Q5_1, GGMLType.Q8_0]))
 def test_codec_roundtrip_stable(vals, ttype):
-    """quantize(dequantize(quantize(x))) is a fixed point for any input."""
+    """Decoded values are a fixed point of quantize∘dequantize for any input.
+
+    The raw BYTES are only a fixed point when the group scale is
+    representable in f16: ggml computes the inverse scale from the
+    unrounded f32 scale (ggml-quants.c:705), so inputs tiny enough that
+    the scale underflows f16 store nonzero quants alongside a zero scale;
+    requantizing the decoded zeros stores different (all-offset) quants.
+    We are bit-exact with ggml, so we assert the value-level fixed point
+    always and byte stability only when the scale survived f16.
+    """
     x = np.asarray(vals, np.float32)
     raw1 = codecs.quantize(x, ttype)
     y = codecs.dequantize(raw1, ttype, 32)
     raw2 = codecs.quantize(y, ttype)
-    np.testing.assert_array_equal(raw1, raw2)
+    y2 = codecs.dequantize(raw2, ttype, 32)
+    np.testing.assert_array_equal(y, y2)
     assert np.isfinite(y).all()
+    # bytes stabilize from the second application onward
+    raw3 = codecs.quantize(y2, ttype)
+    np.testing.assert_array_equal(raw2, raw3)
+    if ttype in (GGMLType.Q4_0, GGMLType.Q5_0, GGMLType.Q8_0):
+        amax = np.abs(x).max()
+        if amax == 0.0 or np.float32(np.float16(amax / 127.0)) != 0.0:
+            # amax-scaled formats (scale >= amax/127): the scale cannot
+            # have underflowed f16, so even the first bytes are stable
+            np.testing.assert_array_equal(raw1, raw2)
 
 
 @settings(max_examples=30, deadline=None)
