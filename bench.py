@@ -18,7 +18,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import threading
 import time
 
 import numpy as np
@@ -29,22 +28,19 @@ RTT_S = 0.030
 WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", "900"))
 
 
-def _watchdog():
-    """The TPU tunnel can wedge with device->host readbacks hanging forever
-    (observed: dispatch succeeds, array fetch never returns). Fail loudly
-    with a zero metric instead of hanging the driver."""
-    time.sleep(WATCHDOG_S)
-    print("bench: WATCHDOG — TPU readback did not complete; "
-          "reporting failure", file=sys.stderr)
+def _report_failure():
+    """Emit the driver JSON line with a zero metric — a wedged tunnel
+    readback must fail loudly, not hang the driver."""
     print(json.dumps({"metric": "encoder_rtf_30s", "value": 0,
                       "unit": "x_realtime", "vs_baseline": 0,
                       "error": "tpu readback timeout"}))
     sys.stdout.flush()
-    os._exit(2)
 
 
 def main() -> int:
-    threading.Thread(target=_watchdog, daemon=True).start()
+    from qwen2_audio_tpu.utils.watchdog import (ensure_kernel_validation,
+                                                watchdog)
+    watchdog(WATCHDOG_S, "bench", on_timeout=_report_failure)
     import jax
     # persistent compilation cache: first compile of the large encoder is
     # 20-40 s; subsequent bench runs hit the cache
@@ -62,6 +58,11 @@ def main() -> int:
 
     hp = WHISPER_PRESETS[os.environ.get("BENCH_PRESET", "qwen2-audio")]
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
+        # fresh host (no /tmp markers): launch the kernel validator in the
+        # background so the fused-mel/flash fast paths arm for later runs;
+        # this run proceeds on whatever markers already exist
+        ensure_kernel_validation()
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     print(f"bench: backend={jax.default_backend()} dtype={dtype.__name__} "
           f"model={hp.model_type} layers={hp.n_audio_layer} "

@@ -9,6 +9,7 @@ Usage:  python -m cli.main -m models/ggml-model.bin -f samples/jfk.wav
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -115,6 +116,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.no_prints:
         log_set(lambda level, text, ud: None)
+
+    import jax as _jax
+    if _jax.default_backend() in ("tpu", "axon"):
+        # wedged-tunnel guard + background kernel validation on fresh hosts
+        from qwen2_audio_tpu.utils.watchdog import (ensure_kernel_validation,
+                                                    watchdog)
+        watchdog(float(os.environ.get("QA_WATCHDOG_S", "3600")), "cli")
+        ensure_kernel_validation()
 
     cparams = ContextParams(use_gpu=not args.no_gpu, flash_attn=args.flash_attn)
     if args.rpc:

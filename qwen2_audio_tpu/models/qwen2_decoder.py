@@ -140,6 +140,28 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
             ).astype(x.dtype)
 
 
+def _decode_flash(T: int, head_dim: int) -> bool:
+    """Use the Pallas flash-decode kernel (ops/flash_decode.py) for the
+    T=1 cache-attention step. Requires lane-sliceable heads (d % 128).
+
+    Gating (read at TRACE time, like ops/linear.py's mode):
+    - env QA_FLASH_DECODE=1/0 forces it on/off (tests, experiments);
+    - otherwise TPU + the /tmp/qa_kernel_ok_fd_loop marker, i.e.
+      tools/validate_tpu_kernels.py proved THIS composition (the kernel
+      inside the scanned decoder inside lax.while_loop) on this host —
+      unvalidated composed Pallas compiles have wedged the remote-compile
+      tunnel (CLAUDE.md).
+    """
+    import os
+    if T != 1 or head_dim % 128 != 0:
+        return False
+    override = os.environ.get("QA_FLASH_DECODE")
+    if override is not None:
+        return override == "1"
+    return (jax.default_backend() in ("tpu", "axon")
+            and os.path.exists("/tmp/qa_kernel_ok_fd_loop"))
+
+
 def _visible_mask(q_pos0: jax.Array, T: int, S: int) -> jax.Array:
     """Causal + cache-validity mask broadcastable over (B, Hkv, g, T, S):
     key j visible to query t iff j <= q_pos0 + t. q_pos0 is a scalar
@@ -290,7 +312,22 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
             attn, tap = attn
     else:
         assert attn_slice is None, "attention tap requires block_only"
-        if quant_cache:
+        if _decode_flash(T, cfg.head_dim):
+            # Pallas flash-decode: reads only the valid cache prefix
+            # (scalar-prefetch clamped blocks) and consumes the int8
+            # cache directly — the fattn-vec analog (ops/flash_decode.py)
+            from qwen2_audio_tpu.ops.flash_decode import (
+                flash_decode, flash_decode_quant)
+            pos_vec = jnp.broadcast_to(jnp.asarray(pos0, jnp.int32), (B,))
+            scale = cfg.head_dim ** -0.5
+            if quant_cache:
+                attn = flash_decode_quant(q[:, 0], kq_c, ks_c, vq_c, vs_c,
+                                          pos_vec, sm_scale=scale)
+            else:
+                attn = flash_decode(q[:, 0], k_cache, v_cache, pos_vec,
+                                    sm_scale=scale)
+            attn = attn.reshape(B, 1, -1).astype(x.dtype)
+        elif quant_cache:
             attn = _gqa_attention_quant(q, kq_c, ks_c, vq_c, vs_c, pos0)
         else:
             attn = _gqa_attention(q, k_cache, v_cache, pos0,

@@ -13,6 +13,7 @@ lax.while_loop; wall time is measured around the final readback, minus the
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -58,6 +59,10 @@ def main() -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    from qwen2_audio_tpu.utils.watchdog import (ensure_kernel_validation,
+                                                watchdog)
+    watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "1800")),
+             "bench_decode")
 
     from qwen2_audio_tpu.config import GGMLType, Qwen2DecoderConfig
     from qwen2_audio_tpu.models.qwen2_decoder import random_decoder_params
@@ -73,13 +78,14 @@ def main() -> int:
         head_dim=dh, tie_word_embeddings=False)
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
+        ensure_kernel_validation()
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     print(f"decode bench: {args.size} {args.quant} B={args.batch} "
           f"new={args.new} backend={jax.default_backend()}", file=sys.stderr)
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    import os
     if args.quant != "none" and on_tpu:
         marker = "/tmp/qa_kernel_ok_qmm_q8" if args.quant == "q8_0" \
             else "/tmp/qa_kernel_ok_qmm_q4"

@@ -61,7 +61,11 @@ def main() -> int:
     assert np.abs(got - want).max() < 2e-3, np.abs(got - want).max()
     mark("qmm_q8")
 
+    import os
+    os.environ["QA_PACK4"] = "0"     # pin the int8 form: on a re-run the
+    # packed-nibble marker already exists and would flip the default
     qw4 = quantize_array_for_device(w, GGMLType.Q4_0)
+    os.environ.pop("QA_PACK4")
     got = np.asarray(quant_matmul(x, qw4["qs"], qw4["scales"]))
     want = np.asarray(x, np.float64) @ np.asarray(dequantize_weight(qw4),
                                                   np.float64)
@@ -208,6 +212,79 @@ def main() -> int:
     assert np.isfinite(outs4["p4"]).all() and diff4 / scale4 < 0.02, \
         (diff4, scale4)
     mark("qmm_q4p_decoder")
+
+    # 9. flash-decode (decode-step cache attention), standalone: bf16
+    # cache, int8 cache, per-stream positions — vs the einsum paths
+    from qwen2_audio_tpu.models.qwen2_decoder import (_gqa_attention,
+                                                      _gqa_attention_quant,
+                                                      _quantize_kv)
+    from qwen2_audio_tpu.ops.flash_decode import (flash_decode,
+                                                  flash_decode_quant)
+    B, S, Hq, Hkv, dh = 2, 640, 12, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, dh)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((B, S, Hkv, dh)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, S, Hkv, dh)), jnp.float32)
+    posv = jnp.asarray([100, 639], jnp.int32)
+    want = np.asarray(_gqa_attention(q, kc, vc, posv, S))[:, 0]
+    got = np.asarray(flash_decode(q[:, 0], kc, vc, posv,
+                                  sm_scale=dh ** -0.5)).reshape(B, -1)
+    assert np.abs(got - want).max() < 2e-3, np.abs(got - want).max()
+    mark("fd")
+
+    kq_c, ks_c = _quantize_kv(kc)
+    vq_c, vs_c = _quantize_kv(vc)
+    want = np.asarray(_gqa_attention_quant(q, kq_c, ks_c, vq_c, vs_c,
+                                           posv))[:, 0]
+    got = np.asarray(flash_decode_quant(q[:, 0], kq_c, ks_c, vq_c, vs_c,
+                                        posv,
+                                        sm_scale=dh ** -0.5)).reshape(B, -1)
+    assert np.abs(got - want).max() < 2e-3, np.abs(got - want).max()
+    mark("fd_quant")
+
+    # 10. composed (the risky one, deliberately LAST): flash-decode inside
+    # the scanned decoder, then inside lax.while_loop — the production
+    # decode loop. Numerics: per-step LOGITS within tolerance vs the
+    # einsum path (token-exact is not a meaningful bar in bf16 — argmax
+    # ties on random weights flip and the sequences diverge); the
+    # while_loop leg proves the risky compile+run itself.
+    from qwen2_audio_tpu.runtime.generate import generate_on_device
+    dcfg_fd = Qwen2DecoderConfig(
+        vocab_size=1024, hidden_size=512, intermediate_size=1024,
+        num_hidden_layers=4, num_attention_heads=8, num_key_value_heads=2,
+        head_dim=128, tie_word_embeddings=False)
+    dp_fd = random_decoder_params(rng, dcfg_fd, dtype=jnp.bfloat16)
+    pre = jnp.asarray(rng.standard_normal((1, 16, 512)) * 0.1, jnp.bfloat16)
+    stepx = jnp.asarray(rng.standard_normal((1, 1, 512)) * 0.1, jnp.bfloat16)
+    step_lg = {}
+    for flag in ("0", "1"):
+        os.environ["QA_FLASH_DECODE"] = flag
+        decoder_forward.clear_cache()
+        for cdt in ("bf16", "q8"):
+            cache = create_cache(dcfg_fd, 1, 64,
+                                 dtype=jnp.bfloat16 if cdt == "bf16" else "q8")
+            _, cache = decoder_forward(dp_fd, dcfg_fd, pre, cache, 0,
+                                       block_only=True, logits_last_only=True)
+            lg, cache = decoder_forward(dp_fd, dcfg_fd, stepx, cache, 16)
+            step_lg[flag, cdt] = np.asarray(lg, np.float32)
+    for cdt in ("bf16", "q8"):
+        a, b = step_lg["1", cdt], step_lg["0", cdt]
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-6)
+        assert np.isfinite(a).all() and rel < 0.05, (cdt, rel)
+    # while_loop composition: compile + run with the kernel in the body
+    for cdt in ("bf16", "q8"):
+        t0 = time.time()
+        toks, _, cnt, _, _ = generate_on_device(
+            dp_fd, dcfg_fd, pre, None, max_new_tokens=24,
+            eos_token_id=-1, cache_max_ctx=64,
+            cache_dtype=jnp.bfloat16 if cdt == "bf16" else "q8")
+        toks = np.asarray(toks)
+        assert int(cnt) == 24 and (toks >= 0).all(), cdt
+        print(f"[validate] fd_loop cache={cdt} "
+              f"compile+run {time.time()-t0:.1f}s", flush=True)
+    os.environ.pop("QA_FLASH_DECODE", None)
+    decoder_forward.clear_cache()
+    generate_on_device.clear_cache()
+    mark("fd_loop")
 
     print("[validate] ALL OK", flush=True)
     return 0
