@@ -111,6 +111,57 @@ def _quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, s
 
 
+def fuse_decoder_params(params: Params) -> Params:
+    """Concatenate q/k/v -> "qkv" and gate/up -> "gate_up" along the output
+    axis of the STACKED (L, ..., N) decoder leaves (runtime transform; the
+    canonical schema everywhere else stays separate, matching the HF/ggml
+    checkpoint layouts — same stance as models/encoder.py::fuse_encoder_qkv).
+
+    Why: at decode the per-step M is 1-16, so each matmul is HBM- and
+    dispatch-latency-bound; 7 projections/layer -> 4 cuts the per-layer op
+    count by ~40%. Works for every weight form — dense "w", block
+    "qs"/"qs4"/"scales"/"mins", per-channel "qs8"/"scale_n" — because all
+    quant group structure runs along the INPUT axis; biases concat with
+    zero-fill for missing ones. Host (numpy) leaves fuse on host so big
+    models don't pay transient device duplication.
+
+    NOTE: single-chip transform. The tensor-parallel PartitionSpecs in
+    parallel/mesh.py address the separate q/k/v schema; fuse after
+    sharding is not supported.
+    """
+    def cat(parts):
+        if any(isinstance(p, np.ndarray) for p in parts):
+            return np.concatenate([np.asarray(p) for p in parts], axis=-1)
+        return jnp.concatenate(parts, axis=-1)
+
+    def fuse(entries: list[dict], with_bias: bool) -> dict:
+        keys = set().union(*entries) - {"b"}
+        fused = {leaf: cat([e[leaf] for e in entries]) for leaf in keys}
+        if with_bias and any("b" in e for e in entries):
+            some = next(e["b"] for e in entries if "b" in e)
+            L = some.shape[0]
+
+            def bias_of(e, ref):
+                if "b" in e:
+                    return e["b"]
+                n = (e.get("w") if "w" in e else
+                     e.get("qs", e.get("qs8", e.get("qs4")))).shape[-1]
+                z = (np.zeros if isinstance(ref, np.ndarray)
+                     else jnp.zeros)((L, n), ref.dtype)
+                return z
+            fused["b"] = cat([bias_of(e, some) for e in entries])
+        return fused
+
+    layers = dict(params["layers"])
+    layers["qkv"] = fuse([layers.pop("q"), layers.pop("k"),
+                          layers.pop("v")], with_bias=True)
+    layers["gate_up"] = fuse([layers.pop("gate"), layers.pop("up")],
+                             with_bias=True)
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
@@ -266,9 +317,18 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
     B, T, D = x.shape
     h = rms_norm(x, lp["ln1"]["w"], cfg.rms_norm_eps)
 
-    q = linear(h, lp["q"]).reshape(B, T, cfg.num_attention_heads, cfg.head_dim)
-    k = linear(h, lp["k"]).reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
-    v = linear(h, lp["v"]).reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
+    if "qkv" in lp:                   # fused projection (fuse_decoder_params)
+        nq = cfg.num_attention_heads * cfg.head_dim
+        nkv = cfg.num_key_value_heads * cfg.head_dim
+        qkv = linear(h, lp["qkv"])
+        q = qkv[..., :nq]
+        k = qkv[..., nq:nq + nkv]
+        v = qkv[..., nq + nkv:]
+    else:
+        q, k, v = linear(h, lp["q"]), linear(h, lp["k"]), linear(h, lp["v"])
+    q = q.reshape(B, T, cfg.num_attention_heads, cfg.head_dim)
+    k = k.reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
+    v = v.reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
 
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
@@ -335,7 +395,12 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
     x = x + linear(attn, lp["o"])
 
     h = rms_norm(x, lp["ln2"]["w"], cfg.rms_norm_eps)
-    gated = jax.nn.silu(linear(h, lp["gate"])) * linear(h, lp["up"])
+    if "gate_up" in lp:               # fused MLP in-projection
+        gu = linear(h, lp["gate_up"])
+        I = cfg.intermediate_size
+        gated = jax.nn.silu(gu[..., :I]) * gu[..., I:]
+    else:
+        gated = jax.nn.silu(linear(h, lp["gate"])) * linear(h, lp["up"])
     out = x + linear(gated, lp["down"])
     if attn_slice is not None:
         return out, (*new_parts, tap)

@@ -319,7 +319,7 @@ def beam_search_device(bundle, prefill, *, beam_size: int,
 def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
                          temperature: float = 0.0, top_k: int = 0,
                          repetition_penalty: float = 1.0, seed: int = 0,
-                         suppress_mask=None):
+                         suppress_mask=None, cache_ctx: int | None = None):
     """DecoderBundle entry returning the same GenerationResult shape as the
     host loop (runtime/decoding.py) — drop-in fast path."""
     import numpy as np
@@ -330,7 +330,9 @@ def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
         raise ValueError(
             f"prefill length {T0} exceeds DecoderBundle.max_ctx "
             f"{bundle.max_ctx}; raise max_ctx when attaching the decoder")
-    max_ctx = min(bundle.max_ctx, T0 + max_new_tokens)
+    # default: size the cache to this call; cache_ctx overrides (e.g. to
+    # bench/serve with worst-case capacity while streams stay short)
+    max_ctx = cache_ctx or min(bundle.max_ctx, T0 + max_new_tokens)
     import jax.numpy as _jnp
     sup = None if suppress_mask is None else _jnp.asarray(suppress_mask)
     tokens, logprobs, count, last_logits, first_logits = generate_on_device(

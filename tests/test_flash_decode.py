@@ -166,3 +166,52 @@ def test_generate_on_device_flash_matches(monkeypatch):
         jax.clear_caches()
     np.testing.assert_array_equal(results["1"][0], results["0"][0])
     assert results["1"][1] == results["0"][1]
+
+
+def test_decode_chunk_slots_flash_matches(monkeypatch):
+    """Continuous-batching chunk decode (fori_loop + per-slot positions):
+    flash-decode path == einsum path."""
+    import jax
+
+    from qwen2_audio_tpu.config import Qwen2DecoderConfig
+    from qwen2_audio_tpu.models.qwen2_decoder import (create_cache,
+                                                      decoder_forward,
+                                                      random_decoder_params)
+    from qwen2_audio_tpu.runtime.generate import (decode_chunk_slots,
+                                                  prefill_slot)
+
+    cfg = Qwen2DecoderConfig(
+        vocab_size=64, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=128, tie_word_embeddings=False)
+    params = random_decoder_params(np.random.default_rng(21), cfg)
+    pre_a = jnp.asarray(
+        np.random.default_rng(22).standard_normal((1, 5, 256)) * 0.1,
+        jnp.float32)
+    pre_b = jnp.asarray(
+        np.random.default_rng(23).standard_normal((1, 9, 256)) * 0.1,
+        jnp.float32)
+    out = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("QA_FLASH_DECODE", flag)
+        decoder_forward.clear_cache()
+        prefill_slot.clear_cache()
+        decode_chunk_slots.clear_cache()
+        cache = create_cache(cfg, 2, 64, dtype=jnp.float32)
+        slot_pos = jnp.zeros((2,), jnp.int32)
+        slot_logits = jnp.zeros((2, cfg.vocab_size), jnp.float32)
+        slot_active = jnp.zeros((2,), bool)
+        for s, pre in enumerate((pre_a, pre_b)):
+            cache, slot_pos, slot_logits, slot_active = prefill_slot(
+                params, cfg, cache, slot_pos, slot_logits, slot_active,
+                jnp.int32(s), pre)
+        cache, slot_pos, slot_logits, slot_active, toks, lps = \
+            decode_chunk_slots(params, cfg, cache, slot_pos, slot_logits,
+                               slot_active, chunk=6, eos_token_id=-1)
+        out[flag] = (np.asarray(toks), np.asarray(slot_logits),
+                     np.asarray(slot_pos))
+        jax.clear_caches()
+    np.testing.assert_array_equal(out["1"][0], out["0"][0])
+    np.testing.assert_array_equal(out["1"][2], out["0"][2])
+    np.testing.assert_allclose(out["1"][1], out["0"][1],
+                               rtol=2e-4, atol=2e-4)

@@ -49,6 +49,16 @@ def main() -> int:
     ap.add_argument("--beam", type=int, default=0,
                     help="if > 0, run device-side beam search with this "
                          "beam width instead of greedy")
+    ap.add_argument("--max-ctx", type=int, default=0,
+                    help="cache capacity (default prefill+new+8). Set "
+                         "larger to model the serving regime: capacity "
+                         "sized for the worst case, streams mostly short "
+                         "— where flash-decode's valid-prefix skipping "
+                         "pays")
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="keep separate q/k/v and gate/up projections "
+                         "(default: fuse_decoder_params — 7 -> 4 matmuls "
+                         "per layer)")
     args = ap.parse_args()
     t_process0 = time.time()
 
@@ -118,6 +128,10 @@ def main() -> int:
         params = build_host()
         print(f"host params built in {time.time()-t0:.1f}s", file=sys.stderr)
 
+    if not args.no_fuse:
+        from qwen2_audio_tpu.models.qwen2_decoder import fuse_decoder_params
+        params = fuse_decoder_params(params)   # host-side; pre-upload
+
     if args.quant != "none":
         # leaf-by-leaf upload: quantized leaves keep their exact dtypes
         # (scales/mins/scale_n MUST stay f32 for parity), dense float
@@ -146,14 +160,15 @@ def main() -> int:
         cfg=cfg, params=params, proj_w=jnp.eye(h, dtype=dtype),
         proj_b=jnp.zeros(h, dtype=dtype), eos_token_id=-1,  # never emitted
         bos_tokens=[], post_audio_tokens=[],
-        max_ctx=args.prefill + args.new + 8,
+        max_ctx=args.max_ctx or (args.prefill + args.new + 8),
         cache_dtype="q8" if args.kv == "q8" else dtype)
 
     def decode_once():
         if args.beam > 0:
             return beam_search_device(bundle, prefill, beam_size=args.beam,
                                       max_new_tokens=args.new)
-        return greedy_decode_device(bundle, prefill, max_new_tokens=args.new)
+        return greedy_decode_device(bundle, prefill, max_new_tokens=args.new,
+                                    cache_ctx=args.max_ctx or None)
 
     prefill = jnp.asarray(
         rng.standard_normal((args.batch, args.prefill, h)) * 0.1, dtype)

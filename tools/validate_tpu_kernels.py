@@ -281,6 +281,28 @@ def main() -> int:
         assert int(cnt) == 24 and (toks >= 0).all(), cdt
         print(f"[validate] fd_loop cache={cdt} "
               f"compile+run {time.time()-t0:.1f}s", flush=True)
+    # fori_loop composition: the continuous-batching chunk decoder
+    # (runtime/generate.py::decode_chunk_slots) wraps the kernel in
+    # lax.fori_loop — validate it BEFORE arming the marker, which gates
+    # all loop compositions
+    from qwen2_audio_tpu.runtime.generate import (decode_chunk_slots,
+                                                  prefill_slot)
+    cache = create_cache(dcfg_fd, 2, 64, dtype=jnp.bfloat16)
+    slot_pos = jnp.zeros((2,), jnp.int32)
+    slot_logits = jnp.zeros((2, dcfg_fd.vocab_size), jnp.float32)
+    slot_active = jnp.zeros((2,), bool)
+    for s in range(2):
+        cache, slot_pos, slot_logits, slot_active = prefill_slot(
+            dp_fd, dcfg_fd, cache, slot_pos, slot_logits, slot_active,
+            jnp.int32(s), pre)
+    t0 = time.time()
+    cache, slot_pos, slot_logits, slot_active, toks, lps = decode_chunk_slots(
+        dp_fd, dcfg_fd, cache, slot_pos, slot_logits, slot_active,
+        chunk=8, eos_token_id=-1)
+    toks = np.asarray(toks)
+    assert np.isfinite(np.asarray(slot_logits)).all() and (toks >= 0).all()
+    print(f"[validate] fd_slots (fori_loop) compile+run "
+          f"{time.time()-t0:.1f}s", flush=True)
     os.environ.pop("QA_FLASH_DECODE", None)
     decoder_forward.clear_cache()
     generate_on_device.clear_cache()
