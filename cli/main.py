@@ -109,7 +109,7 @@ def main(argv: list[str] | None = None) -> int:
         print("error: no input files specified", file=sys.stderr)
         return 1
 
-    from qwen2_audio_tpu.audio import read_wav
+    from qwen2_audio_tpu.audio import read_audio
     from qwen2_audio_tpu.runtime import ContextParams, WhisperContext, full_default_params
     from qwen2_audio_tpu.utils.logging import log_set
     from qwen2_audio_tpu.runtime.context import print_system_info
@@ -144,7 +144,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"system_info: {print_system_info()}", file=sys.stderr)
 
     for fname in args.file:
-        samples, _rate = read_wav(fname)
+        samples, _rate = read_audio(fname)
         if not args.no_prints:
             print(f"processing '{fname}' ({len(samples)} samples, "
                   f"{len(samples) / 16000.0:.1f} sec)", file=sys.stderr)
@@ -199,7 +199,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.output_words and ctx.state.segments:
             from cli.output_formats import write_wts
             base = (args.output_file or fname)
-            base = base[:-4] if base.endswith(".wav") else base
+            base = (base[:-4] if base.endswith((".wav", ".mp3"))
+                    else base)
             write_wts(f"{base}.wts", ctx.state.segments, fname,
                       int(len(samples) / 16000.0 * 100),
                       font_path=args.font_path)

@@ -177,7 +177,7 @@ def write_outputs(base_path: str, segments: list[dict], args) -> list[str]:
     """Write every format the CLI flags request; returns written paths."""
     written = []
     base = args.output_file or base_path
-    if base.endswith(".wav"):
+    if base.endswith((".wav", ".mp3")):
         base = base[:-4]
     for fmt, flag in (("txt", args.output_txt), ("vtt", args.output_vtt),
                       ("srt", args.output_srt), ("lrc", args.output_lrc),

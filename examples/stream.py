@@ -26,7 +26,7 @@ def main() -> int:
     model, wav = sys.argv[1], sys.argv[2]
     decoder_dir = sys.argv[3] if len(sys.argv) > 3 else None
 
-    from qwen2_audio_tpu.audio import read_wav
+    from qwen2_audio_tpu.audio import read_audio
     from qwen2_audio_tpu.audio.vad import vad_simple
     from qwen2_audio_tpu.runtime import WhisperContext, full_default_params
     from qwen2_audio_tpu.utils.utf8 import StreamingTextDecoder
@@ -36,7 +36,7 @@ def main() -> int:
         from qwen2_audio_tpu.io.hf import load_qwen2_audio
         ctx.decoder = load_qwen2_audio(decoder_dir)["bundle"]
 
-    samples, rate = read_wav(wav)
+    samples, rate = read_audio(wav)
     chunk = rate * CHUNK_MS // 1000
     buf = np.zeros(0, np.float32)
     t_emitted = 0.0

@@ -17,12 +17,12 @@ def main() -> int:
     model, wav = sys.argv[1], sys.argv[2]
     decoder_dir = sys.argv[3] if len(sys.argv) > 3 else None
 
-    from qwen2_audio_tpu.audio import read_wav
+    from qwen2_audio_tpu.audio import read_audio
     from qwen2_audio_tpu.runtime import WhisperContext, full_default_params
     from qwen2_audio_tpu.runtime.serving import transcribe_long_form
 
     ctx = WhisperContext.init_from_file_with_params(model)
-    samples, _ = read_wav(wav)
+    samples, _ = read_audio(wav)
 
     if decoder_dir:
         from qwen2_audio_tpu.io.hf import load_qwen2_audio

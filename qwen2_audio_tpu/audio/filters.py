@@ -69,3 +69,34 @@ def mel_filterbank(
     weights *= enorm[:, None]
 
     return weights.astype(np.float32)
+
+
+def resample(x: np.ndarray, sr_in: int, sr_out: int, *, width: int = 32,
+             beta: float = 8.6) -> np.ndarray:
+    """Windowed-sinc resampler (Kaiser window), numpy-vectorized.
+
+    Role parity: the reference's ffmpeg input path transcodes any source
+    rate to 16 kHz before the mel stage (examples/common.cpp:677-683 via
+    ffmpeg_decode_audio); this is the in-process equivalent for mp3 and
+    other non-16 kHz sources. Direct evaluation of the interpolation
+    kernel at each output instant (no rational L/M factorization needed):
+    anti-aliasing cutoff at min(sr_in, sr_out)/2, ``width`` taps per side.
+    """
+    if sr_in == sr_out or x.size == 0:
+        return np.asarray(x, np.float32)
+    x = np.asarray(x, np.float32)
+    ratio = sr_out / sr_in
+    c = min(1.0, ratio)                      # cutoff in input-Nyquist units
+    n_out = int(round(x.shape[0] * ratio))
+    t = np.arange(n_out, dtype=np.float64) / ratio   # output instants, input units
+    i0 = np.floor(t).astype(np.int64)
+    frac = (t - i0).astype(np.float32)
+    k = np.arange(-width + 1, width + 1, dtype=np.float32)   # (2W,)
+    u = k[None, :] - frac[:, None]                           # (n_out, 2W)
+    kern = c * np.sinc(c * u)
+    kern *= np.i0(beta * np.sqrt(np.maximum(
+        0.0, 1.0 - (u / width) ** 2))) / np.i0(beta)
+    idx = np.clip(i0[:, None] + k.astype(np.int64)[None, :], 0,
+                  x.shape[0] - 1)
+    y = np.einsum("ot,ot->o", x[idx], kern, optimize=True)
+    return y.astype(np.float32)

@@ -62,3 +62,22 @@ def test_cli_no_input():
     r = run_cli(["-m", "x.bin"])
     assert r.returncode == 1
     assert "no input files" in r.stderr
+
+
+def test_cli_mp3_input(assets, tmp_path):
+    """mp3 in -> same encoder fingerprint path as wav (the reference needs
+    an ffmpeg build for this; here it rides the libmpg123 binding)."""
+    from qwen2_audio_tpu.audio import have_mp3
+    if not have_mp3():
+        pytest.skip("libmpg123 not available")
+    from tests.test_mp3 import LAME, encode_mp3
+    if LAME is None:
+        pytest.skip("libmp3lame not available")
+    model, _wav = assets
+    mp3 = str(tmp_path / "in.mp3")
+    t = np.arange(32000) / 16000.0
+    encode_mp3(mp3, (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float32),
+               16000)
+    r = run_cli(["-m", model, "-f", mp3, "--bench-iters", "1", "-np"])
+    assert r.returncode == 0, r.stderr
+    assert "Elapsed time" in r.stdout          # fingerprint loop completed
