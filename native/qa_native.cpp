@@ -7,6 +7,7 @@
 // via ctypes (qwen2_audio_tpu/native.py):
 //
 //   qa_wav_read      — RIFF/WAVE decode to mono f32 (PCM 8/16/24/32, f32)
+//   qa_mp3_read      — mp3 decode to mono f32 via dlopen(libmpg123)
 //   qa_log_mel       — threaded log-mel spectrogram (DFT-as-dot, double
 //                      filterbank accumulate, max-8 clamp, (x+4)/4)
 //   qa_quantize /    — ggml-block-compatible q4_0/q4_1/q5_0/q5_1/q8_0
@@ -23,6 +24,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <dlfcn.h>
 #include <thread>
 #include <vector>
 
@@ -180,6 +182,84 @@ int qa_wav_read(const char* path, float** out, int64_t* n_out, int* rate_out) {
     if (!buf) return -7;
     std::memcpy(buf, mono.data(), sizeof(float) * (size_t)n_frames);
     *out = buf;
+    *n_out = n_frames;
+    *rate_out = (int)rate;
+    return 0;
+}
+
+// --------------------------------------------------------------------- //
+// mp3 reader — dlopen(libmpg123), native twin of audio/mp3.py (the
+// reference reads mp3 only via its WHISPER_FFMPEG build of
+// examples/common.cpp:677-683). Runtime-loaded so the library stays an
+// optional capability, not a link dependency. Emits native-rate mono f32;
+// rate conversion stays in the caller (audio/filters.py::resample).
+// --------------------------------------------------------------------- //
+
+int qa_mp3_read(const char* path, float** out, int64_t* n_out, int* rate_out) {
+    void* so = dlopen("libmpg123.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!so) so = dlopen("libmpg123.so", RTLD_NOW | RTLD_LOCAL);
+    if (!so) return -10;
+
+    auto sym = [&](const char* name) { return dlsym(so, name); };
+    auto p_init   = (int (*)())sym("mpg123_init");
+    auto p_new    = (void* (*)(const char*, int*))sym("mpg123_new");
+    auto p_open   = (int (*)(void*, const char*))sym("mpg123_open");
+    auto p_getfmt = (int (*)(void*, long*, int*, int*))sym("mpg123_getformat");
+    auto p_fmtnone= (int (*)(void*))sym("mpg123_format_none");
+    auto p_fmt    = (int (*)(void*, long, int, int))sym("mpg123_format");
+    auto p_read   = (int (*)(void*, void*, size_t, size_t*))sym("mpg123_read");
+    auto p_close  = (int (*)(void*))sym("mpg123_close");
+    auto p_delete = (void (*)(void*))sym("mpg123_delete");
+    if (!p_new || !p_open || !p_getfmt || !p_fmtnone || !p_fmt || !p_read ||
+        !p_close || !p_delete) { dlclose(so); return -11; }
+    if (p_init) p_init();
+
+    const int kOk = 0, kDone = -12, kNewFormat = -11, kEncS16 = 0xD0;
+    int err = 0;
+    void* h = p_new(nullptr, &err);
+    if (!h) { dlclose(so); return -12; }
+
+    int rc_out = -13;
+    long rate = 0; int channels = 0, enc = 0;
+    std::vector<int16_t> pcm;
+    do {
+        if (p_open(h, path) != kOk) break;
+        if (p_getfmt(h, &rate, &channels, &enc) != kOk) { p_close(h); break; }
+        p_fmtnone(h);
+        if (p_fmt(h, rate, channels, kEncS16) != kOk) { p_close(h); break; }
+        std::vector<uint8_t> buf(1 << 17);
+        size_t done = 0;
+        int rc;
+        bool fail = false;
+        do {
+            rc = p_read(h, buf.data(), buf.size(), &done);
+            if (done) {
+                const int16_t* s = (const int16_t*)buf.data();
+                pcm.insert(pcm.end(), s, s + done / 2);
+            }
+            if (rc != kOk && rc != kDone && rc != kNewFormat) {
+                fail = true;
+                break;
+            }
+        } while (rc != kDone);
+        p_close(h);
+        if (!fail) rc_out = 0;
+    } while (false);
+    p_delete(h);
+    dlclose(so);
+    if (rc_out != 0) return rc_out;
+
+    int nch = channels > 0 ? channels : 1;
+    int64_t n_frames = (int64_t)(pcm.size() / (size_t)nch);
+    float* monobuf = (float*)std::malloc(sizeof(float) * (size_t)n_frames);
+    if (!monobuf) return -7;
+    const float inv = 1.0f / 32768.0f;
+    for (int64_t i = 0; i < n_frames; i++) {
+        float acc = 0.0f;
+        for (int c = 0; c < nch; c++) acc += (float)pcm[(size_t)i * nch + c];
+        monobuf[i] = acc * inv / (float)nch;
+    }
+    *out = monobuf;
     *n_out = n_frames;
     *rate_out = (int)rate;
     return 0;

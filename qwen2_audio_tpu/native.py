@@ -68,6 +68,9 @@ def _bind(lib):
     lib.qa_wav_read.argtypes = [c.c_char_p, c.POINTER(c.POINTER(c.c_float)),
                                 c.POINTER(c.c_int64), c.POINTER(c.c_int)]
     lib.qa_wav_read.restype = c.c_int
+    if hasattr(lib, "qa_mp3_read"):        # added in lib version 1 rebuilds
+        lib.qa_mp3_read.argtypes = lib.qa_wav_read.argtypes
+        lib.qa_mp3_read.restype = c.c_int
     lib.qa_log_mel.argtypes = [
         c.POINTER(c.c_float), c.c_int64, c.POINTER(c.c_float), c.c_int,
         c.c_int, c.POINTER(c.POINTER(c.c_float)), c.POINTER(c.c_int64),
@@ -100,6 +103,27 @@ def wav_read(path: str) -> tuple[np.ndarray, int]:
                          ctypes.byref(rate))
     if rc != 0:
         raise ValueError(f"qa_wav_read({path}) failed rc={rc}")
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(n.value,)).copy()
+    finally:
+        lib.qa_free(out)
+    return arr, rate.value
+
+
+def mp3_read(path: str) -> tuple[np.ndarray, int]:
+    """Native-rate mono f32 decode; falls back to the ctypes-from-Python
+    binding (audio/mp3.py) when the lib is absent or built pre-mp3."""
+    lib = load()
+    if lib is None or not hasattr(lib, "qa_mp3_read"):
+        from qwen2_audio_tpu.audio.mp3 import read_mp3
+        return read_mp3(path, expect_rate=None)
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    rate = ctypes.c_int()
+    rc = lib.qa_mp3_read(path.encode(), ctypes.byref(out), ctypes.byref(n),
+                         ctypes.byref(rate))
+    if rc != 0:
+        raise ValueError(f"qa_mp3_read({path}) failed rc={rc}")
     try:
         arr = np.ctypeslib.as_array(out, shape=(n.value,)).copy()
     finally:

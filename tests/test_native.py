@@ -61,3 +61,22 @@ def test_native_mel_matches_python(rng):
 def test_native_memcpy_bench(lib):
     gbps = native.bench_memcpy_gbps(bytes_=1 << 24, n_threads=2)
     assert gbps > 0.1
+
+
+def test_mp3_read_matches_python_binding(tmp_path):
+    """qa_mp3_read (dlopen libmpg123 in C++) == audio/mp3.py (ctypes from
+    Python): both pin s16 output, so samples must be bit-identical."""
+    from qwen2_audio_tpu.audio.mp3 import have_mp3, read_mp3
+    if not native.available() or not have_mp3():
+        pytest.skip("native lib or libmpg123 missing")
+    if not hasattr(native.load(), "qa_mp3_read"):
+        pytest.skip("lib built before qa_mp3_read")
+    from tests.test_mp3 import LAME, encode_mp3, tone
+    if LAME is None:
+        pytest.skip("libmp3lame not available")
+    path = str(tmp_path / "t.mp3")
+    encode_mp3(path, tone(523.0, 16000), 16000)
+    got, rate = native.mp3_read(path)
+    ref, ref_rate = read_mp3(path, expect_rate=None)
+    assert rate == ref_rate == 16000
+    np.testing.assert_array_equal(got, ref.astype(np.float32))
