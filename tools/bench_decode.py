@@ -37,6 +37,10 @@ def main() -> int:
     ap.add_argument("--quant", default="q8_0",
                     choices=["q8_0", "q4_0", "w8a8", "none"])
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--layers", type=int, default=0,
+                    help="override layer count (0 = preset) — used to "
+                         "decompose per-layer vs fixed per-step overhead "
+                         "(run L and L/2, extrapolate)")
     ap.add_argument("--new", type=int, default=128)
     ap.add_argument("--prefill", type=int, default=64)
     ap.add_argument("--cache-dir", default="/tmp/qa_param_cache",
@@ -71,8 +75,12 @@ def main() -> int:
         pass
     from qwen2_audio_tpu.utils.watchdog import (ensure_kernel_validation,
                                                 watchdog)
-    watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "1800")),
-             "bench_decode")
+    # the deadline must budget TPU unresponsiveness only — a cold 7B host
+    # param build alone takes ~30 min, so arm now (covers backend init)
+    # and RE-ARM after the host build; exiting mid-upload on a deadline
+    # sized for the whole run is exactly the wedge CLAUDE.md warns about
+    wd_s = float(os.environ.get("BENCH_WATCHDOG_S", "1800"))
+    cancel_wd = watchdog(wd_s, "bench_decode:init")
 
     from qwen2_audio_tpu.config import GGMLType, Qwen2DecoderConfig
     from qwen2_audio_tpu.models.qwen2_decoder import random_decoder_params
@@ -82,6 +90,8 @@ def main() -> int:
         beam_search_device, greedy_decode_device)
 
     h, inter, L, H, KV, dh, V = SIZES[args.size]
+    if args.layers:
+        L = args.layers
     cfg = Qwen2DecoderConfig(
         vocab_size=V, hidden_size=h, intermediate_size=inter,
         num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
@@ -93,6 +103,7 @@ def main() -> int:
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     print(f"decode bench: {args.size} {args.quant} B={args.batch} "
           f"new={args.new} backend={jax.default_backend()}", file=sys.stderr)
+    cancel_wd()                     # host-build phase: CPU-bound, unguarded
 
     rng = np.random.default_rng(0)
     t0 = time.time()
@@ -119,8 +130,9 @@ def main() -> int:
 
     if args.quant != "none" and args.cache_dir:
         from qwen2_audio_tpu.io.param_cache import cached_build
+        suffix = f"-L{L}" if args.layers else ""
         path = os.path.join(args.cache_dir,
-                            f"bench-{args.size}-{args.quant}.npz")
+                            f"bench-{args.size}-{args.quant}{suffix}.npz")
         params = cached_build(path, build_host)
         print(f"host params ready in {time.time()-t0:.1f}s "
               f"(cache: {path})", file=sys.stderr)
@@ -131,6 +143,8 @@ def main() -> int:
     if not args.no_fuse:
         from qwen2_audio_tpu.models.qwen2_decoder import fuse_decoder_params
         params = fuse_decoder_params(params)   # host-side; pre-upload
+
+    watchdog(wd_s, "bench_decode")  # re-arm for upload/compile/decode
 
     if args.quant != "none":
         # leaf-by-leaf upload: quantized leaves keep their exact dtypes
