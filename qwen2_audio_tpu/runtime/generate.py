@@ -126,6 +126,148 @@ def generate_on_device(
             first_logits)
 
 
+class SpecState(NamedTuple):
+    cache: KVCache
+    last_logits: jax.Array      # (1, V) raw logits after the last emitted tok
+    tokens: jax.Array           # (1, max_new + spec_k + 1) int32
+    logprobs: jax.Array         # same padding
+    done: jax.Array             # () bool
+    count: jax.Array            # () int32 tokens emitted
+    iters: jax.Array            # () int32 loop iterations (for accept-rate)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_token_id",
+                     "cache_max_ctx", "cache_dtype", "spec_k", "ngram"))
+def generate_speculative(
+    params,
+    cfg,
+    prefill: jax.Array,            # (1, T0, D) — single stream
+    suppress_mask: jax.Array | None = None,
+    *,
+    max_new_tokens: int,
+    eos_token_id: int,
+    cache_max_ctx: int,
+    cache_dtype=jnp.bfloat16,
+    spec_k: int = 8,
+    ngram: int = 2,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Greedy decoding with n-gram (prompt-lookup) self-drafting.
+
+    Decode at B=1 is HBM-bound: a forward over K+1 positions reads the
+    same weight bytes as one position, so verifying K drafted tokens in
+    one step is nearly free — tokens/s multiplies by the mean accepted
+    length. Drafts come from the model's OWN output history: find the
+    most recent occurrence of the trailing ``ngram`` tokens, propose the
+    ``spec_k`` tokens that followed it (no draft model, exact greedy
+    output by construction — every emitted token equals the argmax the
+    plain loop would take). The reference has no analog (its decode is
+    strictly one token per graph launch, src/qwen2-whisper.cpp:2675);
+    this is a TPU-native serving lever in the vLLM prompt-lookup family.
+
+    Static shapes throughout: every iteration runs one (K+1)-token
+    forward under the same ``lax.while_loop`` discipline as
+    generate_on_device. Returns (tokens (1, max_new), logprobs, count,
+    last_logits, first_logits, iters).
+    """
+    B, T0, D = prefill.shape
+    if B != 1:
+        raise ValueError("speculative decoding is a B=1 latency path; "
+                         "batch throughput comes from plain batching")
+    V = cfg.vocab_size
+    K = spec_k
+    Lbuf = max_new_tokens + K + 1
+    if cache_max_ctx < T0 + max_new_tokens + K:
+        raise ValueError(
+            f"cache_max_ctx {cache_max_ctx} < prefill {T0} + max_new "
+            f"{max_new_tokens} + spec_k {K}: the draft block needs "
+            "headroom past the last emitted token")
+
+    cache = create_cache(cfg, 1, cache_max_ctx, dtype=cache_dtype)
+    from qwen2_audio_tpu.runtime.decoding import _prefill_flash
+    logits, cache = decoder_forward(params, cfg, prefill, cache, 0,
+                                    block_only=True, logits_last_only=True,
+                                    use_flash=_prefill_flash())
+    first_logits = logits[:, -1]
+
+    sup = (jnp.zeros((V,), jnp.float32) if suppress_mask is None
+           else suppress_mask)
+
+    state = SpecState(
+        cache=cache,
+        last_logits=first_logits,
+        tokens=jnp.full((1, Lbuf), eos_token_id, jnp.int32),
+        logprobs=jnp.zeros((1, Lbuf), jnp.float32),
+        done=jnp.zeros((), bool),
+        count=jnp.zeros((), jnp.int32),
+        iters=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s: SpecState):
+        return (s.count < max_new_tokens) & ~s.done
+
+    def body(s: SpecState):
+        c = s.count
+        lg_prev = s.last_logits[0] + sup
+        d0 = jnp.argmax(lg_prev).astype(jnp.int32)
+
+        # --- draft: most recent match of [last ngram-1 emitted, d0] ----
+        h = s.tokens[0]
+        tail = jnp.concatenate([
+            jax.lax.dynamic_slice(
+                h, (jnp.maximum(c - (ngram - 1), 0),), (ngram - 1,)),
+            d0[None]])
+        wins = jnp.stack([jnp.roll(h, -j) for j in range(ngram)], axis=1)
+        idx = jnp.arange(Lbuf)
+        match = jnp.all(wins == tail[None, :], axis=1) & (idx <= c - ngram)
+        best = jnp.max(jnp.where(match, idx, -1))
+        found = best >= 0
+        start = jnp.where(found, best + ngram, 0)
+        draft = jax.lax.dynamic_slice(h, (start,), (K,))
+        draft = jnp.where(found & (start + jnp.arange(K) < c), draft, d0)
+
+        # --- one (K+1)-token forward verifies the whole draft ----------
+        seq = jnp.concatenate([d0[None], draft])            # (K+1,)
+        x = params["embed"][seq][None]                      # (1, K+1, D)
+        logits_out, cache = decoder_forward(params, cfg, x, s.cache, T0 + c)
+        rows = logits_out[0] + sup[None, :]                 # (K+1, V)
+        tgt = jnp.argmax(rows, axis=-1).astype(jnp.int32)   # (K+1,)
+
+        ok = (draft == tgt[:K]).astype(jnp.int32)
+        n_acc = jnp.sum(jnp.cumprod(ok))
+        n_emit = n_acc + 1                                  # d0 always lands
+
+        epos = jnp.arange(K + 1)
+        eos_here = (seq == eos_token_id) & (epos < n_emit)
+        eos_in = jnp.any(eos_here)
+        idx_eos = jnp.argmax(eos_here)                      # first True
+        n_emit = jnp.where(eos_in, jnp.minimum(n_emit, idx_eos + 1), n_emit)
+        n_emit = jnp.minimum(n_emit, max_new_tokens - c)
+
+        logp_prev = jax.nn.log_softmax(lg_prev)
+        logp_rows = jax.nn.log_softmax(rows, axis=-1)
+        lp = jnp.concatenate([
+            logp_prev[d0][None],
+            jnp.take_along_axis(logp_rows[:K], draft[:, None],
+                                axis=-1)[:, 0]]).astype(jnp.float32)
+
+        tokens = jax.lax.dynamic_update_slice(s.tokens, seq[None], (0, c))
+        logprobs = jax.lax.dynamic_update_slice(s.logprobs, lp[None], (0, c))
+        last = jax.lax.dynamic_slice(logits_out[0], (n_emit - 1, 0), (1, V))
+        return SpecState(cache=cache, last_logits=last, tokens=tokens,
+                         logprobs=logprobs, done=s.done | eos_in,
+                         count=c + n_emit, iters=s.iters + 1)
+
+    final = jax.lax.while_loop(cond, body, state)
+    # overwrite the speculative overhang: beyond count is padding
+    live = jnp.arange(Lbuf)[None, :] < final.count
+    tokens = jnp.where(live, final.tokens, eos_token_id)[:, :max_new_tokens]
+    logprobs = jnp.where(live, final.logprobs, 0.0)[:, :max_new_tokens]
+    return (tokens, logprobs, final.count, final.last_logits, first_logits,
+            final.iters)
+
+
 class BeamState(NamedTuple):
     cache: KVCache
     scores: jax.Array           # (K,) cumulative log-prob per beam
@@ -319,9 +461,14 @@ def beam_search_device(bundle, prefill, *, beam_size: int,
 def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
                          temperature: float = 0.0, top_k: int = 0,
                          repetition_penalty: float = 1.0, seed: int = 0,
-                         suppress_mask=None, cache_ctx: int | None = None):
+                         suppress_mask=None, cache_ctx: int | None = None,
+                         spec_k: int = 0, ngram: int = 2):
     """DecoderBundle entry returning the same GenerationResult shape as the
-    host loop (runtime/decoding.py) — drop-in fast path."""
+    host loop (runtime/decoding.py) — drop-in fast path.
+
+    ``spec_k > 0`` routes through generate_speculative (B=1 greedy only:
+    n-gram self-drafting, spec_k drafts verified per forward — identical
+    output, fewer weight passes)."""
     import numpy as np
     from qwen2_audio_tpu.runtime.decoding import GenerationResult
 
@@ -335,17 +482,31 @@ def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
     max_ctx = cache_ctx or min(bundle.max_ctx, T0 + max_new_tokens)
     import jax.numpy as _jnp
     sup = None if suppress_mask is None else _jnp.asarray(suppress_mask)
-    tokens, logprobs, count, last_logits, first_logits = generate_on_device(
-        bundle.params, bundle.cfg, prefill, sup,
-        max_new_tokens=max_new_tokens,
-        eos_token_id=bundle.eos_token_id,
-        cache_max_ctx=max_ctx,
-        cache_dtype=bundle.cache_dtype,
-        temperature=temperature,
-        repetition_penalty=repetition_penalty,
-        top_k=top_k,
-        seed=seed,
-    )
+    if spec_k > 0:
+        if temperature > 0 or repetition_penalty != 1.0 or top_k > 0:
+            raise ValueError("speculative path is exact for plain greedy "
+                             "only (temperature=0, no penalties)")
+        tokens, logprobs, count, last_logits, first_logits, iters = \
+            generate_speculative(
+                bundle.params, bundle.cfg, prefill, sup,
+                max_new_tokens=max_new_tokens,
+                eos_token_id=bundle.eos_token_id,
+                cache_max_ctx=max(max_ctx, T0 + max_new_tokens + spec_k),
+                cache_dtype=bundle.cache_dtype,
+                spec_k=spec_k, ngram=ngram)
+    else:
+        tokens, logprobs, count, last_logits, first_logits = \
+            generate_on_device(
+                bundle.params, bundle.cfg, prefill, sup,
+                max_new_tokens=max_new_tokens,
+                eos_token_id=bundle.eos_token_id,
+                cache_max_ctx=max_ctx,
+                cache_dtype=bundle.cache_dtype,
+                temperature=temperature,
+                repetition_penalty=repetition_penalty,
+                top_k=top_k,
+                seed=seed,
+            )
     tokens = np.asarray(tokens)
     logprobs = np.asarray(logprobs)
     n_gen = int(count)          # beyond this the buffer is EOS *padding*

@@ -53,6 +53,13 @@ def main() -> int:
     ap.add_argument("--beam", type=int, default=0,
                     help="if > 0, run device-side beam search with this "
                          "beam width instead of greedy")
+    ap.add_argument("--spec", type=int, default=0,
+                    help="if > 0, n-gram speculative decoding with this "
+                         "many drafts per forward (B=1 greedy; exact "
+                         "output, tok/s scales with the accept rate — "
+                         "random-weight accept rates are whatever the "
+                         "random argmax cycle gives, so treat the tok/s "
+                         "as a mechanism cost check, not a claim)")
     ap.add_argument("--max-ctx", type=int, default=0,
                     help="cache capacity (default prefill+new+8). Set "
                          "larger to model the serving regime: capacity "
@@ -181,6 +188,21 @@ def main() -> int:
         if args.beam > 0:
             return beam_search_device(bundle, prefill, beam_size=args.beam,
                                       max_new_tokens=args.new)
+        if args.spec > 0:
+            from qwen2_audio_tpu.runtime.generate import generate_speculative
+            toks, lps, n, _, _, iters = generate_speculative(
+                bundle.params, bundle.cfg, prefill, None,
+                max_new_tokens=args.new, eos_token_id=-1,
+                cache_max_ctx=(args.max_ctx
+                               or args.prefill + args.new + args.spec + 8),
+                cache_dtype=bundle.cache_dtype, spec_k=args.spec)
+            import numpy as _np
+            n = int(n)
+
+            class R:            # minimal GenerationResult shim
+                tokens = [_np.asarray(toks)[0, :n].tolist()]
+            R.iters = int(iters)
+            return R
         return greedy_decode_device(bundle, prefill, max_new_tokens=args.new,
                                     cache_ctx=args.max_ctx or None)
 
@@ -210,6 +232,9 @@ def main() -> int:
         n_tok = sum(len(t) for t in r.tokens)
     tps = n_tok / best
     tag = f" beam={args.beam}" if args.beam else ""
+    if args.spec:
+        tag = (f" spec={args.spec} ({n_tok} tok / {r.iters} forwards = "
+               f"{n_tok / max(r.iters, 1):.2f} accepted/step)")
     print(f"decode{tag} kv={args.kv}: {n_tok} tokens in {best*1e3:.1f} ms "
           f"-> {tps:.1f} tok/s ({tps/args.batch:.1f} tok/s/stream)")
     return 0
