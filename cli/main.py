@@ -81,6 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("--bench-iters", type=int, default=100,
       help="encode iterations (reference hardcodes 100, main.cpp:574)")
     a("--max-new-tokens", type=int, default=128)
+    a("--spec-k", type=int, default=0,
+      help="n-gram speculative decoding: drafts verified per forward "
+           "(greedy only; exact output — TPU extension)")
     a("--temperature", type=float, default=0.0)
     a("--debug-mode", action="store_true")
     a("--rpc", default=None, metavar="HOST:PORT",
@@ -162,6 +165,7 @@ def main(argv: list[str] | None = None) -> int:
         fp.logprob_thold = args.logprob_thold
         fp.temperature = args.temperature
         fp.max_new_tokens = args.max_new_tokens
+        fp.speculative_k = args.spec_k
         fp.print_special = args.print_special
         fp.no_timestamps = args.no_timestamps
         fp.suppress_regex = args.suppress_regex

@@ -115,6 +115,10 @@ class FullParams:
     best_of: int = 5
     max_new_tokens: int = 128
     repetition_penalty: float = 1.0
+    # n-gram speculative decoding (TPU extension; exact greedy output).
+    # > 0: verify this many self-drafted tokens per forward when the
+    # decode is plain greedy (temperature 0, no penalties, no abort cb)
+    speculative_k: int = 0
 
     new_segment_callback: Callable | None = None
     progress_callback: Callable | None = None

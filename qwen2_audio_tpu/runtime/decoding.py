@@ -562,13 +562,18 @@ def run(ctx, state, params) -> int:
             # fast path: the whole decode under one lax.while_loop on device
             from qwen2_audio_tpu.runtime.generate import greedy_decode_device
             t0 = time_us()
+            spec_k = getattr(params, "speculative_k", 0)
+            use_spec = (spec_k > 0 and temp == 0.0
+                        and params.repetition_penalty == 1.0
+                        and prefill.shape[0] == 1)
             result = greedy_decode_device(
                 bundle, prefill, max_new_tokens=params.max_new_tokens,
                 temperature=temp,
                 top_k=params.best_of if temp > 0 else 0,
                 repetition_penalty=params.repetition_penalty,
                 seed=ti,
-                suppress_mask=suppress_mask)
+                suppress_mask=suppress_mask,
+                spec_k=spec_k if use_spec else 0)
             state.timings.t_decode_us += time_us() - t0
             state.timings.n_decode += sum(len(t) for t in result.tokens)
         # temperature fallback (whisper_full_params :413-418 semantics):

@@ -139,3 +139,38 @@ def test_spec_through_bundle_wrapper():
     np.testing.assert_allclose(np.asarray(a.logprobs[0]),
                                np.asarray(b.logprobs[0]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_spec_through_whisper_full(rng=None):
+    """FullParams.speculative_k plumbs to the device decode and matches
+    the plain greedy transcription exactly."""
+    import io
+
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.config import WhisperHParams
+    from qwen2_audio_tpu.io.export import write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+    from qwen2_audio_tpu.runtime import WhisperContext, full_default_params
+
+    rng = np.random.default_rng(11)
+    hp = WhisperHParams(n_vocab=64, n_audio_state=64, n_audio_head=4,
+                       n_audio_layer=2, n_mels=16)
+    buf = io.BytesIO()
+    write_encoder_checkpoint(buf, random_encoder_params(rng, hp), hp,
+                             mel_filterbank(hp.n_mels), [b"x"] * 60)
+    dec_cfg = _cfg(vocab=16)
+    samples = (0.1 * rng.standard_normal(32000)).astype(np.float32)
+
+    outs = []
+    for k in (0, 6):
+        ctx = WhisperContext.init_from_buffer_with_params(buf.getvalue())
+        ctx.decoder = random_bundle(np.random.default_rng(12), dec_cfg,
+                                    enc_state=64, max_ctx=1024)
+        p = full_default_params()
+        p.max_new_tokens = 24
+        p.temperature_inc = 0.0
+        p.speculative_k = k
+        assert ctx.full(p, samples) == 0
+        outs.append(list(ctx.state.result_tokens))
+    assert outs[0] == outs[1] and len(outs[0]) > 0
