@@ -265,3 +265,34 @@ def test_trace_context(tmp_path):
         _ = (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
     import os
     assert any(os.scandir(d))
+
+
+def test_similarity_levenshtein():
+    """utils/text.py::similarity == the reference's 1 - dist/max_len
+    (examples/common.cpp:801-823), checked against a plain DP oracle."""
+    import itertools
+    import random
+
+    from qwen2_audio_tpu.utils.text import similarity
+
+    def oracle(s0, s1):
+        a, b = s0.encode(), s1.encode()
+        if max(len(a), len(b)) == 0:
+            return 1.0
+        prev = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            cur = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                cur[j] = min(cur[j - 1] + 1, prev[j] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return 1.0 - prev[-1] / max(len(a), len(b))
+
+    assert similarity("", "") == 1.0
+    assert similarity("abc", "abc") == 1.0
+    assert abs(similarity("kitten", "sitting") - (1 - 3 / 7)) < 1e-9
+    rng = random.Random(0)
+    for _ in range(50):
+        s0 = "".join(rng.choice("abcdé ") for _ in range(rng.randrange(12)))
+        s1 = "".join(rng.choice("abcdé ") for _ in range(rng.randrange(12)))
+        assert abs(similarity(s0, s1) - oracle(s0, s1)) < 1e-9, (s0, s1)
