@@ -174,3 +174,38 @@ def test_spec_through_whisper_full(rng=None):
         assert ctx.full(p, samples) == 0
         outs.append(list(ctx.state.result_tokens))
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_spec_with_fused_params():
+    from qwen2_audio_tpu.models.qwen2_decoder import fuse_decoder_params
+    cfg = _cfg(vocab=8)
+    params = random_decoder_params(np.random.default_rng(2), cfg)
+    prefill = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 4, 128)) * 0.1,
+        jnp.float32)
+    outs = []
+    for p in (params, fuse_decoder_params(params)):
+        t, lp, n, _, _, _ = generate_speculative(
+            p, cfg, prefill, None, max_new_tokens=32, eos_token_id=-1,
+            cache_max_ctx=64, cache_dtype=jnp.float32, spec_k=6)
+        outs.append((np.asarray(t), int(n)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    assert outs[0][1] == outs[1][1]
+
+
+def test_spec_with_quant_kv_cache():
+    """Speculative T=K+1 forwards through the int8 cache read path must
+    match plain greedy on the same cache dtype."""
+    cfg = _cfg(vocab=8)
+    params = random_decoder_params(np.random.default_rng(2), cfg)
+    prefill = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 4, 128)) * 0.1,
+        jnp.float32)
+    g = generate_on_device(params, cfg, prefill, None, max_new_tokens=32,
+                           eos_token_id=-1, cache_max_ctx=64,
+                           cache_dtype="q8")
+    s = generate_speculative(params, cfg, prefill, None, max_new_tokens=32,
+                             eos_token_id=-1, cache_max_ctx=64,
+                             cache_dtype="q8", spec_k=6)
+    np.testing.assert_array_equal(np.asarray(s[0]), np.asarray(g[0]))
+    assert int(g[2]) == int(s[2])
