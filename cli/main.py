@@ -81,9 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
     a("--bench-iters", type=int, default=100,
       help="encode iterations (reference hardcodes 100, main.cpp:574)")
     a("--max-new-tokens", type=int, default=128)
-    a("--spec-k", type=int, default=0,
+    a("--spec-k", type=int, default=-1,
       help="n-gram speculative decoding: drafts verified per forward "
-           "(greedy only; exact output — TPU extension)")
+           "(greedy only; exact output — TPU extension). -1 auto "
+           "(on for TPU), 0 off")
     a("--temperature", type=float, default=0.0)
     a("--debug-mode", action="store_true")
     a("--rpc", default=None, metavar="HOST:PORT",

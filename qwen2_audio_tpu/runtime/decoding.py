@@ -563,6 +563,10 @@ def run(ctx, state, params) -> int:
             from qwen2_audio_tpu.runtime.generate import greedy_decode_device
             t0 = time_us()
             spec_k = getattr(params, "speculative_k", 0)
+            if spec_k < 0:      # auto: the tax-free width on TPU; CPU
+                import jax      # pays real compile+compute for T=K+1
+                spec_k = (7 if jax.default_backend() in ("tpu", "axon")
+                          else 0)
             use_spec = (spec_k > 0 and temp == 0.0
                         and params.repetition_penalty == 1.0
                         and prefill.shape[0] == 1)
