@@ -127,7 +127,7 @@ def read_mp3(path: str, expect_rate: int | None = WHISPER_SAMPLE_RATE,
         while True:
             rc = lib.mpg123_read(h, buf, len(buf), ctypes.byref(done))
             if done.value:
-                chunks.append(buf.raw[:done.value])
+                chunks.append(ctypes.string_at(buf, done.value))
             if rc == _MPG123_DONE:
                 break
             if rc not in (_MPG123_OK, _MPG123_NEW_FORMAT):
@@ -146,6 +146,11 @@ def read_mp3(path: str, expect_rate: int | None = WHISPER_SAMPLE_RATE,
     sr = int(rate.value)
     if expect_rate is not None and sr != expect_rate:
         from qwen2_audio_tpu.audio.filters import resample
-        samples = resample(samples, sr, expect_rate)
+        if samples.ndim == 2:           # per-channel (resample is 1-D)
+            samples = np.stack(
+                [resample(samples[:, c], sr, expect_rate)
+                 for c in range(samples.shape[1])], axis=1)
+        else:
+            samples = resample(samples, sr, expect_rate)
         sr = expect_rate
     return samples, sr

@@ -135,6 +135,12 @@ def fuse_decoder_params(params: Params) -> Params:
         return jnp.concatenate(parts, axis=-1)
 
     def fuse(entries: list[dict], with_bias: bool) -> dict:
+        forms = [set(e) - {"b"} for e in entries]
+        if any(f != forms[0] for f in forms):
+            # mixed weight forms (e.g. a k-quant checkpoint keeping attn_v
+            # at a different type than attn_q) can't concat — caller keeps
+            # the separate projections
+            raise _MixedForms()
         keys = set().union(*entries) - {"b"}
         fused = {leaf: cat([e[leaf] for e in entries]) for leaf in keys}
         if with_bias and any("b" in e for e in entries):
@@ -153,13 +159,31 @@ def fuse_decoder_params(params: Params) -> Params:
         return fused
 
     layers = dict(params["layers"])
-    layers["qkv"] = fuse([layers.pop("q"), layers.pop("k"),
-                          layers.pop("v")], with_bias=True)
-    layers["gate_up"] = fuse([layers.pop("gate"), layers.pop("up")],
-                             with_bias=True)
+    try:
+        layers["qkv"] = fuse([layers.pop("q"), layers.pop("k"),
+                              layers.pop("v")], with_bias=True)
+        layers["gate_up"] = fuse([layers.pop("gate"), layers.pop("up")],
+                                 with_bias=True)
+    except _MixedForms:
+        from qwen2_audio_tpu.utils.logging import log_warn
+        log_warn("fuse_decoder_params: mixed weight forms across q/k/v or "
+                 "gate/up — keeping separate projections\n")
+        return params
     out = dict(params)
     out["layers"] = layers
     return out
+
+
+class _MixedForms(Exception):
+    pass
+
+
+def tile_cache(cache, n: int):
+    """Repeat a B=1 cache across the batch axis — beam-search tiling after
+    a single shared prefill (array leaves carry batch at axis 1; the
+    scalar ``pos`` is shared as-is). Works for KVCache and QuantKVCache."""
+    return jax.tree.map(
+        lambda a: jnp.repeat(a, n, axis=1) if a.ndim > 1 else a, cache)
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:

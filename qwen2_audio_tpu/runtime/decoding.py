@@ -276,9 +276,8 @@ def beam_search(
     logits, cache1 = decoder_forward(
         bundle.params, cfg, prefill, cache1, 0,
         block_only=True, logits_last_only=True, use_flash=_prefill_flash())
-    cache = jax.tree.map(
-        lambda a: jnp.repeat(a, K, axis=1) if a.ndim > 1 else a, cache1)
-    cache = cache._replace(pos=cache1.pos)
+    from qwen2_audio_tpu.models.qwen2_decoder import tile_cache
+    cache = tile_cache(cache1, K)
     first_raw = np.asarray(logits[:, -1])
     last = np.asarray(jax.nn.log_softmax(logits[:, -1], axis=-1))
     if suppress_mask is not None:

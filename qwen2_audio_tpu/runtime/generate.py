@@ -27,7 +27,8 @@ from qwen2_audio_tpu.runtime.sampling import apply_repetition_penalty
 
 class GenState(NamedTuple):
     cache: KVCache
-    last_logits: jax.Array      # (B, V)
+    last_logits: jax.Array      # (B, V) raw logits after the last forward
+    prev_logits: jax.Array      # (B, V) raw logits the last token came from
     tokens: jax.Array           # (B, max_new) int32
     logprobs: jax.Array         # (B, max_new) f32
     seen: jax.Array             # (B, V) bool
@@ -55,11 +56,13 @@ def generate_on_device(
     repetition_penalty: float = 1.0,
     top_k: int = 0,
     seed: int = 0,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns (tokens (B, max_new), logprobs (B, max_new), n_generated (),
-    last_logits (B, V)).
+    final_logits (B, V), first_logits (B, V)).
 
     tokens[b, i] for i >= per-stream stop are padded with eos_token_id.
+    final_logits matches the host loop (decoding.py): the distribution the
+    last emitted token was sampled FROM.
     """
     B, T0, D = prefill.shape
     V = cfg.vocab_size
@@ -74,6 +77,7 @@ def generate_on_device(
     state = GenState(
         cache=cache,
         last_logits=first_logits,
+        prev_logits=first_logits,
         tokens=jnp.full((B, max_new_tokens), eos_token_id, jnp.int32),
         logprobs=jnp.zeros((B, max_new_tokens), jnp.float32),
         seen=jnp.zeros((B, V), bool),
@@ -96,7 +100,7 @@ def generate_on_device(
         if temperature > 0:
             key, sub = jax.random.split(s.key)
             scaled = lg / max(temperature, 1e-6)
-            if top_k > 0:
+            if 0 < top_k < V:   # same guard as sampling.top_k_top_p_filter
                 kth = jnp.sort(scaled, axis=-1)[:, V - top_k]
                 scaled = jnp.where(scaled < kth[:, None], -jnp.inf, scaled)
             tok = jax.random.categorical(sub, scaled, axis=-1)
@@ -118,17 +122,24 @@ def generate_on_device(
         logits, cache = decoder_forward(params, cfg, x, s.cache,
                                         T0 + s.count)
         return GenState(cache=cache, last_logits=logits[:, -1],
+                        prev_logits=s.last_logits,
                         tokens=tokens, logprobs=logprobs, seen=seen,
                         done=done, count=s.count + 1, key=key)
 
     final = jax.lax.while_loop(cond, body, state)
-    return (final.tokens, final.logprobs, final.count, final.last_logits,
+    # host-loop parity (decoding.py:222-245): the host breaks BEFORE the
+    # forward that would follow the final token (EOS break, or the capacity
+    # break — its cache is sized exactly T0+max_new, so that break always
+    # precedes a "last" forward), so final logits are the distribution the
+    # last token was sampled from
+    return (final.tokens, final.logprobs, final.count, final.prev_logits,
             first_logits)
 
 
 class SpecState(NamedTuple):
     cache: KVCache
     last_logits: jax.Array      # (1, V) raw logits after the last emitted tok
+    prev_logits: jax.Array      # (1, V) raw logits the last token came from
     tokens: jax.Array           # (1, max_new + spec_k + 1) int32
     logprobs: jax.Array         # same padding
     done: jax.Array             # () bool
@@ -197,6 +208,7 @@ def generate_speculative(
     state = SpecState(
         cache=cache,
         last_logits=first_logits,
+        prev_logits=first_logits,
         tokens=jnp.full((1, Lbuf), eos_token_id, jnp.int32),
         logprobs=jnp.zeros((1, Lbuf), jnp.float32),
         done=jnp.zeros((), bool),
@@ -255,7 +267,16 @@ def generate_speculative(
         tokens = jax.lax.dynamic_update_slice(s.tokens, seq[None], (0, c))
         logprobs = jax.lax.dynamic_update_slice(s.logprobs, lp[None], (0, c))
         last = jax.lax.dynamic_slice(logits_out[0], (n_emit - 1, 0), (1, V))
-        return SpecState(cache=cache, last_logits=last, tokens=tokens,
+        # the distribution the LAST emitted token was sampled from: row
+        # n_emit-2 of this forward, or the carried-in logits when only d0
+        # landed (n_emit == 1)
+        prev = jnp.where(
+            n_emit >= 2,
+            jax.lax.dynamic_slice(logits_out[0],
+                                  (jnp.maximum(n_emit - 2, 0), 0), (1, V)),
+            s.last_logits)
+        return SpecState(cache=cache, last_logits=last, prev_logits=prev,
+                         tokens=tokens,
                          logprobs=logprobs, done=s.done | eos_in,
                          count=c + n_emit, iters=s.iters + 1)
 
@@ -264,7 +285,9 @@ def generate_speculative(
     live = jnp.arange(Lbuf)[None, :] < final.count
     tokens = jnp.where(live, final.tokens, eos_token_id)[:, :max_new_tokens]
     logprobs = jnp.where(live, final.logprobs, 0.0)[:, :max_new_tokens]
-    return (tokens, logprobs, final.count, final.last_logits, first_logits,
+    # same host-parity rule as generate_on_device: report the distribution
+    # the last emitted token came from
+    return (tokens, logprobs, final.count, final.prev_logits, first_logits,
             final.iters)
 
 
@@ -311,8 +334,9 @@ def beam_search_on_device(
     recycled by live expansions), and the winner is the best length-penalized
     score over snapshots and final beams.
 
-    Returns (tokens (max_new,), logprobs (max_new,), n_tokens ()) of the
-    best hypothesis; entries past n_tokens are padding.
+    Returns (tokens (max_new,), logprobs (max_new,), n_tokens (),
+    first_logits (1, V)) of the best hypothesis; entries past n_tokens
+    are padding.
     """
     from qwen2_audio_tpu.runtime.decoding import _prefill_flash
     from qwen2_audio_tpu.runtime.sampling import length_penalty_score
@@ -325,9 +349,8 @@ def beam_search_on_device(
                                      block_only=True, logits_last_only=True,
                                      use_flash=_prefill_flash())
     # prefill once, tile across beams (K x fewer prefill FLOPs)
-    cache = jax.tree.map(
-        lambda a: jnp.repeat(a, K, axis=1) if a.ndim > 1 else a, cache1)
-    cache = cache._replace(pos=cache1.pos)
+    from qwen2_audio_tpu.models.qwen2_decoder import tile_cache
+    cache = tile_cache(cache1, K)
 
     first_logits = logits[:, -1]
     lp0 = jax.nn.log_softmax(first_logits, axis=-1)[0]
@@ -480,8 +503,7 @@ def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
     # default: size the cache to this call; cache_ctx overrides (e.g. to
     # bench/serve with worst-case capacity while streams stay short)
     max_ctx = cache_ctx or min(bundle.max_ctx, T0 + max_new_tokens)
-    import jax.numpy as _jnp
-    sup = None if suppress_mask is None else _jnp.asarray(suppress_mask)
+    sup = None if suppress_mask is None else jnp.asarray(suppress_mask)
     if spec_k > 0:
         if temperature > 0 or repetition_penalty != 1.0 or top_k > 0:
             raise ValueError("speculative path is exact for plain greedy "
@@ -608,12 +630,12 @@ def decode_chunk_slots(params, cfg, cache, slot_pos, slot_logits,
         new_active = active & (tok != eos_token_id) & (pos + 1 < S)
 
         x = params["embed"][tok][:, None, :]
-        # frozen slots re-write their CURRENT position with garbage K/V —
-        # harmless, because their position never advances and the write is
-        # overwritten by the next prefill_slot install... except position
-        # pos holds real data. Park frozen slots' writes at their own pos
-        # but restore by masking the advance: the safe trick is to clamp
-        # the write position to a scratch row (S-1) for inactive slots.
+        # inactive slots must not corrupt their cache rows (position pos
+        # holds real data for the finished stream until refill), so their
+        # dummy write is parked on scratch row S-1. Garbage at S-1 is safe:
+        # the capacity guard (pos + 1 < S) freezes any stream before it
+        # would READ row S-1, and an active stream that legitimately writes
+        # S-1 does so on its own final step, overwriting the scratch.
         write_pos = jnp.where(active, pos, S - 1)
         new_logits, cache = decoder_forward(params, cfg, x, cache, write_pos)
         logits = jnp.where(active[:, None], new_logits[:, -1], logits)

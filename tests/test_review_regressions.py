@@ -137,3 +137,56 @@ def test_prefetch_loader_early_break_no_leak(tmp_path):
     import time
     time.sleep(0.5)
     assert threading.active_count() <= before + 1
+
+
+def test_device_final_logits_matches_host_on_eos_stop():
+    """Round-2 review: on an EOS stop the host loop reports the logits the
+    last token was sampled FROM (it breaks before the next forward); the
+    device loop used to report the post-EOS distribution instead. Both
+    stop modes must now agree, for the plain and speculative paths."""
+    from qwen2_audio_tpu.runtime.decoding import greedy_decode
+    from qwen2_audio_tpu.runtime.generate import (generate_on_device,
+                                                  generate_speculative,
+                                                  greedy_decode_device)
+
+    cfg = Qwen2DecoderConfig(
+        vocab_size=16, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, tie_word_embeddings=False)
+    params = random_decoder_params(np.random.default_rng(2), cfg)
+    prefill = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 4, 128)) * 0.1,
+        jnp.float32)
+    # find a token greedy emits mid-sequence to use as EOS
+    probe = generate_on_device(params, cfg, prefill, None,
+                               max_new_tokens=16, eos_token_id=-1,
+                               cache_max_ctx=32, cache_dtype=jnp.float32)
+    eos = int(np.asarray(probe[0])[0, 6])
+
+    bundle = DecoderBundle(
+        cfg=cfg, params=params, proj_w=jnp.eye(128, dtype=jnp.float32),
+        proj_b=jnp.zeros(128, jnp.float32), eos_token_id=eos,
+        bos_tokens=[], post_audio_tokens=[], max_ctx=64,
+        cache_dtype=jnp.float32)
+    host = greedy_decode(bundle, prefill, max_new_tokens=32)
+    dev = greedy_decode_device(bundle, prefill, max_new_tokens=32)
+    spec = greedy_decode_device(bundle, prefill, max_new_tokens=32,
+                                spec_k=4)
+    assert host.tokens == dev.tokens == spec.tokens
+    np.testing.assert_allclose(np.asarray(dev.final_logits),
+                               host.final_logits, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(spec.final_logits),
+                               host.final_logits, rtol=2e-4, atol=2e-4)
+
+    # capacity stop (no EOS reachable; host cache is sized T0+max_new so
+    # its capacity break fires before a trailing forward): same rule
+    bundle2 = DecoderBundle(
+        cfg=cfg, params=params, proj_w=jnp.eye(128, dtype=jnp.float32),
+        proj_b=jnp.zeros(128, jnp.float32), eos_token_id=-1,
+        bos_tokens=[], post_audio_tokens=[], max_ctx=64,
+        cache_dtype=jnp.float32)
+    host2 = greedy_decode(bundle2, prefill, max_new_tokens=8)
+    dev2 = greedy_decode_device(bundle2, prefill, max_new_tokens=8)
+    assert host2.tokens == dev2.tokens
+    np.testing.assert_allclose(np.asarray(dev2.final_logits),
+                               host2.final_logits, rtol=2e-4, atol=2e-4)
