@@ -173,7 +173,10 @@ def generate_speculative(
     most recent occurrence of the trailing ``ngram`` tokens, propose the
     ``spec_k`` tokens that followed it (no draft model, exact greedy
     output by construction — every emitted token equals the argmax the
-    plain loop would take). The reference has no analog (its decode is
+    plain loop would take given the same logits; at bf16 the K+1-wide
+    forward can round differently from a T=1 forward, so a near-tie
+    argmax (gap ~1e-4) may flip — the usual batch-shape numeric caveat,
+    bit-exact at f32). The reference has no analog (its decode is
     strictly one token per graph launch, src/qwen2-whisper.cpp:2675);
     this is a TPU-native serving lever in the vLLM prompt-lookup family.
 

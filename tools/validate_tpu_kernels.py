@@ -21,6 +21,15 @@ import numpy as np  # noqa: E402
 
 
 def mark(name: str) -> None:
+    """Arm a fast-path marker — ONLY when running on real hardware. A
+    JAX_PLATFORMS=cpu run (interpret-mode smoke) must not write markers:
+    they mean 'validated on this host's chip', and consumers (bench.py,
+    ops/linear.py, decoding.py) arm composed Pallas paths on them."""
+    import jax
+    if jax.default_backend() not in ("tpu", "axon"):
+        print(f"[validate] {name}: OK (cpu smoke — marker NOT written)",
+              flush=True)
+        return
     Path(f"/tmp/qa_kernel_ok_{name}").write_text(str(time.time()))
     print(f"[validate] {name}: OK", flush=True)
 
@@ -307,6 +316,29 @@ def main() -> int:
     decoder_forward.clear_cache()
     generate_on_device.clear_cache()
     mark("fd_loop")
+
+    # speculative while_loop composition: T=K+1 forwards (einsum cache
+    # attention + the active quant matmul path) with in-loop dynamic
+    # slices — exactness vs the plain loop is the assert
+    from qwen2_audio_tpu.runtime.generate import generate_speculative
+    t0 = time.time()
+    g = generate_on_device(dp_fd, dcfg_fd, pre, None, max_new_tokens=24,
+                           eos_token_id=-1, cache_max_ctx=64,
+                           cache_dtype=jnp.bfloat16)
+    s = generate_speculative(dp_fd, dcfg_fd, pre, None, max_new_tokens=24,
+                             eos_token_id=-1, cache_max_ctx=96,
+                             cache_dtype=jnp.bfloat16, spec_k=6)
+    # bf16 + random weights = many near-tie argmaxes; the K+1-wide forward
+    # rounds differently from a T=1 forward, so occasional flips (logit
+    # gap ~1e-4) are expected — the logic-exactness proof is the f32 test
+    # suite. Here: same count, same first token, high agreement, finite.
+    gt, st = np.asarray(g[0])[0], np.asarray(s[0])[0]
+    agree = float((gt == st).mean())
+    assert int(g[2]) == int(s[2]) == 24 and gt[0] == st[0] \
+        and agree >= 0.6, ("spec vs greedy", agree)
+    print(f"[validate] spec_loop (K+1-wide while_loop) compile+run "
+          f"{time.time()-t0:.1f}s", flush=True)
+    mark("spec_loop")
 
     print("[validate] ALL OK", flush=True)
     return 0
