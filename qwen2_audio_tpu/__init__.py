@@ -17,7 +17,7 @@ tower (see /root/reference, SURVEY.md).  This package is a from-scratch rebuild:
 - ``training`` — sharded training step (optax) for fine-tuning
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from qwen2_audio_tpu.config import (  # noqa: F401
     WhisperHParams,
