@@ -53,6 +53,12 @@ def main() -> int:
     ap.add_argument("--beam", type=int, default=0,
                     help="if > 0, run device-side beam search with this "
                          "beam width instead of greedy")
+    ap.add_argument("--suppress-to", type=int, default=0,
+                    help="allow only the first N token ids (suppress-mask "
+                         "the rest). With random weights this forces the "
+                         "greedy sequence into a cycle, so --spec gets "
+                         "real n-gram acceptance — measures the "
+                         "accepted>1 regime at full model size")
     ap.add_argument("--spec", type=int, default=0,
                     help="if > 0, n-gram speculative decoding with this "
                          "many drafts per forward (B=1 greedy; exact "
@@ -184,6 +190,12 @@ def main() -> int:
         max_ctx=args.max_ctx or (args.prefill + args.new + 8),
         cache_dtype="q8" if args.kv == "q8" else dtype)
 
+    sup_mask = None
+    if args.suppress_to > 0:
+        m = np.zeros((V,), np.float32)
+        m[args.suppress_to:] = -np.inf
+        sup_mask = jnp.asarray(m)
+
     def decode_once():
         if args.beam > 0:
             return beam_search_device(bundle, prefill, beam_size=args.beam,
@@ -191,7 +203,7 @@ def main() -> int:
         if args.spec > 0:
             from qwen2_audio_tpu.runtime.generate import generate_speculative
             toks, lps, n, _, _, iters = generate_speculative(
-                bundle.params, bundle.cfg, prefill, None,
+                bundle.params, bundle.cfg, prefill, sup_mask,
                 max_new_tokens=args.new, eos_token_id=-1,
                 cache_max_ctx=(args.max_ctx
                                or args.prefill + args.new + args.spec + 8),
@@ -204,7 +216,8 @@ def main() -> int:
             R.iters = int(iters)
             return R
         return greedy_decode_device(bundle, prefill, max_new_tokens=args.new,
-                                    cache_ctx=args.max_ctx or None)
+                                    cache_ctx=args.max_ctx or None,
+                                    suppress_mask=sup_mask)
 
     prefill = jnp.asarray(
         rng.standard_normal((args.batch, args.prefill, h)) * 0.1, dtype)
