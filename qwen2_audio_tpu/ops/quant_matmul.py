@@ -63,6 +63,31 @@ def _qmm_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
+def _pick_block(dim: int, pref: int, quantum: int) -> int:
+    """Largest divisor of dim that is <= pref and a multiple of `quantum`
+    (Mosaic tiling: last dims must be 128-divisible or span the whole
+    array; the scales' sublane dim adds a 256 quantum on K). Falls back
+    to the full dimension."""
+    for cand in range(min(pref, dim) // quantum * quantum, 0, -quantum):
+        if dim % cand == 0:
+            return cand
+    return dim
+
+
+def _auto_block_k(K: int, block_n: int, bytes_per_k: int = 1) -> int:
+    """Measured on chip (decode M<=16, /tmp/qmm_ab2.log): HBM streaming is
+    best with exactly TWO k-steps — big sequential DMAs, and two steps
+    give the pipeline something to double-buffer (whole-K regressed:
+    464 GB/s vs 620 at K/2 for K=3584; K=18944 went 674 -> 914 GB/s,
+    memory speed-of-light, at bk=K/2). Target K/2, capped so the weight
+    block stays within a ~6 MB VMEM budget (x2 buffering ~12 of 16 MB)."""
+    budget = 6 * 1024 * 1024
+    target = max(256, K // 2)
+    while target > 256 and target * block_n * bytes_per_k > budget:
+        target //= 2
+    return target
+
+
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
                                               "block_k", "fast"))
 def quant_matmul(
@@ -72,7 +97,7 @@ def quant_matmul(
     *,
     block_m: int = 256,
     block_n: int = 512,
-    block_k: int = 512,
+    block_k: int = 0,       # 0 = auto (see _auto_block_k)
     fast: bool = False,     # one bf16 MXU pass instead of f32-HIGHEST
 ) -> jax.Array:
     """x @ dequant(qs, scales) -> (M, N) in x.dtype (f32 accumulation)."""
@@ -80,21 +105,11 @@ def quant_matmul(
     K2, N = qs.shape
     assert K == K2 and scales.shape == (K // GROUP, N)
 
-    def pick_block(dim: int, pref: int, quantum: int) -> int:
-        """Largest divisor of dim that is <= pref and a multiple of
-        `quantum` (Mosaic tiling: last dims must be 128-divisible or span
-        the whole array; the scales' sublane dim adds a 256 quantum on K).
-        Falls back to the full dimension."""
-        for cand in range(min(pref, dim) // quantum * quantum, 0, -quantum):
-            if dim % cand == 0:
-                return cand
-        return dim
-
     block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
     # block_k % 256 keeps the scales block's sublane dim (block_k//32) a
     # multiple of 8; block_n % 128 keeps lane tiling
-    block_n = pick_block(N, block_n, 128)
-    block_k = pick_block(K, block_k, 256)
+    block_n = _pick_block(N, block_n, 128)
+    block_k = _pick_block(K, block_k or _auto_block_k(K, block_n), 256)
     assert K % block_k == 0 and N % block_n == 0 and block_k % GROUP == 0
 
     m_pad = -M % block_m
@@ -221,7 +236,7 @@ def quant_matmul4(
     *,
     block_m: int = 256,
     block_n: int = 512,
-    block_k: int = 512,
+    block_k: int = 0,       # 0 = auto (two k-steps, see _auto_block_k)
     fast: bool = False,
 ) -> jax.Array:
     """x @ (unpack4(qs4) * scales) -> (M, N); min/offset terms are added
@@ -230,15 +245,10 @@ def quant_matmul4(
     assert qs4.shape[0] * 2 == K and scales.shape == (K // GROUP, qs4.shape[1])
     N = qs4.shape[1]
 
-    def pick_block(dim: int, pref: int, quantum: int) -> int:
-        for cand in range(min(pref, dim) // quantum * quantum, 0, -quantum):
-            if dim % cand == 0:
-                return cand
-        return dim
-
     block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
-    block_n = pick_block(N, block_n, 128)
-    block_k = pick_block(K, block_k, 256)
+    block_n = _pick_block(N, block_n, 128)
+    # packed nibbles: the weight block is block_k//2 bytes deep
+    block_k = _pick_block(K, block_k or _auto_block_k(K, block_n, 1), 256)
     assert K % block_k == 0 and N % block_n == 0
 
     m_pad = -M % block_m
