@@ -32,7 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("-ml", "--max-len", type=int, default=0)
     a("-sow", "--split-on-word", action="store_true")
     a("-bo", "--best-of", type=int, default=5)
-    a("-bs", "--beam-size", type=int, default=5)
+    a("-bs", "--beam-size", type=int, default=-1,
+      help="beam size (> 1 selects beam-search decoding, ≙ upstream "
+           "main.cpp: strategy = beam_size > 1 ? BEAM_SEARCH : GREEDY)")
     a("-ac", "--audio-ctx", type=int, default=0,
       help="audio context size (0 = full 1500)")
     a("-wt", "--word-thold", type=float, default=0.01)
@@ -93,6 +95,20 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def estimate_diarization_speaker(stereo: np.ndarray, t0_cs: int, t1_cs: int,
+                                 id_only: bool = False) -> str:
+    """Stereo channel-energy speaker guess ≙ estimate_diarization_speaker
+    (reference examples/main/main.cpp:246-275): compare sum(|ch0|) vs
+    sum(|ch1|) over the segment span with a 1.1x margin."""
+    n = stereo.shape[0]
+    is0 = min(max(t0_cs * 160, 0), n)
+    is1 = min(max(t1_cs * 160, 0), n)
+    e0 = float(np.abs(stereo[is0:is1, 0]).sum())
+    e1 = float(np.abs(stereo[is0:is1, 1]).sum())
+    speaker = "0" if e0 > 1.1 * e1 else ("1" if e1 > 1.1 * e0 else "?")
+    return speaker if id_only else f"(speaker {speaker})"
+
+
 def expand_response_files(argv: list[str]) -> list[str]:
     """@file expansion (reference main.cpp:359-383)."""
     out = []
@@ -105,6 +121,51 @@ def expand_response_files(argv: list[str]) -> list[str]:
     return out
 
 
+def build_full_params(args):
+    """Flag -> whisper_full_params mapping ≙ reference main.cpp:506-540.
+    Every parsed decode-relevant flag lands in a FullParams field here (the
+    reference's fork parses some — -on/-ls/--grammar* — that its stripped
+    decoder never reads; we plumb them at the CLI layer instead)."""
+    from qwen2_audio_tpu.runtime import full_default_params
+
+    fp = full_default_params()
+    fp.offset_ms = args.offset_t
+    fp.duration_ms = args.duration
+    fp.translate = args.translate
+    fp.language = args.language
+    fp.detect_language = args.detect_language
+    fp.audio_ctx = args.audio_ctx
+    # ≙ upstream main.cpp: strategy = beam_size > 1 ? BEAM_SEARCH : GREEDY
+    if args.beam_size > 1:
+        fp.strategy = "beam"
+        fp.beam_size = args.beam_size
+    fp.best_of = args.best_of
+    # ≙ main.cpp:516 — -mc only overrides when >= 0
+    if args.max_context >= 0:
+        fp.n_max_text_ctx = args.max_context
+    fp.thold_pt = args.word_thold          # ≙ main.cpp:521
+    fp.tdrz_enable = args.tinydiarize      # ≙ main.cpp:528
+    fp.entropy_thold = args.entropy_thold
+    fp.logprob_thold = args.logprob_thold
+    fp.temperature = args.temperature
+    if args.no_fallback:                   # ≙ main.cpp:534
+        fp.temperature_inc = 0.0
+    fp.max_new_tokens = args.max_new_tokens
+    fp.speculative_k = args.spec_k
+    fp.print_special = args.print_special
+    fp.no_timestamps = args.no_timestamps
+    fp.suppress_regex = args.suppress_regex
+    fp.initial_prompt = args.prompt
+    fp.debug_mode = args.debug_mode
+    # ≙ reference main.cpp:520-522: -owts implies token timestamps and
+    # a 60-char default wrap
+    fp.token_timestamps = args.output_words or args.max_len > 0
+    fp.max_len = (60 if args.output_words and args.max_len == 0
+                  else args.max_len)
+    fp.split_on_word = args.split_on_word
+    return fp
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = expand_response_files(sys.argv[1:] if argv is None else argv)
     args = build_parser().parse_args(argv)
@@ -114,22 +175,58 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     from qwen2_audio_tpu.audio import read_audio
-    from qwen2_audio_tpu.runtime import ContextParams, WhisperContext, full_default_params
+    from qwen2_audio_tpu.runtime import ContextParams, WhisperContext
     from qwen2_audio_tpu.utils.logging import log_set
     from qwen2_audio_tpu.runtime.context import print_system_info
 
     if args.no_prints:
         log_set(lambda level, text, ud: None)
 
+    if args.diarize and args.tinydiarize:
+        print("error: cannot use both --diarize and --tinydiarize",
+              file=sys.stderr)
+        return 1
+    if args.grammar or args.grammar_rule:
+        # the reference parses --grammar/--grammar-rule/--grammar-penalty
+        # but its grammar engine was stripped with the decoder (only the
+        # UTF-8 remnant survives, src/qwen2-whisper.cpp:3602-3658) — warn
+        # loudly instead of silently accepting
+        print("warning: --grammar/--grammar-rule are inert (the reference "
+              "stripped its grammar engine; only the UTF-8 remnant "
+              "remains) — flags ignored", file=sys.stderr)
+
+    # watchdog discipline (CLAUDE.md): arm around TPU phases ONLY — one
+    # deadline spanning host model builds plus N input files is exactly
+    # the mid-upload-exit wedge. Arm init/upload, cancel for host-side
+    # work, re-arm per input file.
+    wd_s = float(os.environ.get("QA_WATCHDOG_S", "3600"))
+    cancel_wd = lambda: None    # noqa: E731
+    arm_wd = lambda tag: (lambda: None)   # noqa: E731
     import jax as _jax
     if _jax.default_backend() in ("tpu", "axon"):
         # wedged-tunnel guard + background kernel validation on fresh hosts
         from qwen2_audio_tpu.utils.watchdog import (ensure_kernel_validation,
                                                     watchdog)
-        watchdog(float(os.environ.get("QA_WATCHDOG_S", "3600")), "cli")
+        arm_wd = lambda tag: watchdog(wd_s, tag)  # noqa: E731
+        cancel_wd = arm_wd("cli:init")
         ensure_kernel_validation()
 
     cparams = ContextParams(use_gpu=not args.no_gpu, flash_attn=args.flash_attn)
+    if args.dtw:
+        # ≙ main.cpp:427-453 dtw preset -> context params. The whisper
+        # named presets pick (layer, head) pairs of the whisper text
+        # decoder; the Qwen2 decoder aligns on all heads of the top-N
+        # layers instead (models/dtw.py), so an integer selects N and a
+        # whisper preset name falls back to the default top-half
+        cparams.dtw_token_timestamps = True
+        try:
+            cparams.dtw_n_top = int(args.dtw)
+        except ValueError:
+            from qwen2_audio_tpu.models.dtw import ALIGNMENT_HEADS_PRESETS
+            if args.dtw not in ALIGNMENT_HEADS_PRESETS:
+                print(f"warning: unknown -dtw preset '{args.dtw}'; using "
+                      "top-half alignment layers", file=sys.stderr)
+            cparams.dtw_n_top = -1
     if args.rpc:
         from qwen2_audio_tpu.runtime.rpc import RemoteWhisperContext
         ctx = RemoteWhisperContext.connect(args.rpc)
@@ -140,6 +237,8 @@ def main(argv: list[str] | None = None) -> int:
     else:
         ctx = WhisperContext.init_from_file_with_params(args.model, cparams)
 
+    cancel_wd()                 # host phases below run unguarded
+
     if args.decoder:
         from qwen2_audio_tpu.io.hf import load_qwen2_audio
         ctx.decoder = load_qwen2_audio(args.decoder)["bundle"]
@@ -148,38 +247,28 @@ def main(argv: list[str] | None = None) -> int:
         print(f"system_info: {print_system_info()}", file=sys.stderr)
 
     for fname in args.file:
-        samples, _rate = read_audio(fname)
+        # -di keeps stereo for channel-energy diarization (≙ upstream
+        # estimate_diarization_speaker; read_wav keeps 2ch when diarize,
+        # main.cpp:469)
+        samples, _rate = read_audio(fname, to_mono=not args.diarize)
+        stereo = None
+        if args.diarize:
+            if samples.ndim == 2 and samples.shape[1] == 2:
+                stereo = samples
+                samples = samples.mean(axis=1)
+            else:
+                print("warning: --diarize needs stereo input; "
+                      f"'{fname}' is mono — skipping diarization",
+                      file=sys.stderr)
         if not args.no_prints:
             print(f"processing '{fname}' ({len(samples)} samples, "
                   f"{len(samples) / 16000.0:.1f} sec)", file=sys.stderr)
 
-        fp = full_default_params()
-        fp.offset_ms = args.offset_t
-        fp.duration_ms = args.duration
-        fp.translate = args.translate
-        fp.language = args.language
-        fp.detect_language = args.detect_language
-        fp.audio_ctx = args.audio_ctx
-        fp.beam_size = args.beam_size
-        fp.best_of = args.best_of
-        fp.entropy_thold = args.entropy_thold
-        fp.logprob_thold = args.logprob_thold
-        fp.temperature = args.temperature
-        fp.max_new_tokens = args.max_new_tokens
-        fp.speculative_k = args.spec_k
-        fp.print_special = args.print_special
-        fp.no_timestamps = args.no_timestamps
-        fp.suppress_regex = args.suppress_regex
-        fp.initial_prompt = args.prompt
-        fp.debug_mode = args.debug_mode
-        # ≙ reference main.cpp:520-522: -owts implies token timestamps and
-        # a 60-char default wrap
-        fp.token_timestamps = args.output_words or args.max_len > 0
-        fp.max_len = (60 if args.output_words and args.max_len == 0
-                      else args.max_len)
-        fp.split_on_word = args.split_on_word
+        fp = build_full_params(args)
 
-        # benchmark + parity loop (reference main.cpp:573-583)
+        # benchmark + parity loop (reference main.cpp:573-583) — the only
+        # TPU phase of the per-file work; watchdog armed around it alone
+        cancel_wd = arm_wd(f"cli:full:{os.path.basename(fname)}")
         t0 = time.perf_counter()
         for _ in range(args.bench_iters):
             if args.processors > 1:
@@ -187,19 +276,45 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 rc = ctx.full(fp, samples)
             if rc != 0:
+                cancel_wd()
                 print(f"failed to process audio (rc={rc})", file=sys.stderr)
                 return 10
             ctx.print_emb_enc()
         elapsed = time.perf_counter() - t0
+        cancel_wd()             # output writing below is host-side
         print(f"Elapsed time is {elapsed:.6f} seconds.")
 
         if ctx.decoder is not None:
             for i in range(ctx.full_n_segments()):
+                seg = ctx.state.segments[i]
+                if stereo is not None:
+                    # ≙ whisper_print_segment_callback's diarize branch
+                    seg["speaker"] = estimate_diarization_speaker(
+                        stereo, seg.get("t0", 0), seg.get("t1", 0))
                 if args.print_colors:
                     from cli.output_formats import colorize_segment
-                    print(colorize_segment(ctx.state.segments[i]))
+                    text = colorize_segment(seg)
                 else:
-                    print(ctx.full_get_segment_text(i))
+                    text = ctx.full_get_segment_text(i)
+                if seg.get("speaker"):
+                    text = f"{seg['speaker']}{text}"
+                print(text)
+
+        if args.log_score and ctx.decoder is not None and ctx.state.segments:
+            # ≙ upstream output_score: token-tab-probability lines in
+            # <base>.score.txt (the fork parses -ls but stripped the
+            # writer with the decoder)
+            base = args.output_file or fname
+            score_path = f"{base}.score.txt"
+            with open(score_path, "w") as f:
+                for seg in ctx.state.segments:
+                    for tok, p in zip(seg.get("tokens", []),
+                                      seg.get("probs", [])):
+                        surf = (ctx.decoder.text([int(tok)])
+                                if ctx.decoder.detokenize else str(tok))
+                        f.write(f"{surf}\t{p:.6f}\n")
+            if not args.no_prints:
+                print(f"saved token scores to {score_path}", file=sys.stderr)
 
         if args.output_words and ctx.state.segments:
             from cli.output_formats import write_wts

@@ -43,9 +43,12 @@ def write_vtt(path: str, segments: list[dict]) -> None:
             f.write(s["text"].strip() + "\n\n")
 
 
-def write_srt(path: str, segments: list[dict]) -> None:
+def write_srt(path: str, segments: list[dict], start: int = 1) -> None:
+    """start ≙ the CLI's -on/--offset-n segment index offset (reference
+    examples/main/main.cpp:127 parses it; SRT numbering is where a
+    segment index is part of the output format)."""
     with open(path, "w") as f:
-        for i, s in enumerate(segments, 1):
+        for i, s in enumerate(segments, start):
             f.write(f"{i}\n")
             f.write(f"{format_timestamp(s['t0'], comma=True)} --> "
                     f"{format_timestamp(s['t1'], comma=True)}\n")
@@ -184,6 +187,10 @@ def write_outputs(base_path: str, segments: list[dict], args) -> list[str]:
                       ("csv", args.output_csv), ("json", args.output_json)):
         if flag:
             path = f"{base}.{fmt}"
-            WRITERS[fmt](path, segments)
+            if fmt == "srt":
+                write_srt(path, segments,
+                          start=1 + getattr(args, "offset_n", 0))
+            else:
+                WRITERS[fmt](path, segments)
             written.append(path)
     return written

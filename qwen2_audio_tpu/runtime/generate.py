@@ -47,6 +47,7 @@ def generate_on_device(
     cfg,
     prefill: jax.Array,            # (B, T0, D) embeddings
     suppress_mask: jax.Array | None = None,   # (V,) additive logits mask
+    suppress_first: jax.Array | None = None,  # (V,) mask for step 0 only
     *,
     max_new_tokens: int,
     eos_token_id: int,
@@ -95,6 +96,10 @@ def generate_on_device(
     def body(s: GenState):
         lg = s.last_logits if suppress_mask is None \
             else s.last_logits + suppress_mask[None, :]
+        if suppress_first is not None:
+            # FullParams.suppress_blank ≙ whisper.cpp's initial " "/eot
+            # suppression: an extra mask applied to the first step only
+            lg = jnp.where(s.count == 0, lg + suppress_first[None, :], lg)
         lg = apply_repetition_penalty(lg, s.seen, repetition_penalty)
         logp = jax.nn.log_softmax(lg, axis=-1)
         if temperature > 0:
@@ -156,6 +161,7 @@ def generate_speculative(
     cfg,
     prefill: jax.Array,            # (1, T0, D) — single stream
     suppress_mask: jax.Array | None = None,
+    suppress_first: jax.Array | None = None,  # (V,) mask for step 0 only
     *,
     max_new_tokens: int,
     eos_token_id: int,
@@ -225,6 +231,8 @@ def generate_speculative(
     def body(s: SpecState):
         c = s.count
         lg_prev = s.last_logits[0] + sup
+        if suppress_first is not None:
+            lg_prev = jnp.where(c == 0, lg_prev + suppress_first, lg_prev)
         d0 = jnp.argmax(lg_prev).astype(jnp.int32)
 
         # --- draft: most recent match of [last ngram-1 emitted, d0] ----
@@ -318,6 +326,7 @@ def beam_search_on_device(
     cfg,
     prefill: jax.Array,            # (1, T0, D) — single stream
     suppress_mask: jax.Array | None = None,
+    suppress_first: jax.Array | None = None,  # (V,) mask for step 0 only
     *,
     beam_size: int,
     max_new_tokens: int,
@@ -359,6 +368,8 @@ def beam_search_on_device(
     lp0 = jax.nn.log_softmax(first_logits, axis=-1)[0]
     if suppress_mask is not None:
         lp0 = lp0 + suppress_mask
+    if suppress_first is not None:
+        lp0 = lp0 + suppress_first
 
     first_lp, first_tok = jax.lax.top_k(lp0, K)
     tokens = jnp.full((K, max_new_tokens), eos_token_id, jnp.int32)
@@ -453,7 +464,8 @@ def beam_search_on_device(
 
 def beam_search_device(bundle, prefill, *, beam_size: int,
                        max_new_tokens: int, length_penalty: float = -1.0,
-                       repetition_penalty: float = 1.0, suppress_mask=None):
+                       repetition_penalty: float = 1.0, suppress_mask=None,
+                       suppress_first=None):
     """DecoderBundle entry mirroring runtime/decoding.py::beam_search —
     drop-in device-resident fast path (one host transfer total)."""
     import numpy as np
@@ -466,8 +478,9 @@ def beam_search_device(bundle, prefill, *, beam_size: int,
             f"{bundle.max_ctx}; raise max_ctx when attaching the decoder")
     max_ctx = min(bundle.max_ctx, T0 + max_new_tokens)
     sup = None if suppress_mask is None else jnp.asarray(suppress_mask)
+    sup0 = None if suppress_first is None else jnp.asarray(suppress_first)
     tokens, lps, n, first_logits = beam_search_on_device(
-        bundle.params, bundle.cfg, prefill, sup,
+        bundle.params, bundle.cfg, prefill, sup, sup0,
         beam_size=beam_size,
         max_new_tokens=max_new_tokens,
         eos_token_id=bundle.eos_token_id,
@@ -488,7 +501,8 @@ def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
                          temperature: float = 0.0, top_k: int = 0,
                          repetition_penalty: float = 1.0, seed: int = 0,
                          suppress_mask=None, cache_ctx: int | None = None,
-                         spec_k: int = 0, ngram: int = 2):
+                         spec_k: int = 0, ngram: int = 2,
+                         suppress_first=None):
     """DecoderBundle entry returning the same GenerationResult shape as the
     host loop (runtime/decoding.py) — drop-in fast path.
 
@@ -507,13 +521,14 @@ def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
     # bench/serve with worst-case capacity while streams stay short)
     max_ctx = cache_ctx or min(bundle.max_ctx, T0 + max_new_tokens)
     sup = None if suppress_mask is None else jnp.asarray(suppress_mask)
+    sup0 = None if suppress_first is None else jnp.asarray(suppress_first)
     if spec_k > 0:
         if temperature > 0 or repetition_penalty != 1.0 or top_k > 0:
             raise ValueError("speculative path is exact for plain greedy "
                              "only (temperature=0, no penalties)")
         tokens, logprobs, count, last_logits, first_logits, iters = \
             generate_speculative(
-                bundle.params, bundle.cfg, prefill, sup,
+                bundle.params, bundle.cfg, prefill, sup, sup0,
                 max_new_tokens=max_new_tokens,
                 eos_token_id=bundle.eos_token_id,
                 cache_max_ctx=max(max_ctx, T0 + max_new_tokens + spec_k),
@@ -522,7 +537,7 @@ def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
     else:
         tokens, logprobs, count, last_logits, first_logits = \
             generate_on_device(
-                bundle.params, bundle.cfg, prefill, sup,
+                bundle.params, bundle.cfg, prefill, sup, sup0,
                 max_new_tokens=max_new_tokens,
                 eos_token_id=bundle.eos_token_id,
                 cache_max_ctx=max_ctx,

@@ -101,6 +101,16 @@ def transcribe_long_form(
     bundle = ctx.decoder
     window_cs = 2 * hp.n_audio_ctx  # frames == centiseconds (10 ms hop)
 
+    # no_context=False (≙ whisper_full_params.no_context, header :377-379):
+    # each window's transcript is carried as text context into the next —
+    # a sequential dependency, so windows decode one at a time (the
+    # reference pays the same serialization; batched long-form requires
+    # the default no_context=True)
+    carry_context = not params.no_context
+    if carry_context and batch_size > 1:
+        batch_size = 1
+    carried: list[int] = []
+
     for i in range(0, len(offsets), batch_size):
         group = offsets[i:i + batch_size]
         enc = encode_windows(ctx, mel, group, batch_size=min(batch_size,
@@ -109,8 +119,8 @@ def transcribe_long_form(
         prefills = []
         for b in range(len(group)):
             audio = bundle.project_audio(enc[b])
-            prefills.append(_prefill_embeds(bundle, audio,
-                                            params.prompt_tokens or [])[0])
+            prompt = list(carried) + list(params.prompt_tokens or [])
+            prefills.append(_prefill_embeds(bundle, audio, prompt)[0])
         prefill = jnp.stack(prefills)
 
         if params.strategy == "beam":
@@ -139,6 +149,11 @@ def transcribe_long_form(
             lps = [r.logprobs[0] for r in results]
         else:
             lps = r.logprobs
+        if carry_context:
+            # carry this window's transcript (sans EOS) into the next
+            # prompt, capped like initial_prompt at n_max_text_ctx/2
+            new = [t for t in tokens[-1] if t != bundle.eos_token_id]
+            carried = (carried + new)[-(params.n_max_text_ctx // 2):]
         for b, off in enumerate(group):
             seg = Segment(
                 t0_cs=off,

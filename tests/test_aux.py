@@ -296,3 +296,47 @@ def test_similarity_levenshtein():
         s0 = "".join(rng.choice("abcdé ") for _ in range(rng.randrange(12)))
         s1 = "".join(rng.choice("abcdé ") for _ in range(rng.randrange(12)))
         assert abs(similarity(s0, s1) - oracle(s0, s1)) < 1e-9, (s0, s1)
+
+
+def test_long_form_no_context_carries_transcript(rng, monkeypatch):
+    """no_context=False ≙ whisper_full_params.no_context (header :377-379):
+    each window's tokens ride into the next window's prompt."""
+    import io
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.config import Qwen2DecoderConfig, WhisperHParams
+    from qwen2_audio_tpu.io.export import write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+    from qwen2_audio_tpu.runtime import WhisperContext, FullParams
+    from qwen2_audio_tpu.runtime import serving
+
+    hp = WhisperHParams(n_vocab=64, n_audio_ctx=64, n_audio_state=64,
+                        n_audio_head=4, n_audio_layer=2, n_mels=16)
+    buf = io.BytesIO()
+    write_encoder_checkpoint(buf, random_encoder_params(rng, hp), hp,
+                             mel_filterbank(hp.n_mels), [b"x"] * 60)
+    ctx = WhisperContext.init_from_buffer_with_params(buf.getvalue())
+    cfg = Qwen2DecoderConfig(vocab_size=96, hidden_size=64,
+                             intermediate_size=128, num_hidden_layers=2,
+                             num_attention_heads=4, num_key_value_heads=2,
+                             head_dim=16, tie_word_embeddings=False)
+    ctx.decoder = random_bundle(rng, cfg, enc_state=64, max_ctx=1024)
+
+    seen_prompts = []
+    real = serving._prefill_embeds
+
+    def spy(bundle, audio, prompt):
+        seen_prompts.append(list(prompt))
+        return real(bundle, audio, prompt)
+
+    monkeypatch.setattr(serving, "_prefill_embeds", spy)
+
+    samples = (0.1 * rng.standard_normal(16000 * 3)).astype(np.float32)
+    p = FullParams(max_new_tokens=4, temperature_inc=0.0, no_context=False)
+    segs = list(serving.transcribe_long_form(ctx, samples, p, batch_size=4))
+
+    assert len(segs) >= 2
+    assert seen_prompts[0] == []
+    # window 2's prompt is window 1's transcript (EOS stripped)
+    expect = [t for t in segs[0].tokens if t != ctx.decoder.eos_token_id]
+    assert seen_prompts[1] == expect

