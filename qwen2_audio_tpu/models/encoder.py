@@ -254,8 +254,8 @@ def encoder_params_from_ggml(model_file, dtype=jnp.float32,
     ``keep_quantized``: quantized layer weights stay in their block form as
     {"qs","scales"[,"mins"]} device dicts (bit-exact with the file payload)
     and run through the Pallas quant matmuls instead of being expanded to
-    dense — all five legacy formats plus q4_K/q5_K; q2_K/q3_K/q6_K
-    (per-16 groups) always dequantize to dense.
+    dense — all 10 ggml formats, incl. the per-16-group k-quants
+    q2_K/q3_K/q6_K (group size derived from the scales' shape).
     """
     from qwen2_audio_tpu.config import GGMLType as _GT
     hp = model_file.hparams
@@ -271,7 +271,8 @@ def encoder_params_from_ggml(model_file, dtype=jnp.float32,
         t = ts[prefix + ".weight"]
         if keep_quantized and t.ttype in (_GT.Q4_0, _GT.Q8_0, _GT.Q4_1,
                                           _GT.Q5_0, _GT.Q5_1, _GT.Q4_K,
-                                          _GT.Q5_K):
+                                          _GT.Q5_K, _GT.Q2_K, _GT.Q3_K,
+                                          _GT.Q6_K):
             from qwen2_audio_tpu.quant.qparams import device_weight_from_ggml_tensor
             out = device_weight_from_ggml_tensor(t)
         else:

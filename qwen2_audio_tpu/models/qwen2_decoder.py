@@ -111,6 +111,61 @@ def _quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, s
 
 
+def panelize_decoder_params(params: Params) -> Params:
+    """Re-store the stacked ggml-block quant leaves in contiguous column
+    panels ({"qs": (L,K,N)} -> {"qs_p": (L,P,K,bn)}) so each decode-step
+    weight DMA is one contiguous HBM range (ops/quant_matmul.py panel
+    section; ≙ the repacked tile layouts of ggml-cuda mmq.cuh). Pure
+    layout transform — values untouched, bit-exactness preserved. Applies
+    to {"qs","scales"} entries (fused or not); dense/w8a8/packed-nibble
+    leaves pass through. Compose AFTER fuse_decoder_params."""
+    import numpy as _np
+    from qwen2_audio_tpu.ops.quant_matmul import pick_panel_width
+
+    def panel_stacked(entry: dict) -> dict:
+        qs, sc = entry["qs"], entry["scales"]
+        L, K, N = qs.shape
+        bn = pick_panel_width(N)
+        P = N // bn
+        host = isinstance(qs, _np.ndarray)
+        xp = _np if host else jnp
+        out = {
+            "qs_p": xp.transpose(qs.reshape(L, K, P, bn), (0, 2, 1, 3)),
+            "scales_p": xp.transpose(sc.reshape(L, sc.shape[1], P, bn),
+                                     (0, 2, 1, 3)),
+        }
+        for extra in ("mins", "b"):
+            if extra in entry:
+                out[extra] = entry[extra]
+        return out
+
+    layers = dict(params["layers"])
+    for key in list(layers):
+        e = layers[key]
+        if isinstance(e, dict) and "qs" in e and "scales" in e:
+            layers[key] = panel_stacked(e)
+    out = dict(params)
+    out["layers"] = layers
+    if isinstance(out.get("lm_head"), dict) and "qs" in out["lm_head"]:
+        e = out["lm_head"]
+        qs, sc = e["qs"], e["scales"]
+        K, N = qs.shape
+        bn = pick_panel_width(N)
+        P = N // bn
+        host = isinstance(qs, _np.ndarray)
+        xp = _np if host else jnp
+        ne = {
+            "qs_p": xp.transpose(qs.reshape(K, P, bn), (1, 0, 2)),
+            "scales_p": xp.transpose(sc.reshape(sc.shape[0], P, bn),
+                                     (1, 0, 2)),
+        }
+        for extra in ("mins", "b"):
+            if extra in e:
+                ne[extra] = e[extra]
+        out["lm_head"] = ne
+    return out
+
+
 def fuse_decoder_params(params: Params) -> Params:
     """Concatenate q/k/v -> "qkv" and gate/up -> "gate_up" along the output
     axis of the STACKED (L, ..., N) decoder leaves (runtime transform; the
@@ -215,17 +270,26 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
             ).astype(x.dtype)
 
 
-def _decode_flash(T: int, head_dim: int) -> bool:
+# XLA-einsum vs flash-decode crossover (cache CAPACITY in positions): the
+# einsum path reads the whole padded cache every step, the kernel skips
+# invalid blocks — measured on chip the kernel loses at <= 4k (B=1 @ 4k:
+# 176.2 vs 197.1 tok/s, docs/BENCH_NOTES.md) and wins past this capacity.
+FLASH_DECODE_MIN_CTX = 8192
+
+
+def _decode_flash(T: int, head_dim: int, cache_len: int = 0) -> bool:
     """Use the Pallas flash-decode kernel (ops/flash_decode.py) for the
     T=1 cache-attention step. Requires lane-sliceable heads (d % 128).
 
     Gating (read at TRACE time, like ops/linear.py's mode):
     - env QA_FLASH_DECODE=1/0 forces it on/off (tests, experiments);
-    - otherwise TPU + the /tmp/qa_kernel_ok_fd_loop marker, i.e.
-      tools/validate_tpu_kernels.py proved THIS composition (the kernel
-      inside the scanned decoder inside lax.while_loop) on this host —
-      unvalidated composed Pallas compiles have wedged the remote-compile
-      tunnel (CLAUDE.md).
+    - otherwise TPU + the /tmp/qa_kernel_ok_fd_loop marker (the composed
+      compile proved on this host; unvalidated composed Pallas compiles
+      have wedged the remote-compile tunnel, CLAUDE.md) + cache capacity
+      past the measured crossover (FLASH_DECODE_MIN_CTX) — at short
+      contexts the one-pass XLA einsum read is faster than the kernel's
+      block bookkeeping (ggml's fattn dispatcher makes the same
+      batch/size-based call, ggml/src/ggml-cuda/fattn.cu:298).
     """
     import os
     if T != 1 or head_dim % 128 != 0:
@@ -234,7 +298,8 @@ def _decode_flash(T: int, head_dim: int) -> bool:
     if override is not None:
         return override == "1"
     return (jax.default_backend() in ("tpu", "axon")
-            and os.path.exists("/tmp/qa_kernel_ok_fd_loop"))
+            and os.path.exists("/tmp/qa_kernel_ok_fd_loop")
+            and cache_len >= FLASH_DECODE_MIN_CTX)
 
 
 def _visible_mask(q_pos0: jax.Array, T: int, S: int) -> jax.Array:
@@ -396,7 +461,8 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
             attn, tap = attn
     else:
         assert attn_slice is None, "attention tap requires block_only"
-        if _decode_flash(T, cfg.head_dim):
+        if _decode_flash(T, cfg.head_dim,
+                         (kq_c if quant_cache else k_cache).shape[1]):
             # Pallas flash-decode: reads only the valid cache prefix
             # (scalar-prefetch clamped blocks) and consumes the int8
             # cache directly — the fattn-vec analog (ops/flash_decode.py)

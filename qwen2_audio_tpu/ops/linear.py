@@ -25,7 +25,8 @@ import os
 import jax
 import jax.numpy as jnp
 
-from qwen2_audio_tpu.ops.quant_matmul import quant_linear, quant_linear4
+from qwen2_audio_tpu.ops.quant_matmul import (quant_linear, quant_linear4,
+                                              quant_linear_panel)
 from qwen2_audio_tpu.ops.quant_matmul_int8 import quant_linear_int8
 
 # How {"qs","scales"} weights are multiplied:
@@ -83,13 +84,19 @@ def _w8a8(x: jax.Array, p: dict) -> jax.Array:
 def linear(x: jax.Array, p: dict) -> jax.Array:
     if "qs8" in p:
         y = _w8a8(x, p)
+    elif "qs_p" in p:
+        # contiguous-panel storage of the ggml-block form (decode HBM
+        # streaming; see ops/quant_matmul.py panel section)
+        y = quant_linear_panel(x, p, fast=group_matmul_mode() == "bf16")
     elif "qs4" in p:
         # true-4-bit packed nibbles (half the HBM read of the int8 form);
         # the f32-exactness modes apply the same way
         y = quant_linear4(x, p, fast=group_matmul_mode() == "bf16")
     elif "qs" in p:
         mode = group_matmul_mode()
-        if mode == "int8":
+        # the exact-int8 kernel is built around 32-deep group dots; the
+        # per-16-group k-quants (q2_K/q3_K/q6_K) take the dequant kernels
+        if mode == "int8" and x.shape[-1] // p["scales"].shape[0] == 32:
             y = quant_linear_int8(x, p)
         else:
             y = quant_linear(x, p, fast=mode == "bf16")

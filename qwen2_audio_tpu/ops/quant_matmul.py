@@ -29,17 +29,18 @@ def _use_interpret() -> bool:
 
 
 def _qmm_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
-                fast: bool):
+                fast: bool, group: int = GROUP):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = qs_ref[...].astype(jnp.float32)            # (bk, bn)
-    s = sc_ref[...].astype(jnp.float32)            # (bk//32, bn)
-    # element-wise repeat (row g -> rows 32g..32g+31); pltpu.repeat would
-    # TILE the block instead, which is the wrong group expansion
+    s = sc_ref[...].astype(jnp.float32)            # (bk//group, bn)
+    # element-wise repeat (row g -> rows g*group..g*group+group-1);
+    # pltpu.repeat would TILE the block instead, which is the wrong
+    # group expansion
     bk, bn = q.shape
-    s_full = jnp.broadcast_to(s[:, None, :], (bk // GROUP, GROUP, bn)
+    s_full = jnp.broadcast_to(s[:, None, :], (bk // group, group, bn)
                               ).reshape(bk, bn)
     w = q * s_full                                 # dequantized tile (f32)
     if fast:
@@ -100,17 +101,23 @@ def quant_matmul(
     block_k: int = 0,       # 0 = auto (see _auto_block_k)
     fast: bool = False,     # one bf16 MXU pass instead of f32-HIGHEST
 ) -> jax.Array:
-    """x @ dequant(qs, scales) -> (M, N) in x.dtype (f32 accumulation)."""
+    """x @ dequant(qs, scales) -> (M, N) in x.dtype (f32 accumulation).
+
+    The scale-group size is derived from the shapes: K // scales.shape[0].
+    32 is the ggml legacy/q4_K/q5_K granularity; 16 serves the k-quant
+    sub-block formats q2_K/q3_K/q6_K (≙ the per-16 scales of
+    ggml/src/ggml-cuda/vecdotq.cuh's k-quant dot kernels)."""
     M, K = x.shape
     K2, N = qs.shape
-    assert K == K2 and scales.shape == (K // GROUP, N)
+    group = K // scales.shape[0]
+    assert K == K2 and scales.shape == (K // group, N) and group in (16, 32)
 
     block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
-    # block_k % 256 keeps the scales block's sublane dim (block_k//32) a
-    # multiple of 8; block_n % 128 keeps lane tiling
+    # block_k % (8*group) keeps the scales block's sublane dim
+    # (block_k//group) a multiple of 8; block_n % 128 keeps lane tiling
     block_n = _pick_block(N, block_n, 128)
-    block_k = _pick_block(K, block_k or _auto_block_k(K, block_n), 256)
-    assert K % block_k == 0 and N % block_n == 0 and block_k % GROUP == 0
+    block_k = _pick_block(K, block_k or _auto_block_k(K, block_n), 8 * group)
+    assert K % block_k == 0 and N % block_n == 0 and block_k % group == 0
 
     m_pad = -M % block_m
     if m_pad:
@@ -119,14 +126,15 @@ def quant_matmul(
 
     grid = (Mp // block_m, N // block_n, K // block_k)
     out = pl.pallas_call(
-        functools.partial(_qmm_kernel, out_dtype=x.dtype, fast=fast),
+        functools.partial(_qmm_kernel, out_dtype=x.dtype, fast=fast,
+                          group=group),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
                 pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
-                pl.BlockSpec((block_k // GROUP, block_n),
+                pl.BlockSpec((block_k // group, block_n),
                              lambda i, j, k: (k, j)),
             ],
             out_specs=pl.BlockSpec((block_m, block_n),
@@ -140,14 +148,147 @@ def quant_matmul(
     return out[:M] if m_pad else out
 
 
-def group_min_term(x2d: jax.Array, mins: jax.Array) -> jax.Array:
+# --------------------------------------------------------------------------- #
+# Panelized (contiguous-DMA) variant: decode is HBM-latency/stream-bound, and
+# a (block_k, block_n) tile of a row-major (K, N) weight is block_k separate
+# rows of block_n bytes at stride N — for the shallow-K shapes (K=3584) that
+# strided walk plateaus at ~620-640 GB/s on this chip no matter the block
+# geometry (docs/BENCH_NOTES.md round 2). Here the weight is stored pre-tiled
+# in column panels (P, K, bn) so every grid step's weight block is ONE
+# contiguous HBM range (the same trick as ggml-cuda mmq's repacked tile
+# layouts, ggml/src/ggml-cuda/mmq.cuh). Same dequant math, same bit-exact
+# values — only the storage order changes.
+# --------------------------------------------------------------------------- #
+
+def _qmm_panel_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
+                      fast: bool, group: int):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = qs_ref[0].astype(jnp.float32)              # (bk, bn)
+    s = sc_ref[0].astype(jnp.float32)              # (bk//group, bn)
+    bk, bn = q.shape
+    s_full = jnp.broadcast_to(s[:, None, :], (bk // group, group, bn)
+                              ).reshape(bk, bn)
+    w = q * s_full
+    if fast:
+        acc_ref[...] += jnp.dot(
+            x_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+    else:
+        acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), w,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _store():
+        o_ref[0] = acc_ref[...].astype(out_dtype)
+
+
+def pick_panel_width(N: int, pref: int = 512) -> int:
+    """Storage-time panel width: largest 128-multiple divisor of N <= pref."""
+    return _pick_block(N, pref, 128)
+
+
+def panelize_weight(qw: dict, block_n: int = 0) -> dict:
+    """{"qs": (K, N), "scales": (K//g, N)[, "mins"]} -> contiguous-panel
+    layout {"qs_p": (P, K, bn), "scales_p": (P, K//g, bn)[, "mins"]}.
+    Pure layout transform — values are untouched, so ggml bit-exactness is
+    preserved. "mins" stays (K//g, N): the min term is a separate tiny
+    matmul (group_min_term) that never touches the kernel."""
+    qs, sc = qw["qs"], qw["scales"]
+    K, N = qs.shape
+    bn = block_n or pick_panel_width(N)
+    P = N // bn
+    out = {
+        "qs_p": jnp.transpose(qs.reshape(K, P, bn), (1, 0, 2)),
+        "scales_p": jnp.transpose(sc.reshape(sc.shape[0], P, bn), (1, 0, 2)),
+    }
+    if "mins" in qw:
+        out["mins"] = qw["mins"]
+    if "b" in qw:
+        out["b"] = qw["b"]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_k", "fast"))
+def quant_matmul_panel(
+    x: jax.Array,           # (M, K)
+    qs_p: jax.Array,        # (P, K, bn) int8 — contiguous column panels
+    scales_p: jax.Array,    # (P, K // group, bn)
+    *,
+    block_m: int = 256,
+    block_k: int = 0,       # 0 = auto (two k-steps, see _auto_block_k)
+    fast: bool = False,
+) -> jax.Array:
+    """x @ dequant(panels) -> (M, P*bn) in x.dtype (f32 accumulation).
+    Scale-group size derived from shapes (32 legacy / 16 k-quant)."""
+    M, K = x.shape
+    P, K2, bn = qs_p.shape
+    group = K // scales_p.shape[1]
+    assert K == K2 and scales_p.shape == (P, K // group, bn) \
+        and group in (16, 32)
+
+    block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
+    # scales sublane x8 alignment: block_k // group % 8 == 0
+    block_k = _pick_block(K, block_k or _auto_block_k(K, bn), 8 * group)
+    assert K % block_k == 0 and block_k % group == 0
+
+    m_pad = -M % block_m
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+
+    grid = (Mp // block_m, P, K // block_k)
+    out = pl.pallas_call(
+        functools.partial(_qmm_panel_kernel, out_dtype=x.dtype, fast=fast,
+                          group=group),
+        out_shape=jax.ShapeDtypeStruct((P, Mp, bn), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+                pl.BlockSpec((1, block_k, bn), lambda i, j, k: (j, k, 0)),
+                pl.BlockSpec((1, block_k // group, bn),
+                             lambda i, j, k: (j, k, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_m, bn),
+                                   lambda i, j, k: (j, i, 0)),
+            scratch_shapes=[pltpu.VMEM((block_m, bn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_use_interpret(),
+    )(x, qs_p, scales_p)
+    # (P, Mp, bn) -> (Mp, P*bn): one cheap transpose of the small output
+    out = jnp.transpose(out, (1, 0, 2)).reshape(Mp, P * bn)
+    return out[:M] if m_pad else out
+
+
+def quant_linear_panel(x: jax.Array, qw: dict, fast: bool = False
+                       ) -> jax.Array:
+    """Batched-activation entry for the panelized form."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2d = x.reshape(-1, K)
+    y = quant_matmul_panel(x2d, qw["qs_p"], qw["scales_p"], fast=fast)
+    if "mins" in qw:
+        y = y + group_min_term(x2d, qw["mins"],
+                               group=K // qw["mins"].shape[0]).astype(y.dtype)
+    return y.reshape(*lead, -1)
+
+
+def group_min_term(x2d: jax.Array, mins: jax.Array,
+                   group: int = GROUP) -> jax.Array:
     """The per-group-min correction for q4_1/q5_1: with w = q*d + m (m
     constant over each 32-group), x @ W = x @ (q*d) + gsum(x) @ m where
     gsum is the exact per-group activation sum — a tiny (M, K/32) @
     (K/32, N) matmul, no kernel changes needed (≙ the m*s term of
-    ggml_vec_dot_q4_1_q8_1, ggml/src/ggml-quants.c)."""
+    ggml_vec_dot_q4_1_q8_1, ggml/src/ggml-quants.c). k-quant formats with
+    16-element sub-blocks pass group=16."""
     M, K = x2d.shape
-    gsum = x2d.astype(jnp.float32).reshape(M, K // GROUP, GROUP).sum(-1)
+    gsum = x2d.astype(jnp.float32).reshape(M, K // group, group).sum(-1)
     # tiny (M, K/32) matmul, but on TPU the default precision truncates
     # operands to bf16 — the min term (q4_0's folded -8*d rides on it)
     # needs the exact f32 product
@@ -166,7 +307,8 @@ def quant_linear(x: jax.Array, qw: dict, fast: bool = False) -> jax.Array:
     x2d = x.reshape(-1, K)
     y = quant_matmul(x2d, qw["qs"], qw["scales"], fast=fast)
     if "mins" in qw:
-        y = y + group_min_term(x2d, qw["mins"]).astype(y.dtype)
+        y = y + group_min_term(x2d, qw["mins"],
+                               group=K // qw["mins"].shape[0]).astype(y.dtype)
     return y.reshape(*lead, -1)
 
 
@@ -175,10 +317,11 @@ def dequantize_weight(qw: dict, dtype=jnp.float32) -> jax.Array:
     if "qs4" in qw:
         return dequantize_weight4(qw, dtype)
     q = qw["qs"].astype(jnp.float32)
-    s = jnp.repeat(qw["scales"].astype(jnp.float32), GROUP, axis=0)
+    group = q.shape[0] // qw["scales"].shape[0]
+    s = jnp.repeat(qw["scales"].astype(jnp.float32), group, axis=0)
     w = q * s
     if "mins" in qw:
-        w = w + jnp.repeat(qw["mins"].astype(jnp.float32), GROUP, axis=0)
+        w = w + jnp.repeat(qw["mins"].astype(jnp.float32), group, axis=0)
     return w.astype(dtype)
 
 

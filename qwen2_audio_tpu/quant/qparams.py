@@ -85,7 +85,7 @@ def pack4_device_weight(vals_unsigned: np.ndarray, scales: np.ndarray,
 
 def device_weight_from_arrays(q_values: np.ndarray, scales: np.ndarray,
                               narrow: bool, to_device: bool = True) -> dict:
-    """q_values (N, K) ints, scales (N, K//32) — torch layout in, device out.
+    """q_values (N, K) ints, scales (N, K//group) — torch layout in, device out.
 
     ``to_device=False`` keeps numpy (callers that stack many layers first
     avoid 2x transient HBM and per-layer tunnel transfers)."""
@@ -206,6 +206,78 @@ def _unpack_q5_K(raw, n_rows, n_cols):
             mins.reshape(n_rows, n_cols // QK))
 
 
+def _unpack_q2_K(raw, n_rows, n_cols):
+    """q2_K super-blocks -> {vals 0..3, per-16-group scale, per-16-group
+    (negative) min}: w = (d*sc_g)*q - (dmin*m_g) per 16-element sub-block
+    (layout dequantize_row_q2_K, ggml-quants.c:1979)."""
+    b = raw.reshape(-1, 84)
+    nb = b.shape[0]
+    sc_bytes = b[:, 0:16]
+    qs = b[:, 16:80].reshape(nb, 2, 2, 16)
+    d = b[:, 80:82].copy().view(np.float16).astype(np.float32)
+    dmin = b[:, 82:84].copy().view(np.float16).astype(np.float32)
+    shifts = (2 * np.arange(4))[None, None, :, None, None]
+    q2 = ((qs[:, :, None, :, :] >> shifts) & 3).astype(np.int8)
+    vals = q2.reshape(nb, 256)
+    scales = d * (sc_bytes & 0xF).astype(np.float32)     # (nb, 16)
+    mins = -(dmin * (sc_bytes >> 4).astype(np.float32))
+    return (vals.reshape(n_rows, n_cols),
+            scales.reshape(n_rows, n_cols // 16),
+            mins.reshape(n_rows, n_cols // 16))
+
+
+def _unpack_q3_K(raw, n_rows, n_cols):
+    """q3_K super-blocks -> {vals -4..3, per-16-group SIGNED scale}:
+    w = (d*sc_g)*q, sc 6-bit signed (layout dequantize_row_q3_K,
+    ggml-quants.c:2327)."""
+    b = raw.reshape(-1, 110)
+    nb = b.shape[0]
+    hmask = b[:, 0:32].reshape(nb, 2, 16)
+    qs = b[:, 32:96].reshape(nb, 2, 2, 16)
+    sc_bytes = b[:, 96:108].astype(np.int32)
+    d = b[:, 108:110].copy().view(np.float16).astype(np.float32)
+
+    low = np.empty((nb, 16), np.int32)
+    low[:, :8] = sc_bytes[:, :8] & 0xF
+    low[:, 8:] = sc_bytes[:, :8] >> 4
+    ks = np.arange(16)
+    hi2 = (sc_bytes[:, 8 + (ks % 4)] >> (2 * (ks // 4))[None, :]) & 3
+    sc = (low | (hi2 << 4)) - 32                          # (nb, 16) signed
+
+    vals = np.empty((nb, 16, 16), np.int8)
+    for g in range(16):
+        c, j, h = g // 8, (g % 8) // 2, g % 2
+        q2 = ((qs[:, c, h] >> (2 * j)) & 3).astype(np.int32)
+        hb = ((hmask[:, h] >> (4 * c + j)) & 1).astype(np.int32)
+        vals[:, g] = (q2 - np.where(hb == 1, 0, 4)).astype(np.int8)
+    scales = d * sc.astype(np.float32)
+    return (vals.reshape(n_rows, n_cols),
+            scales.reshape(n_rows, n_cols // 16))
+
+
+def _unpack_q6_K(raw, n_rows, n_cols):
+    """q6_K super-blocks -> {vals -32..31, per-16-group SIGNED scale}:
+    w = (d*sc_g)*q, sc int8 (layout dequantize_row_q6_K,
+    ggml-quants.c:3026)."""
+    b = raw.reshape(-1, 210)
+    nb = b.shape[0]
+    ql = b[:, 0:128].reshape(nb, 2, 64)
+    qh = b[:, 128:192].reshape(nb, 2, 32)
+    sc = b[:, 192:208].copy().view(np.int8).astype(np.float32)  # (nb, 16)
+    d = b[:, 208:210].copy().view(np.float16).astype(np.float32)
+
+    lo = ql & 0xF
+    hi = ql >> 4
+    q1 = (lo[:, :, :32] | (((qh >> 0) & 3) << 4)).astype(np.int32) - 32
+    q2 = (lo[:, :, 32:] | (((qh >> 2) & 3) << 4)).astype(np.int32) - 32
+    q3 = (hi[:, :, :32] | (((qh >> 4) & 3) << 4)).astype(np.int32) - 32
+    q4 = (hi[:, :, 32:] | (((qh >> 6) & 3) << 4)).astype(np.int32) - 32
+    vals = np.stack([q1, q2, q3, q4], axis=2).reshape(nb, 256)
+    scales = d * sc
+    return (vals.reshape(n_rows, n_cols).astype(np.int8),
+            scales.reshape(n_rows, n_cols // 16))
+
+
 def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
                                    ) -> dict:
     """Quantized GGMLTensor (torch [out,in] shape) -> kernel dict, bit-exact.
@@ -215,8 +287,9 @@ def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
     "mins" leaf that ops/quant_matmul.py adds as a rank-G correction term
     (≙ the m*sum term of ggml_vec_dot_q4_1_q8_1, ggml-quants.c). q4_K and
     q5_K reduce to the same form at 32-group granularity (super-block
-    scale x 6-bit sub-scale). q2_K/q3_K/q6_K have per-16 groups — no
-    device form; the loader dequantizes them to dense on load instead."""
+    scale x 6-bit sub-scale). q2_K/q3_K/q6_K reduce to it at
+    per-16-group granularity (the kernels derive group size from the
+    scales' shape), so every format runs device-resident."""
     n_rows, n_cols = t.shape
     raw = np.asarray(t.raw)
     if t.ttype == GGMLType.Q4_0:
@@ -250,6 +323,25 @@ def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
                                         to_device=to_device)
         mins = np.ascontiguousarray(m.T, dtype=np.float32)
         out["mins"] = jnp.asarray(mins) if to_device else mins
+        return out
+    if t.ttype in (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q6_K):
+        # per-16-group sub-block formats: same {qs, scales[, mins]} form
+        # with scale rows K//16 instead of K//32 — the kernels derive the
+        # group size from the shapes (≙ all-format device residency of
+        # ggml-cuda's vecdotq.cuh/mmq.cuh k-quant dots)
+        if t.ttype == GGMLType.Q2_K:
+            vals, d, m = _unpack_q2_K(raw, n_rows, n_cols)
+        elif t.ttype == GGMLType.Q3_K:
+            vals, d = _unpack_q3_K(raw, n_rows, n_cols)
+            m = None
+        else:
+            vals, d = _unpack_q6_K(raw, n_rows, n_cols)
+            m = None
+        out = device_weight_from_arrays(vals, d, narrow=False,
+                                        to_device=to_device)
+        if m is not None:
+            mins = np.ascontiguousarray(m.T, dtype=np.float32)
+            out["mins"] = jnp.asarray(mins) if to_device else mins
         return out
     raise ValueError(f"unsupported device quant type {t.ttype}")
 

@@ -318,3 +318,123 @@ def test_pack4_decoder_end_to_end(monkeypatch, rng):
         logits, _ = decoder_forward(qp, cfg, x, cache, 0, block_only=True)
         outs[env] = np.asarray(logits)
     np.testing.assert_allclose(outs["1"], outs["0"], atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("ttype", [GGMLType.Q8_0, GGMLType.Q5_1])
+def test_panel_layout_matches_strided_kernel(ttype, rng):
+    """The contiguous-panel storage (quant_matmul_panel) is a pure layout
+    transform: outputs must match the strided (K, N) kernel exactly
+    (same dequant math, f32 accumulate) and the dense reference closely."""
+    from qwen2_audio_tpu.ops.quant_matmul import (
+        panelize_weight, quant_linear, quant_linear_panel)
+
+    K, N, M = 512, 384, 8
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+    qw = quantize_array_for_device(w, ttype)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+
+    want = np.asarray(quant_linear(jnp.asarray(x), qw))
+    qp = panelize_weight(qw, block_n=128)
+    got = np.asarray(quant_linear_panel(jnp.asarray(x), qp))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    dense = x @ np.asarray(dequantize_weight(qw))
+    np.testing.assert_allclose(got, dense, atol=2e-3, rtol=1e-3)
+
+
+def test_panelize_weight_roundtrip(rng):
+    """Panel layout preserves every payload value (bit-exactness carrier)."""
+    from qwen2_audio_tpu.ops.quant_matmul import panelize_weight
+
+    K, N = 256, 512
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    qw = quantize_array_for_device(w, GGMLType.Q8_0)
+    qp = panelize_weight(qw, block_n=128)
+    P, K2, bn = qp["qs_p"].shape
+    assert (P * bn, K2) == (N, K)
+    back = np.asarray(jnp.transpose(qp["qs_p"], (1, 0, 2)).reshape(K, N))
+    np.testing.assert_array_equal(back, np.asarray(qw["qs"]))
+    sback = np.asarray(jnp.transpose(qp["scales_p"], (1, 0, 2))
+                       .reshape(qw["scales"].shape[0], N))
+    np.testing.assert_array_equal(sback, np.asarray(qw["scales"]))
+
+
+@pytest.mark.parametrize("ttype", [GGMLType.Q2_K, GGMLType.Q3_K,
+                                   GGMLType.Q6_K])
+def test_kquant16_device_weight_bit_exact(ttype, rng):
+    """The per-16-group k-quants now have device forms: the {qs, scales
+    (K/16, N)[, mins]} dict must dequantize BIT-identically to the ggml
+    codec (≙ all-format device residency of ggml-cuda vecdotq.cuh)."""
+    from qwen2_audio_tpu.quant import codecs
+    from qwen2_audio_tpu.io.ggml_format import GGMLTensor
+
+    N, K = 32, 512   # torch [out, in]; K multiple of 256 (super-blocks)
+    w = rng.standard_normal((N, K)).astype(np.float32)
+    raw = codecs.quantize(w, ttype)
+    t = GGMLTensor("w", (N, K), ttype, raw)
+    qw = device_weight_from_ggml_tensor(t)
+
+    assert qw["scales"].shape == (K // 16, N)   # group-16 scale rows
+    want = codecs.dequantize(raw, ttype, w.size).reshape(N, K).T
+    got = np.asarray(dequantize_weight(qw))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("ttype", [GGMLType.Q2_K, GGMLType.Q3_K,
+                                   GGMLType.Q6_K])
+def test_kquant16_kernel_matches_dequant_reference(ttype, rng):
+    """group=16 path through the Pallas kernel (derived from shapes)."""
+    K, N, M = 512, 256, 8
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+    qw = quantize_array_for_device(w, ttype)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+
+    got = np.asarray(quant_linear(jnp.asarray(x), qw))
+    want = x @ np.asarray(dequantize_weight(qw))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_kquant16_panel_matches_strided(rng):
+    from qwen2_audio_tpu.ops.quant_matmul import (
+        panelize_weight, quant_linear_panel)
+
+    K, N, M = 512, 256, 8
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+    qw = quantize_array_for_device(w, GGMLType.Q6_K)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    want = np.asarray(quant_linear(jnp.asarray(x), qw))
+    got = np.asarray(quant_linear_panel(jnp.asarray(x),
+                                        panelize_weight(qw, block_n=128)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_panelized_decoder_logits_match_strided(rng):
+    """panelize_decoder_params is a pure layout transform: logits must be
+    numerically identical (same kernel math, f32 accumulate) to the
+    strided quant decoder, fused or not."""
+    from qwen2_audio_tpu.models.qwen2_decoder import (
+        KVCache, decoder_forward, embed_tokens, fuse_decoder_params,
+        panelize_decoder_params, random_decoder_params)
+    cfg = Qwen2DecoderConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=False)
+    params = random_decoder_params(rng, cfg)
+    qparams = quantize_decoder_params(params, GGMLType.Q8_0)
+    pparams = panelize_decoder_params(fuse_decoder_params(qparams))
+    fparams = fuse_decoder_params(qparams)
+
+    toks = jnp.asarray(rng.integers(0, 128, (1, 6)))
+    x = embed_tokens(params, toks)
+
+    def run(p):
+        c = KVCache.create(cfg, 1, 8, dtype=jnp.float32)
+        lg, c = decoder_forward(p, cfg, x, c, 0)
+        step = embed_tokens(params, jnp.asarray([[7]]))
+        lg2, _ = decoder_forward(p, cfg, step, c, 6)
+        decoder_forward.clear_cache()
+        return np.asarray(lg2)
+
+    ref = run(fparams)
+    got = run(pparams)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)

@@ -72,6 +72,10 @@ def main() -> int:
                          "sized for the worst case, streams mostly short "
                          "— where flash-decode's valid-prefix skipping "
                          "pays")
+    ap.add_argument("--panel", action="store_true",
+                    help="contiguous-panel weight storage for the "
+                         "ggml-block kernels (quant_matmul_panel; one "
+                         "contiguous HBM DMA per weight block)")
     ap.add_argument("--no-fuse", action="store_true",
                     help="keep separate q/k/v and gate/up projections "
                          "(default: fuse_decoder_params — 7 -> 4 matmuls "
@@ -156,6 +160,9 @@ def main() -> int:
     if not args.no_fuse:
         from qwen2_audio_tpu.models.qwen2_decoder import fuse_decoder_params
         params = fuse_decoder_params(params)   # host-side; pre-upload
+    if args.panel:
+        from qwen2_audio_tpu.models.qwen2_decoder import panelize_decoder_params
+        params = panelize_decoder_params(params)  # host-side layout repack
 
     watchdog(wd_s, "bench_decode")  # re-arm for upload/compile/decode
 
@@ -167,7 +174,7 @@ def main() -> int:
 
         def upload(node):
             if isinstance(node, dict):
-                if "qs" in node or "qs8" in node:
+                if any(k in node for k in ("qs", "qs8", "qs_p", "qs4")):
                     return {k: (jnp.asarray(v, dtype=dtype) if k == "b"
                                 else jnp.asarray(v))
                             for k, v in node.items()}

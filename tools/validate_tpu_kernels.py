@@ -116,6 +116,29 @@ def main() -> int:
         assert err < 1e-2, (name, err)
     mark("qmm_int8")
 
+    # 2c. contiguous-panel matmul (decode HBM streaming layout): must be
+    # numerically identical to the strided kernel on the same payload
+    from qwen2_audio_tpu.ops.quant_matmul import (panelize_weight,
+                                                  quant_linear,
+                                                  quant_linear_panel)
+    qp = panelize_weight(qw)
+    got = np.asarray(quant_linear_panel(x, qp))
+    want_p = np.asarray(quant_linear(x, qw))
+    assert np.abs(got - want_p).max() < 1e-4, np.abs(got - want_p).max()
+    mark("qmm_panel")
+
+    # 2d. per-16-group k-quant path (q6_K): group size derived from the
+    # scales' shape inside the same kernels
+    qw6 = quantize_array_for_device(w, GGMLType.Q6_K)
+    assert qw6["scales"].shape[0] == 512 // 16
+    got = np.asarray(quant_linear(x, qw6))
+    want = np.asarray(x, np.float64) @ np.asarray(dequantize_weight(qw6),
+                                                  np.float64)
+    assert np.abs(got - want).max() < 2e-3, np.abs(got - want).max()
+    got_p = np.asarray(quant_linear_panel(x, panelize_weight(qw6)))
+    assert np.abs(got_p - got).max() < 1e-4
+    mark("qmm_g16")
+
     # 3. fused mel kernel
     from qwen2_audio_tpu.audio import mel_filterbank
     from qwen2_audio_tpu.audio.mel import log_mel_spectrogram
