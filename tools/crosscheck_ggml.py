@@ -161,6 +161,64 @@ def run_codec_oracle(oracle: str, tol_unused: float = 0.0) -> int:
     return 1 if fail else 0
 
 
+def build_reference_cpu(build_dir: str = "/tmp/ggml_cpu_debug") -> str:
+    """One-command reference build: cmake the fork CPU-only in Debug (its
+    own hardcoded build type; -O2 segfaults, see module docstring) and
+    ninja `main` + libggml. Idempotent — reuses an existing build."""
+    main_bin = f"{build_dir}/bin/main"
+    if os.path.exists(main_bin) and \
+            os.path.exists(f"{build_dir}/ggml/src/libggml.so"):
+        return main_bin
+    subprocess.run(
+        ["cmake", "-S", "/root/reference", "-B", build_dir, "-G", "Ninja",
+         "-DGGML_CUDA=OFF", "-DGGML_NATIVE=OFF",
+         "-DWHISPER_BUILD_EXAMPLES=ON", "-DCMAKE_BUILD_TYPE=Debug"],
+        check=True, capture_output=True)
+    subprocess.run(["ninja", "-C", build_dir, "bin/main"], check=True,
+                   capture_output=True)
+    return main_bin
+
+
+def run_auto(out_path: str, tol: float) -> int:
+    """Build the reference, run BOTH checks, and write a committed-able
+    JSON artifact (VERDICT r2 missing #4: the parity evidence must be
+    reproducible from the repo, not from a vanished /tmp)."""
+    import datetime
+    import json
+
+    build_dir = "/tmp/ggml_cpu_debug"
+    record = {"date": datetime.datetime.now(datetime.timezone.utc
+                                            ).isoformat(timespec="seconds"),
+              "reference_build": {"dir": build_dir, "cuda": False,
+                                  "build_type": "Debug"},
+              "tol": tol}
+    print("[auto] building reference CPU-only (Debug)...", flush=True)
+    t0 = __import__("time").time()
+    build_reference_cpu(build_dir)
+    print(f"[auto] reference built in {__import__('time').time()-t0:.0f}s",
+          flush=True)
+
+    # codec oracle first (no model runs involved)
+    rc_codec = run_codec_oracle(build_codec_oracle(build_dir))
+    record["codec_oracle"] = {
+        "formats": ["q4_0", "q4_1", "q5_0", "q5_1", "q8_0",
+                    "q2_K", "q3_K", "q4_K", "q5_K", "q6_K"],
+        "bit_exact": rc_codec == 0,
+    }
+
+    # end-to-end f32 fingerprint (see module docstring for why f32-only)
+    rc_e2e, worst = run_end_to_end(f"{build_dir}/bin/main", "f32", tol)
+    record["end_to_end_f32"] = {"max_abs_delta": worst.get("f32"),
+                                "tol": tol, "ok": rc_e2e == 0}
+    record["ok"] = rc_codec == 0 and rc_e2e == 0
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=2)
+        f.write("\n")
+    print(f"[auto] wrote {out_path}: ok={record['ok']}", flush=True)
+    return 0 if record["ok"] else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref-bin", default=None,
@@ -175,7 +233,14 @@ def main() -> int:
                     help="byte-level quantizer/dequantizer cross-check "
                          "against the reference's own ggml-quants.c "
                          "(needs the CPU cmake build for libggml)")
+    ap.add_argument("--auto", action="store_true",
+                    help="build the reference CPU-only, run codec oracle "
+                         "+ f32 end-to-end, write --out JSON artifact")
+    ap.add_argument("--out", default="docs/CROSSCHECK_GGML.json")
     args = ap.parse_args()
+
+    if args.auto:
+        return run_auto(args.out, args.tol)
 
     if args.codec_oracle:
         for bd in ("/tmp/ggml_cpu_build", "/tmp/ggml_cpu_debug",
@@ -199,7 +264,12 @@ def main() -> int:
               file=sys.stderr)
         return 2
     print(f"[crosscheck] reference binary: {args.ref_bin}", flush=True)
+    rc, _ = run_end_to_end(args.ref_bin, args.formats, args.tol)
+    return rc
 
+
+def run_end_to_end(ref_bin: str, formats: str, tol: float
+                   ) -> tuple[int, dict]:
     import jax
     jax.config.update("jax_platforms", "cpu")   # bit-stable f32 comparison
 
@@ -245,7 +315,7 @@ def main() -> int:
 
     worst = {}
     failed = False
-    for name in args.formats.split(","):
+    for name in formats.split(","):
         model = base
         if ftypes[name] is not None:
             model = os.path.join(tmp, f"model-{name}.bin")
@@ -254,7 +324,7 @@ def main() -> int:
             with open(model, "wb") as f:
                 quantize_checkpoint(src, f, ftypes[name])
 
-        ref = run_reference(args.ref_bin, model, wav)
+        ref = run_reference(ref_bin, model, wav)
 
         ctx = WhisperContext.init_from_file_with_params(
             model, ContextParams(keep_quantized=name != "f32"))
@@ -266,18 +336,18 @@ def main() -> int:
 
         d = float(np.abs(ref - ours).max())
         worst[name] = d
-        status = "OK" if d <= args.tol else "FAIL"
-        if d > args.tol:
+        status = "OK" if d <= tol else "FAIL"
+        if d > tol:
             failed = True
         print(f"[crosscheck] {name:5s} max|Δfingerprint| = {d:.4f}  "
               f"{status}", flush=True)
-        if d > args.tol:
+        if d > tol:
             print(f"  ref : {' '.join(f'{v:.3f}' for v in ref)}")
             print(f"  ours: {' '.join(f'{v:.3f}' for v in ours)}")
 
     print(f"[crosscheck] {'FAIL' if failed else 'ALL OK'} "
-          f"(tol {args.tol}): {worst}")
-    return 1 if failed else 0
+          f"(tol {tol}): {worst}")
+    return (1 if failed else 0), worst
 
 
 if __name__ == "__main__":
