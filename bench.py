@@ -84,6 +84,13 @@ def main() -> int:
         # formulation takes minutes through the remote-compile path
         from qwen2_audio_tpu.ops.mel_kernel import log_mel_spectrogram_fused
         mel = log_mel_spectrogram_fused(audio, mel_filterbank(hp.n_mels))
+    elif on_tpu:
+        # fresh host, marker not yet written: the XLA mel would pay a
+        # multi-minute remote compile (BENCH_r02 measured 259 s) while the
+        # validator is still running in the background — the numpy host
+        # mel is exact (C-loop oracle-tested) and compiles nothing
+        from qwen2_audio_tpu.audio.mel import log_mel_spectrogram_np
+        mel = log_mel_spectrogram_np(audio, mel_filterbank(hp.n_mels))
     else:
         mel = log_mel_spectrogram(audio, mel_filterbank(hp.n_mels))
     win = mel_input_window(mel, 0, hp.n_audio_ctx)

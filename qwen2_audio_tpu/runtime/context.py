@@ -218,14 +218,20 @@ class WhisperContext:
     def pcm_to_mel_with_state(self, state: WhisperState,
                               samples: np.ndarray) -> int:
         t0 = time_us()
+        import os
+        on_tpu = jax.default_backend() in ("tpu", "axon")
         fused = self.params.fused_mel
         if fused is None:
-            import os
-            fused = (jax.default_backend() in ("tpu", "axon")
-                     and os.path.exists("/tmp/qa_kernel_ok_mel"))
+            fused = on_tpu and os.path.exists("/tmp/qa_kernel_ok_mel")
         if fused:
             from qwen2_audio_tpu.ops.mel_kernel import log_mel_spectrogram_fused
             state.mel = log_mel_spectrogram_fused(samples, self.filters)
+        elif on_tpu and self.params.fused_mel is None:
+            # fresh TPU host before the validator writes the mel marker:
+            # the XLA-gather mel pays a multi-minute remote compile; the
+            # numpy host mel is exact (C-loop oracle-tested) and free
+            from qwen2_audio_tpu.audio.mel import log_mel_spectrogram_np
+            state.mel = log_mel_spectrogram_np(samples, self.filters)
         else:
             state.mel = log_mel_spectrogram(samples, self.filters)
         state.timings.t_mel_us += time_us() - t0
