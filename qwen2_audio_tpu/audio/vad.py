@@ -52,16 +52,10 @@ def vad_simple(pcm: np.ndarray, sample_rate: int, last_ms: int,
 
 
 def similarity(s0: str, s1: str) -> float:
-    """Levenshtein similarity (examples/common.cpp similarity())."""
-    n, m = len(s0), len(s1)
-    if n == 0 and m == 0:
-        return 1.0
-    prev = list(range(m + 1))
-    for i in range(1, n + 1):
-        cur = [i] + [0] * m
-        for j in range(1, m + 1):
-            cost = 0 if s0[i - 1] == s1[j - 1] else 1
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
-        prev = cur
-    dist = prev[m]
-    return 1.0 - dist / max(n, m)
+    """Levenshtein similarity (examples/common.cpp:801 similarity()).
+
+    Delegates to utils/text.py so there is exactly one implementation with
+    the reference's byte semantics (the C++ walks utf-8 bytes; a
+    chars-based variant diverges on non-ASCII text)."""
+    from qwen2_audio_tpu.utils.text import similarity as _sim
+    return _sim(s0, s1)

@@ -98,12 +98,26 @@ def ensure_kernel_validation(wait_s: float = 0.0) -> bool:
         os.close(fd)
         launch = True
     except FileExistsError:
-        if os.path.getmtime(_lock_path()) < time.time() - 3600:
-            try:                        # stale lock from a dead run
+        try:
+            stale = os.path.getmtime(_lock_path()) < time.time() - 3600
+        except OSError:                 # raced: someone removed it
+            stale = False
+        if stale:
+            # stale lock from a dead run: unlink, then re-acquire with the
+            # same O_CREAT|O_EXCL primitive as the fresh path so exactly
+            # one of N racing processes wins the takeover (unlink +
+            # write_text let two both "win" and spawn two TPU validators)
+            try:
                 os.unlink(_lock_path())
-                Path(_lock_path()).write_text(str(os.getpid()))
-                launch = True
             except OSError:
+                pass
+            try:
+                fd = os.open(_lock_path(),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                launch = True
+            except (FileExistsError, OSError):
                 pass
     if launch:
         log = open("/tmp/qa_kernel_validate.log", "ab")

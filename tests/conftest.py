@@ -18,6 +18,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA compile cache: the suite's cost is dominated by dozens of
+# distinct decode-program compiles; with a warm cache a full run drops
+# from ~10 min to a few minutes. Keyed by HLO, so code changes that alter
+# a program recompile exactly that program.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("QA_TEST_CACHE", "/tmp/qa_cpu_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
