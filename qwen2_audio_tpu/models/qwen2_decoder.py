@@ -118,9 +118,14 @@ def panelize_decoder_params(params: Params) -> Params:
     section; ≙ the repacked tile layouts of ggml-cuda mmq.cuh). Pure
     layout transform — values untouched, bit-exactness preserved. Applies
     to {"qs","scales"} entries (fused or not); dense/w8a8/packed-nibble
-    leaves pass through. Compose AFTER fuse_decoder_params."""
+    leaves pass through, as do deep-K entries (K > 8192, e.g. the 7B
+    "down" projection) where the strided layout already streams at
+    memory speed and the panel A/B measured a regression (chain-200,
+    M=8: 987 vs 781 us). Compose AFTER fuse_decoder_params."""
     import numpy as _np
     from qwen2_audio_tpu.ops.quant_matmul import pick_panel_width
+
+    MAX_PANEL_K = 8192
 
     def panel_stacked(entry: dict) -> dict:
         qs, sc = entry["qs"], entry["scales"]
@@ -142,11 +147,13 @@ def panelize_decoder_params(params: Params) -> Params:
     layers = dict(params["layers"])
     for key in list(layers):
         e = layers[key]
-        if isinstance(e, dict) and "qs" in e and "scales" in e:
+        if isinstance(e, dict) and "qs" in e and "scales" in e \
+                and e["qs"].shape[1] <= MAX_PANEL_K:
             layers[key] = panel_stacked(e)
     out = dict(params)
     out["layers"] = layers
-    if isinstance(out.get("lm_head"), dict) and "qs" in out["lm_head"]:
+    if isinstance(out.get("lm_head"), dict) and "qs" in out["lm_head"] \
+            and out["lm_head"]["qs"].shape[0] <= MAX_PANEL_K:
         e = out["lm_head"]
         qs, sc = e["qs"], e["scales"]
         K, N = qs.shape

@@ -186,9 +186,22 @@ def _qmm_panel_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
         o_ref[0] = acc_ref[...].astype(out_dtype)
 
 
-def pick_panel_width(N: int, pref: int = 512) -> int:
-    """Storage-time panel width: largest 128-multiple divisor of N <= pref."""
+def pick_panel_width(N: int, pref: int = 1024) -> int:
+    """Storage-time panel width: largest 128-multiple divisor of N <= pref.
+
+    pref=1024 measured best across every 7B decode shape (chain-200 A/B,
+    M=8: qkv bn=768 549 us vs 900 strided; gate_up bn=1024 557 vs 1100;
+    o bn=896 222 vs 248; lm_head bn=768 1409 vs 1482)."""
     return _pick_block(N, pref, 128)
+
+
+def _panel_block_k(K: int, bn: int) -> int:
+    """Panel-kernel k-blocking: whole-K single step when the weight block
+    fits the VMEM budget (measured best for shallow K — the contiguous
+    panel DMA needs no double-buffer split), else the two-step auto."""
+    if K * bn <= 6 * 1024 * 1024:
+        return K
+    return _auto_block_k(K, bn)
 
 
 def panelize_weight(qw: dict, block_n: int = 0) -> dict:
@@ -232,7 +245,7 @@ def quant_matmul_panel(
 
     block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
     # scales sublane x8 alignment: block_k // group % 8 == 0
-    block_k = _pick_block(K, block_k or _auto_block_k(K, bn), 8 * group)
+    block_k = _pick_block(K, block_k or _panel_block_k(K, bn), 8 * group)
     assert K % block_k == 0 and block_k % group == 0
 
     m_pad = -M % block_m

@@ -92,8 +92,17 @@ class GenerationResult:
 
 
 def _token_entropy(ids: list[int], window: int = 32) -> float:
-    """Shannon entropy (nats) of the trailing token-frequency distribution —
-    whisper's repetition/compression proxy for the entropy_thold fallback."""
+    """Shannon entropy (nats) of the trailing token-frequency distribution.
+
+    This is EXACTLY the statistic whisper.cpp v1.7.1 (the fork's base)
+    scores sequences with: whisper_sequence_score counts the last 32
+    tokens, p = count/32 per unique id, entropy = -sum p*log(p), and the
+    temperature fallback fires on entropy < entropy_thold. The fork
+    stripped the function with the decoder but kept the threshold default
+    (2.4, src/qwen2-whisper.cpp:4276) and its failure counter (n_fail_h,
+    :809), so the carried-over 2.4 applies to the same statistic here —
+    not a proxy. (OpenAI's Python whisper uses a gzip compression ratio
+    instead; whisper.cpp never did.)"""
     tail = ids[-window:]
     if not tail:
         return float("inf")

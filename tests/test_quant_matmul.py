@@ -438,3 +438,18 @@ def test_panelized_decoder_logits_match_strided(rng):
     ref = run(fparams)
     got = run(pparams)
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_panelize_skips_deep_k(rng):
+    """K > 8192 entries (7B 'down') stay strided — panel measured a
+    regression there; mixed layouts within one layer dict are fine."""
+    from qwen2_audio_tpu.models.qwen2_decoder import panelize_decoder_params
+
+    deep = {"qs": np.zeros((2, 9216, 128), np.int8),
+            "scales": np.zeros((2, 9216 // 32, 128), np.float32)}
+    shallow = {"qs": np.zeros((2, 256, 128), np.int8),
+               "scales": np.zeros((2, 8, 128), np.float32)}
+    params = {"layers": {"down": dict(deep), "qkv": dict(shallow)}}
+    out = panelize_decoder_params(params)
+    assert "qs" in out["layers"]["down"]          # untouched
+    assert "qs_p" in out["layers"]["qkv"]         # panelized

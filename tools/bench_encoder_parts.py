@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Encoder time decomposition + matmul-shape experiments for the RTF push.
+
+Measures on the real chip (dispatch-chain methodology, CLAUDE.md):
+  1. full encoder forward (the bench.py number)
+  2. the same forward minus the conv stem (layers-only floor)
+  3. the bare per-layer matmul set at M=1500 vs M=1536 (8-sublane pad)
+  4. elementwise tax: LN + gelu + residual at (1500, 1280)
+
+Run in the BACKGROUND on TPU; never kill.
+
+    python -u tools/bench_encoder_parts.py [--chain 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+
+def time_chain(step, x0, chain, rtt_s=0.030):
+    import jax
+    import jax.numpy as jnp
+    _ = np.asarray(jnp.sum(step(x0)))       # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        c = x0
+        for _i in range(chain):
+            c = step(c)
+        _ = np.asarray(jnp.sum(c if not isinstance(c, tuple) else c[0]))
+        best = min(best, max(time.perf_counter() - t0 - rtt_s, 1e-9) / chain)
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chain", type=int, default=100)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/qa_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    from qwen2_audio_tpu.utils.watchdog import watchdog
+    watchdog(3600.0, "bench_encoder_parts")
+
+    from qwen2_audio_tpu.config import WHISPER_PRESETS
+    from qwen2_audio_tpu.models.encoder import (encoder_forward,
+                                                fuse_encoder_qkv,
+                                                random_encoder_params)
+    hp = WHISPER_PRESETS["qwen2-audio"]
+    rng = np.random.default_rng(0)
+    dtype = jnp.bfloat16
+    params = fuse_encoder_qkv(random_encoder_params(rng, hp, dtype=dtype))
+    use_flash = True
+    print(f"backend={jax.default_backend()} layers={hp.n_audio_layer} "
+          f"d={hp.n_audio_state} chain={args.chain}", flush=True)
+
+    mel = jnp.asarray(rng.standard_normal(
+        (1, hp.n_mels, 2 * hp.n_audio_ctx)) * 0.1, dtype)
+
+    @jax.jit
+    def full(c):
+        out = encoder_forward(params, c, hp, use_flash=use_flash,
+                              compute_dtype=dtype)
+        return c + (jnp.sum(out) * 0).astype(c.dtype)
+
+    sec = time_chain(full, mel, args.chain)
+    print(f"full forward          {sec*1e3:8.2f} ms  "
+          f"(RTF {30.0/sec:7.1f}x)", flush=True)
+
+    # layers-only: skip conv+pos by feeding (B, 1500, d) directly
+    from qwen2_audio_tpu.models import encoder as enc_mod
+    x_t = jnp.asarray(rng.standard_normal(
+        (1, hp.n_audio_ctx, hp.n_audio_state)) * 0.1, dtype)
+
+    def layers_only_fn(params, x):
+        from qwen2_audio_tpu.ops.linear import linear
+        eps = hp.eps
+        for layer in params["layers"]:
+            h = enc_mod._layer_norm(x, layer["ln1"]["w"], layer["ln1"]["b"],
+                                    eps)
+            x = x + enc_mod._attention(layer, h, hp.n_audio_head, use_flash)
+            h = enc_mod._layer_norm(x, layer["ln2"]["w"], layer["ln2"]["b"],
+                                    eps)
+            h = enc_mod._gelu(linear(h, layer["fc1"]), False)
+            x = x + linear(h, layer["fc2"])
+        return x
+
+    @jax.jit
+    def layers_only(c):
+        out = layers_only_fn(params, c)
+        return c + (jnp.sum(out) * 0).astype(c.dtype)
+
+    sec_l = time_chain(layers_only, x_t, args.chain)
+    print(f"layers only           {sec_l*1e3:8.2f} ms  "
+          f"({sec_l*1e3/hp.n_audio_layer:6.3f} ms/layer; conv+pos+pool "
+          f"overhead {1e3*(sec-sec_l):5.2f} ms)", flush=True)
+
+    # bare matmuls at M=1500 vs 1536
+    d = hp.n_audio_state
+    shapes = [("qkv", d, 3 * d), ("o", d, d), ("fc1", d, 4 * d),
+              ("fc2", 4 * d, d)]
+    for M in (hp.n_audio_ctx, 1536):
+        total = 0.0
+        for name, K, N in shapes:
+            w = jnp.asarray(rng.standard_normal((K, N)) * 0.05, dtype)
+            x0 = jnp.asarray(rng.standard_normal((M, K)) * 0.1, dtype)
+
+            @jax.jit
+            def mm(c, w=w, K=K):
+                y = jnp.dot(c, w, preferred_element_type=jnp.float32
+                            ).astype(c.dtype)
+                return c + (jnp.sum(y) * 0).astype(c.dtype)
+
+            s = time_chain(mm, x0, args.chain)
+            fl = 2 * M * K * N
+            total += s
+            print(f"  mm M={M:4d} {name:4s} ({K:5d}x{N:5d}) "
+                  f"{s*1e6:8.1f} us  {fl/s/1e12:6.1f} TF/s", flush=True)
+        print(f"  -> per-layer matmul total M={M}: {total*1e3:6.3f} ms "
+              f"(x{hp.n_audio_layer} = {total*1e3*hp.n_audio_layer:6.2f} ms)",
+              flush=True)
+
+    # elementwise tax at (1500, d)
+    w_ln = jnp.ones((d,), dtype)
+    b_ln = jnp.zeros((d,), dtype)
+
+    @jax.jit
+    def ew(c):
+        h = enc_mod._layer_norm(c, w_ln, b_ln, hp.eps)
+        h = enc_mod._gelu(h, False)
+        return c + h
+
+    s = time_chain(ew, x_t, args.chain)
+    print(f"LN+gelu+residual      {s*1e6:8.1f} us", flush=True)
+    print("DONE", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
