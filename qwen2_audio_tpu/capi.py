@@ -40,6 +40,22 @@ def whisper_init_from_file_with_params_no_state(path_model: str,
                                                               params)
 
 
+def whisper_init_from_buffer_with_params_no_state(buffer: bytes,
+                                                  params=None):
+    return WhisperContext.init_from_buffer_with_params_no_state(buffer,
+                                                                params)
+
+
+def whisper_init_with_params(loader, params=None):
+    """loader = whisper_model_loader vtable (header :128-136): an object
+    with read(n)/eof()/close()."""
+    return WhisperContext.init_with_params(loader, params)
+
+
+def whisper_init_with_params_no_state(loader, params=None):
+    return WhisperContext.init_with_params(loader, params, with_state=False)
+
+
 def whisper_init_state(ctx: WhisperContext) -> WhisperState:
     return ctx.init_state()
 
@@ -229,9 +245,48 @@ def whisper_full_get_token_p_from_state(state, i, j) -> float:
     return state.segments[i]["probs"][j]
 
 
-# deprecated init aliases (header :151-174)
+# deprecated init aliases (header :151-174) — all six variants, same
+# deprecation contract as the header's WHISPER_DEPRECATED block
 def whisper_init_from_file(path_model: str):
     return whisper_init_from_file_with_params(path_model)
+
+
+def whisper_init_from_buffer(buf: bytes):
+    return whisper_init_from_buffer_with_params(buf)
+
+
+def whisper_init(loader):
+    return whisper_init_with_params(loader)
+
+
+def whisper_init_from_file_no_state(path_model: str):
+    return whisper_init_from_file_with_params_no_state(path_model)
+
+
+def whisper_init_from_buffer_no_state(buf: bytes):
+    return whisper_init_from_buffer_with_params_no_state(buf)
+
+
+def whisper_init_no_state(loader):
+    return whisper_init_with_params_no_state(loader)
+
+
+# OpenVINO encoder hooks (header :183-199): the reference's external
+# Intel-GPU encoder bypass. On a TPU-only build the honest contract is
+# the reference's own no-OpenVINO build behavior: log and return failure.
+def whisper_ctx_init_openvino_encoder_with_state(ctx, state, model_path,
+                                                 device, cache_dir) -> int:
+    from qwen2_audio_tpu.utils.logging import log_error
+    log_error("whisper_ctx_init_openvino_encoder is not supported on this "
+              "build: the encoder runs on TPU (≙ the reference compiled "
+              "without WHISPER_OPENVINO)\n")
+    return 1
+
+
+def whisper_ctx_init_openvino_encoder(ctx, model_path, device,
+                                      cache_dir) -> int:
+    return whisper_ctx_init_openvino_encoder_with_state(
+        ctx, None, model_path, device, cache_dir)
 
 
 # helpers for the native C shim (native/qa_capi.cpp): samples arrive as a

@@ -201,6 +201,30 @@ class WhisperContext:
         return cls(read_ggml_file(path), cparams or ContextParams(),
                    with_state=False)
 
+    @classmethod
+    def init_from_buffer_with_params_no_state(
+            cls, buf: bytes, cparams: ContextParams | None = None
+    ) -> "WhisperContext":
+        return cls(read_ggml_file(buf), cparams or ContextParams(),
+                   with_state=False)
+
+    @classmethod
+    def init_with_params(cls, loader, cparams: ContextParams | None = None,
+                         with_state: bool = True) -> "WhisperContext":
+        """whisper_model_loader vtable form (header :128-136): an object
+        with read(n)->bytes / eof()->bool / close() callbacks. The
+        reference streams tensor records through it; here the stream is
+        drained once and parsed from memory (XLA wants whole arrays)."""
+        chunks = []
+        while not loader.eof():
+            chunk = loader.read(1 << 20)
+            if not chunk:
+                break
+            chunks.append(chunk)
+        loader.close()
+        return cls(read_ggml_file(b"".join(chunks)),
+                   cparams or ContextParams(), with_state=with_state)
+
     def init_state(self) -> WhisperState:
         st = WhisperState()
         st.timings.t_start_us = time_us()

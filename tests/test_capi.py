@@ -30,17 +30,46 @@ def test_header_symbol_coverage():
     header = open("/root/reference/include/qwen2-whisper.h").read()
     names = set(re.findall(r"WHISPER_API\s+[\w\s\*]+?\b(whisper_\w+)\s*\(",
                            header))
-    # OpenVINO hooks are explicitly N/A on TPU; deprecated no-state variants
-    # of buffer/loader init are covered by the _with_params forms
-    skip = {n for n in names if "openvino" in n} | {
-        "whisper_init", "whisper_init_no_state",
-        "whisper_init_from_buffer", "whisper_init_from_buffer_no_state",
-        "whisper_init_from_file_no_state", "whisper_init_with_params",
-        "whisper_init_with_params_no_state",
-        "whisper_init_from_buffer_with_params_no_state",
-    }
-    missing = [n for n in sorted(names - skip) if not hasattr(capi, n)]
+    # complete: every header symbol, incl. all six deprecated init
+    # variants, the loader-vtable forms, and the OpenVINO hooks (which
+    # return failure like the reference's no-OpenVINO build)
+    missing = [n for n in sorted(names) if not hasattr(capi, n)]
     assert not missing, f"capi missing: {missing}"
+
+
+def test_loader_vtable_and_deprecated_inits(ctx):
+    """whisper_init_with_params drains a read/eof/close vtable (header
+    :128-136); deprecated aliases delegate to the _with_params forms."""
+    import io as _io
+    buf = _io.BytesIO()
+    write_encoder_checkpoint(buf, random_encoder_params(
+        np.random.default_rng(0), HP), HP, mel_filterbank(16),
+        [b"a", b"b", b"ab"])
+    data = buf.getvalue()
+
+    class Loader:
+        def __init__(self):
+            self.pos = 0
+            self.closed = False
+
+        def read(self, n):
+            out = data[self.pos:self.pos + n]
+            self.pos += len(out)
+            return out
+
+        def eof(self):
+            return self.pos >= len(data)
+
+        def close(self):
+            self.closed = True
+
+    ld = Loader()
+    c = capi.whisper_init_with_params(ld)
+    assert ld.closed and capi.whisper_n_vocab(c) == 64
+
+    c2 = capi.whisper_init_from_buffer_no_state(data)
+    assert c2.state is None
+    assert capi.whisper_ctx_init_openvino_encoder(c2, None, "CPU", None) == 1
 
 
 def test_lifecycle_and_accessors(ctx, rng):

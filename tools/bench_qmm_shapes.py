@@ -37,21 +37,42 @@ SHAPES = {
         "down": (8960, 1536),
         "lm_head": (1536, 151936),
     },
+    "tiny": {   # CPU interpret-mode smoke only
+        "qkv": (256, 384),
+        "o": (256, 256),
+    },
 }
-LAYERS = {"7b": 28, "1.5b": 28}
+LAYERS = {"7b": 28, "1.5b": 28, "tiny": 2}
 
 
-def time_chain(step, x0, chain, rtt_s=0.030):
+def time_chain(step, x0, chain, rtt_s=0.030, unroll=8):
+    """Dependent-chain timing with dispatch amortization.
+
+    Each tunnel dispatch costs a nontrivial, VARIABLE amount (hundreds of
+    us observed), so dispatching `step` per link measures the tunnel, not
+    the kernel, for sub-ms kernels. Jitting `unroll` dependent
+    applications into ONE program makes each dispatch cover `unroll`
+    device steps (unrolled, no fori_loop — CLAUDE.md: pallas in
+    fori_loop has hung the remote-compile path)."""
     import jax
-    _ = np.asarray(step(x0))          # compile + warm
+
+    @jax.jit
+    def step_u(c):
+        for _ in range(unroll):
+            c = step(c)
+        return c
+
+    _ = np.asarray(step_u(x0))        # compile + warm
+    links = max(1, chain // unroll)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         c = x0
-        for _i in range(chain):
-            c = step(c)
+        for _i in range(links):
+            c = step_u(c)
         _ = np.asarray(jax.numpy.sum(c[:1, :1]))
-        best = min(best, max(time.perf_counter() - t0 - rtt_s, 1e-9) / chain)
+        best = min(best, max(time.perf_counter() - t0 - rtt_s, 1e-9)
+                   / (links * unroll))
     return best
 
 
@@ -62,6 +83,13 @@ def main() -> int:
                     help="activation rows (8 = spec_k=7 decode forward)")
     ap.add_argument("--chain", type=int, default=64)
     ap.add_argument("--skip-current", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="include the exact-int8 group kernel (mmq analog)")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="include the XLA-native per-channel int8 ceiling")
+    ap.add_argument("--skip-panel", action="store_true")
+    ap.add_argument("--unroll", type=int, default=8,
+                    help="device steps per dispatch (see time_chain)")
     args = ap.parse_args()
 
     import jax
@@ -91,15 +119,44 @@ def main() -> int:
         x0 = jnp.asarray(rng.standard_normal((M, K)) * 0.1, jnp.bfloat16)
         gb = (qs.size + sc.size * 4) / 1e9
 
+        def carry(x, y, K):
+            return (x + y[:, :K] if y.shape[1] >= K
+                    else x + jnp.tile(y, (1, -(-K // y.shape[1])))[:, :K])
+
         variants = []
         if not args.skip_current:
             def cur(x, qs=qs, sc=sc, K=K):
-                y = quant_matmul(x, qs, sc, fast=True)
-                return (x + y[:, :K] if y.shape[1] >= K
-                        else x + jnp.tile(y, (1, -(-K // y.shape[1])))[:, :K])
+                return carry(x, quant_matmul(x, qs, sc, fast=True), K)
             variants.append(("current", cur))
 
-        for bn in sorted({pick_panel_width(N), pick_panel_width(N, 1024)}):
+        if args.int8:
+            from qwen2_audio_tpu.ops.quant_matmul_int8 import quant_matmul_int8
+
+            def i8(x, qs=qs, sc=sc, K=K):
+                return carry(x, quant_matmul_int8(x, qs, sc), K)
+            variants.append(("int8-mmq", i8))
+
+        if args.w8a8:
+            # per-channel w8a8 ceiling: XLA-native int8 dot (not the ggml
+            # numeric contract — the streaming target the kernels chase)
+            sc_n = jnp.asarray(rng.standard_normal((N,)).astype(np.float32)
+                               * 0.01)
+
+            def w8(x, qs=qs, sc_n=sc_n, K=K):
+                xf = x.astype(jnp.float32)
+                s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+                xq = jnp.round(xf * jnp.where(s_x > 0, 1.0 / s_x, 0.0)
+                               ).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    xq, qs, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                y = (acc.astype(jnp.float32) * s_x * sc_n).astype(x.dtype)
+                return carry(x, y, K)
+            variants.append(("w8a8-native", w8))
+
+        panel_widths = () if args.skip_panel else sorted(
+            {pick_panel_width(N, 512), pick_panel_width(N, 1024)})
+        for bn in panel_widths:
             qp = panelize_weight({"qs": qs, "scales": sc}, block_n=bn)
             jax.block_until_ready(qp["qs_p"])
             for bk_tag, bk in (("auto", 0), ("K", K)):
@@ -113,7 +170,7 @@ def main() -> int:
 
         for tag, fn in variants:
             try:
-                sec = time_chain(fn, x0, args.chain)
+                sec = time_chain(fn, x0, args.chain, unroll=args.unroll)
             except Exception as e:
                 print(f"  {name:8s} {tag:24s} FAILED: {type(e).__name__}: "
                       f"{e}", flush=True)
@@ -123,10 +180,11 @@ def main() -> int:
             total.setdefault(tag, {})[name] = sec
 
     L = LAYERS[args.size]
+    per_layer = [n for n in ("qkv", "o", "gate_up", "down")
+                 if n in SHAPES[args.size]]
     for tag, times in total.items():
-        if len(times) == len(SHAPES[args.size]):
-            per_fwd = (sum(times[n] for n in
-                           ("qkv", "o", "gate_up", "down")) * L
+        if len(times) == len(SHAPES[args.size]) and "lm_head" in times:
+            per_fwd = (sum(times[n] for n in per_layer) * L
                        + times["lm_head"])
             print(f"TOTAL {tag:24s}: matmul-only forward "
                   f"{per_fwd*1e3:7.2f} ms -> ceiling "
