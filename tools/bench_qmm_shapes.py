@@ -90,6 +90,9 @@ def main() -> int:
     ap.add_argument("--skip-panel", action="store_true")
     ap.add_argument("--unroll", type=int, default=8,
                     help="device steps per dispatch (see time_chain)")
+    ap.add_argument("--diag", action="store_true",
+                    help="diagnostic variants: noscale kernel, bf16 "
+                         "scales, XLA dense-bf16 reference")
     args = ap.parse_args()
 
     import jax
@@ -153,6 +156,77 @@ def main() -> int:
                 y = (acc.astype(jnp.float32) * s_x * sc_n).astype(x.dtype)
                 return carry(x, y, K)
             variants.append(("w8a8-native", w8))
+
+        if args.diag:
+            # noscale: the SAME blocked dequant kernel minus the scales
+            # operand — isolates what the per-group scale handling
+            # (strided f32 DMA + sublane broadcast) costs.
+            import functools as _ft
+
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+            from qwen2_audio_tpu.ops.quant_matmul import (_auto_block_k,
+                                                          _pick_block,
+                                                          _use_interpret)
+
+            def _ns_kernel(x_ref, qs_ref, o_ref, acc_ref):
+                @pl.when(pl.program_id(2) == 0)
+                def _init():
+                    acc_ref[...] = jnp.zeros_like(acc_ref)
+                w = qs_ref[...].astype(jnp.float32) * 0.01
+                acc_ref[...] += jnp.dot(
+                    x_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+
+                @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+                def _store():
+                    o_ref[...] = acc_ref[...].astype(jnp.bfloat16)
+
+            @_ft.partial(jax.jit, static_argnames=("bn", "bk"))
+            def _ns(x, qs, bn=512, bk=0):
+                Mx, Kx = x.shape
+                Nx = qs.shape[1]
+                bm = max(8, 1 << (Mx - 1).bit_length())
+                bn_ = _pick_block(Nx, bn, 128)
+                bk_ = _pick_block(Kx, bk or _auto_block_k(Kx, bn_), 256)
+                return pl.pallas_call(
+                    _ns_kernel,
+                    out_shape=jax.ShapeDtypeStruct((Mx, Nx), x.dtype),
+                    grid_spec=pl.GridSpec(
+                        grid=(1, Nx // bn_, Kx // bk_),
+                        in_specs=[
+                            pl.BlockSpec((bm, bk_), lambda i, j, k: (i, k)),
+                            pl.BlockSpec((bk_, bn_), lambda i, j, k: (k, j)),
+                        ],
+                        out_specs=pl.BlockSpec((bm, bn_),
+                                               lambda i, j, k: (i, j)),
+                        scratch_shapes=[pltpu.VMEM((bm, bn_), jnp.float32)],
+                    ),
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("parallel", "parallel",
+                                             "arbitrary")),
+                    interpret=_use_interpret(),
+                )(x, qs)
+
+            def ns(x, qs=qs, K=K):
+                return carry(x, _ns(x, qs), K)
+            variants.append(("noscale", ns))
+
+            # scales passed as bf16: same strides, half the scale bytes
+            sc16 = sc.astype(jnp.bfloat16)
+
+            def sb(x, qs=qs, sc16=sc16, K=K):
+                return carry(x, quant_matmul(x, qs, sc16, fast=True), K)
+            variants.append(("sc-bf16", sb))
+
+            # XLA dense bf16 reference (2x the weight bytes, XLA pipeline)
+            wdense = (qs.astype(jnp.bfloat16) *
+                      jnp.repeat(sc, 32, axis=0).astype(jnp.bfloat16))
+            jax.block_until_ready(wdense)
+
+            def dn(x, w=wdense, K=K):
+                return carry(x, x @ w, K)
+            variants.append(("dense-bf16", dn))
 
         panel_widths = () if args.skip_panel else sorted(
             {pick_panel_width(N, 512), pick_panel_width(N, 1024)})
