@@ -208,7 +208,6 @@ def main(argv: list[str] | None = None) -> int:
         from qwen2_audio_tpu.utils.watchdog import (ensure_kernel_validation,
                                                     watchdog)
         arm_wd = lambda tag: watchdog(wd_s, tag)  # noqa: E731
-        cancel_wd = arm_wd("cli:init")
         ensure_kernel_validation()
 
     cparams = ContextParams(use_gpu=not args.no_gpu, flash_attn=args.flash_attn)
@@ -235,7 +234,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"rpc: offloading to {args.rpc} "
                   f"(backend {ctx.server_backend})", file=sys.stderr)
     else:
-        ctx = WhisperContext.init_from_file_with_params(args.model, cparams)
+        # split host parse from device upload so the watchdog deadline
+        # covers ONLY the TPU phase (CLAUDE.md: a deadline spanning the
+        # multi-minute host model build fired mid-upload once and wedged
+        # the tunnel)
+        from qwen2_audio_tpu.io.ggml_format import read_ggml_file
+        model = read_ggml_file(args.model)      # host-side, unguarded
+        cancel_wd = arm_wd("cli:init")          # upload/first-compile
+        ctx = WhisperContext(model, cparams)
 
     cancel_wd()                 # host phases below run unguarded
 

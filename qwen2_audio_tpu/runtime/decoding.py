@@ -166,18 +166,33 @@ def build_blank_mask(bundle: DecoderBundle, params) -> np.ndarray | None:
     key = ("__blank__",)
     if key in bundle._suppress_cache:
         return bundle._suppress_cache[key]
-    to_str = bundle.token_strings or (
-        (lambda i: bundle.detokenize([i])) if bundle.detokenize else None)
-    if to_str is None:
-        return None
     mask = np.zeros(bundle.cfg.vocab_size, np.float32)
-    for i in range(bundle.cfg.vocab_size):
+    fast_done = False
+    if bundle.token_bytes is not None:
+        # fast path for the 152k-token Qwen2 vocab: raw byte surfaces need
+        # no per-token UTF-8 decode or exception guard (suppress_blank
+        # defaults on, so every fresh process pays this walk once)
+        tb = bundle.token_bytes
         try:
-            s = to_str(i)
+            for i in range(bundle.cfg.vocab_size):
+                b = tb(i)
+                if b and not b.strip():
+                    mask[i] = -np.inf
+            fast_done = True
         except Exception:
-            continue
-        if s != "" and s.strip() == "":
-            mask[i] = -np.inf
+            mask[:] = 0.0
+    if not fast_done:
+        to_str = bundle.token_strings or (
+            (lambda i: bundle.detokenize([i])) if bundle.detokenize else None)
+        if to_str is None:
+            return None
+        for i in range(bundle.cfg.vocab_size):
+            try:
+                s = to_str(i)
+            except Exception:
+                continue
+            if s != "" and s.strip() == "":
+                mask[i] = -np.inf
     if 0 <= bundle.eos_token_id < mask.shape[0]:
         mask[bundle.eos_token_id] = -np.inf
     bundle._suppress_cache[key] = mask
@@ -626,9 +641,9 @@ def run(ctx, state, params) -> int:
                 # like the other composed-Pallas fast paths: auto-on without
                 # it silently adds a 5-18 min remote compile of a new
                 # (K+1)-wide while_loop program (ADVICE r2)
+                from qwen2_audio_tpu.utils.watchdog import kernel_marker
                 spec_k = (7 if jax.default_backend() in ("tpu", "axon")
-                          and os.path.exists("/tmp/qa_kernel_ok_spec_loop")
-                          else 0)
+                          and kernel_marker("spec_loop") else 0)
             use_spec = (spec_k > 0 and temp == 0.0
                         and params.repetition_penalty == 1.0
                         and prefill.shape[0] == 1)

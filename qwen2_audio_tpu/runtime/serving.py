@@ -153,7 +153,10 @@ def transcribe_long_form(
             # carry this window's transcript (sans EOS) into the next
             # prompt, capped like initial_prompt at n_max_text_ctx/2
             new = [t for t in tokens[-1] if t != bundle.eos_token_id]
-            carried = (carried + new)[-(params.n_max_text_ctx // 2):]
+            # keep=0 must mean "carry nothing" (whisper.cpp -mc 0), not
+            # lst[-0:] == everything
+            keep = params.n_max_text_ctx // 2
+            carried = (carried + new)[-keep:] if keep > 0 else []
         for b, off in enumerate(group):
             seg = Segment(
                 t0_cs=off,

@@ -103,22 +103,30 @@ def ensure_kernel_validation(wait_s: float = 0.0) -> bool:
         except OSError:                 # raced: someone removed it
             stale = False
         if stale:
-            # stale lock from a dead run: unlink, then re-acquire with the
-            # same O_CREAT|O_EXCL primitive as the fresh path so exactly
-            # one of N racing processes wins the takeover (unlink +
-            # write_text let two both "win" and spawn two TPU validators)
+            # stale lock from a dead run. Takeover must be atomic: a bare
+            # unlink+O_EXCL lets a second late-arriving process unlink the
+            # WINNER's fresh lock and both spawn TPU validators. rename()
+            # is atomic on the same filesystem — exactly one of N racing
+            # processes moves the stale lock aside; only that one
+            # re-acquires with the fresh-path O_CREAT|O_EXCL primitive.
+            claimed = _lock_path() + f".stale.{os.getpid()}"
             try:
-                os.unlink(_lock_path())
-            except OSError:
+                os.rename(_lock_path(), claimed)
+            except OSError:             # lost the rename race
                 pass
-            try:
-                fd = os.open(_lock_path(),
-                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                launch = True
-            except (FileExistsError, OSError):
-                pass
+            else:
+                try:
+                    os.unlink(claimed)
+                except OSError:
+                    pass
+                try:
+                    fd = os.open(_lock_path(),
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, str(os.getpid()).encode())
+                    os.close(fd)
+                    launch = True
+                except (FileExistsError, OSError):
+                    pass
     if launch:
         log = open("/tmp/qa_kernel_validate.log", "ab")
         subprocess.Popen(

@@ -134,3 +134,38 @@ def test_full_pipeline_uses_device_path(rng):
     assert rc == 0
     assert len(ctx.state.result_tokens) > 0
     assert ctx.state.timings.t_decode_us > 0
+
+
+def test_suppress_first_parity_all_paths(bundle, rng):
+    """FullParams.suppress_blank lowers to a step-0 additive mask that is
+    applied in FIVE decode implementations (host greedy/beam, device
+    greedy/beam, speculative). CLAUDE.md requires host-vs-device parity
+    for every decode-path change: same mask -> identical tokens on every
+    path, and the mask must actually flip the step-0 choice."""
+    from qwen2_audio_tpu.runtime.decoding import beam_search, greedy_decode
+    from qwen2_audio_tpu.runtime.generate import beam_search_device
+
+    prompt = rng.integers(2, 90, (1, 5))
+    prefill = embed_tokens(bundle.params, jnp.asarray(prompt))
+
+    base = greedy_decode(bundle, prefill, max_new_tokens=8)
+    first = base.tokens[0][0]
+    mask = np.zeros(CFG.vocab_size, np.float32)
+    mask[first] = -np.inf                 # force a different step-0 token
+
+    host = greedy_decode(bundle, prefill, max_new_tokens=8,
+                         suppress_first=mask)
+    assert host.tokens[0][0] != first     # the mask bites
+    dev = greedy_decode_device(bundle, prefill, max_new_tokens=8,
+                               suppress_first=mask)
+    assert dev.tokens == host.tokens
+    spec = greedy_decode_device(bundle, prefill, max_new_tokens=8,
+                                spec_k=3, suppress_first=mask)
+    assert spec.tokens == host.tokens
+
+    hbeam = beam_search(bundle, prefill, beam_size=3, max_new_tokens=8,
+                        suppress_first=mask)
+    assert all(t != first for t in (b[0] for b in hbeam.tokens if b))
+    dbeam = beam_search_device(bundle, prefill, beam_size=3,
+                               max_new_tokens=8, suppress_first=mask)
+    assert dbeam.tokens == hbeam.tokens

@@ -103,7 +103,6 @@ def main() -> int:
     except Exception:
         pass
     from qwen2_audio_tpu.utils.watchdog import watchdog
-    watchdog(float(1800), "bench_qmm_shapes")
 
     from qwen2_audio_tpu.ops.quant_matmul import (
         panelize_weight, pick_panel_width, quant_matmul, quant_matmul_panel)
@@ -243,12 +242,19 @@ def main() -> int:
                 variants.append((f"panel bn={bn} bk={bk_tag}", pan))
 
         for tag, fn in variants:
+            # re-arm per variant: one deadline spanning all ~40 serial
+            # remote compiles of a cold --diag run WILL fire mid-compile
+            # (the documented tunnel-wedge scenario); each variant's
+            # compile+3 timed reps fits 1800 s comfortably
+            cancel = watchdog(1800.0, f"qmm:{name}:{tag}")
             try:
                 sec = time_chain(fn, x0, args.chain, unroll=args.unroll)
             except Exception as e:
                 print(f"  {name:8s} {tag:24s} FAILED: {type(e).__name__}: "
                       f"{e}", flush=True)
                 continue
+            finally:
+                cancel()
             print(f"  {name:8s} {tag:24s} {sec*1e6:9.1f} us  "
                   f"{gb/sec:7.1f} GB/s", flush=True)
             total.setdefault(tag, {})[name] = sec

@@ -211,7 +211,8 @@ def run_auto(out_path: str, tol: float) -> int:
     record["end_to_end_f32"] = {"max_abs_delta": worst.get("f32"),
                                 "tol": tol, "ok": rc_e2e == 0}
     record["ok"] = rc_codec == 0 and rc_e2e == 0
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if os.path.dirname(out_path):
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(record, f, indent=2)
         f.write("\n")
