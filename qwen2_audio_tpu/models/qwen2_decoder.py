@@ -396,6 +396,7 @@ def _gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
+           proj: Params, li: jax.Array,
            cache_parts: tuple,
            cos: jax.Array, sin: jax.Array, pos0: jax.Array,
            block_only: bool, use_flash: bool = False,
@@ -405,23 +406,31 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
     attention tap appended to new_cache_parts when ``attn_slice`` is set
     (block_only non-flash path only; the DTW alignment pass).
 
+    ``lp``: this layer's SMALL leaves (norms), scan-sliced as usual.
+    ``proj``/``li``: the projection weights stay STACKED (L, ...) outside
+    the scan and ``li`` selects the layer inside the matmul (ops/linear.py
+    linear_at) — scan-slicing them would materialize a per-layer copy of
+    every quantized weight each step (custom-call operands can't fuse a
+    dynamic-slice; measured 2.2x decode-layer time on 7B q8_0).
     ``block_only``: the cache holds nothing before pos0 (fresh prefill), so
     attention runs against the block's own K/V (T x T) instead of the full
     cache length — avoids materializing T x max_ctx logits.
     ``quant_cache``: cache_parts are int8 values + scales."""
-    from qwen2_audio_tpu.ops.linear import linear
+    from qwen2_audio_tpu.ops.linear import linear_at
     B, T, D = x.shape
     h = rms_norm(x, lp["ln1"]["w"], cfg.rms_norm_eps)
 
-    if "qkv" in lp:                   # fused projection (fuse_decoder_params)
+    if "qkv" in proj:                 # fused projection (fuse_decoder_params)
         nq = cfg.num_attention_heads * cfg.head_dim
         nkv = cfg.num_key_value_heads * cfg.head_dim
-        qkv = linear(h, lp["qkv"])
+        qkv = linear_at(h, proj["qkv"], li)
         q = qkv[..., :nq]
         k = qkv[..., nq:nq + nkv]
         v = qkv[..., nq + nkv:]
     else:
-        q, k, v = linear(h, lp["q"]), linear(h, lp["k"]), linear(h, lp["v"])
+        q = linear_at(h, proj["q"], li)
+        k = linear_at(h, proj["k"], li)
+        v = linear_at(h, proj["v"], li)
     q = q.reshape(B, T, cfg.num_attention_heads, cfg.head_dim)
     k = k.reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
     v = v.reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
@@ -489,16 +498,17 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
         else:
             attn = _gqa_attention(q, k_cache, v_cache, pos0,
                                   k_cache.shape[1])
-    x = x + linear(attn, lp["o"])
+    x = x + linear_at(attn, proj["o"], li)
 
     h = rms_norm(x, lp["ln2"]["w"], cfg.rms_norm_eps)
-    if "gate_up" in lp:               # fused MLP in-projection
-        gu = linear(h, lp["gate_up"])
+    if "gate_up" in proj:             # fused MLP in-projection
+        gu = linear_at(h, proj["gate_up"], li)
         I = cfg.intermediate_size
         gated = jax.nn.silu(gu[..., :I]) * gu[..., I:]
     else:
-        gated = jax.nn.silu(linear(h, lp["gate"])) * linear(h, lp["up"])
-    out = x + linear(gated, lp["down"])
+        gated = jax.nn.silu(linear_at(h, proj["gate"], li)) \
+            * linear_at(h, proj["up"], li)
+    out = x + linear_at(gated, proj["down"], li)
     if attn_slice is not None:
         return out, (*new_parts, tap)
     return out, new_parts
@@ -547,14 +557,26 @@ def decoder_forward(
                 else (cache.k, cache.v))
     n_parts = len(parts_in)
 
+    # Split the layer pytree: projection weights stay STACKED outside the
+    # scan (the scan body closes over them and linear_at selects the layer
+    # inside the kernel — scan-slicing a quantized leaf materializes a full
+    # per-layer HBM copy, measured 2.2x decode-layer time on 7B q8_0);
+    # small leaves (norms) scan-slice as usual.
+    PROJ = ("q", "k", "v", "qkv", "o", "gate", "up", "gate_up", "down")
+    layers = params["layers"]
+    proj = {k: layers[k] for k in PROJ if k in layers}
+    small = {k: v for k, v in layers.items() if k not in PROJ}
+    L = cfg.num_hidden_layers
+
     def body(x, layer_in):
-        lp = layer_in[0]
-        x, new_parts = _layer(cfg, x, lp, layer_in[1:], cos, sin, pos0,
-                              block_only, use_flash, quant_cache,
+        li, lp = layer_in[0], layer_in[1]
+        x, new_parts = _layer(cfg, x, lp, proj, li, layer_in[2:], cos, sin,
+                              pos0, block_only, use_flash, quant_cache,
                               attn_slice=attn_slice)
         return x, new_parts
 
-    x, outs = jax.lax.scan(body, x, (params["layers"], *parts_in))
+    x, outs = jax.lax.scan(
+        body, x, (jnp.arange(L, dtype=jnp.int32), small, *parts_in))
     new_parts, taps = outs[:n_parts], outs[n_parts:]
 
     if logits_last_only:

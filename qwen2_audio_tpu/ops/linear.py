@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from qwen2_audio_tpu.ops.quant_matmul import (quant_linear, quant_linear4,
-                                              quant_linear_panel)
+                                              quant_linear_panel,
+                                              quant_linear_stacked)
 from qwen2_audio_tpu.ops.quant_matmul_int8 import quant_linear_int8
 
 # How {"qs","scales"} weights are multiplied:
@@ -79,6 +80,40 @@ def _w8a8(x: jax.Array, p: dict) -> jax.Array:
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * s_x * p["scale_n"].astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def linear_at(x: jax.Array, p: dict, li: jax.Array) -> jax.Array:
+    """Layer-stacked linear: every leaf of ``p`` carries a leading
+    (n_layers,) axis and ``li`` (traced int32 scalar) selects the layer.
+
+    Why not slice-then-linear (what lax.scan over stacked params does):
+    XLA fuses a dynamic-slice into its own dot_general, but a Pallas
+    custom-call operand must be MATERIALIZED — scan-sliced quant weights
+    cost a full per-layer HBM copy every decode step (measured 2.2x layer
+    time on 7B q8_0). Quant forms therefore route to the scalar-prefetch
+    stacked kernels (layer chosen inside the BlockSpec index map, zero
+    copies); dense and w8a8 forms slice normally because their XLA dots
+    fuse the slice. ≙ ggml-cuda reading each layer's tensor in place from
+    the model buffer (ggml_cuda_mul_mat, ggml/src/ggml-cuda.cu:1882)."""
+    def at(a):
+        return jax.lax.dynamic_index_in_dim(a, li, keepdims=False)
+
+    if "qs8" in p:
+        y = _w8a8(x, {"qs8": at(p["qs8"]), "scale_n": at(p["scale_n"])})
+    elif "qs_p" in p or "qs4" in p or "qs" in p:
+        mode = group_matmul_mode()
+        if "qs" in p and mode == "int8" \
+                and x.shape[-1] // p["scales"].shape[1] == 32:
+            # exact-int8 kernel has no stacked variant: pay the slice copy
+            y = quant_linear_int8(x, {k: at(v) for k, v in p.items()
+                                      if k != "b"})
+        else:
+            y = quant_linear_stacked(x, p, li, fast=mode == "bf16")
+    else:
+        y = x @ at(p["w"]).astype(x.dtype)
+    if "b" in p:
+        y = y + at(p["b"]).astype(y.dtype)
+    return y
 
 
 def linear(x: jax.Array, p: dict) -> jax.Array:

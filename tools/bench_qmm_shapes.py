@@ -93,6 +93,9 @@ def main() -> int:
     ap.add_argument("--diag", action="store_true",
                     help="diagnostic variants: noscale kernel, bf16 "
                          "scales, XLA dense-bf16 reference")
+    ap.add_argument("--bk-sweep", action="store_true",
+                    help="strided kernel at block_k 512/896/1792 "
+                         "(VMEM-pressure probe)")
     args = ap.parse_args()
 
     import jax
@@ -155,6 +158,20 @@ def main() -> int:
                 y = (acc.astype(jnp.float32) * s_x * sc_n).astype(x.dtype)
                 return carry(x, y, K)
             variants.append(("w8a8-native", w8))
+
+        if args.bk_sweep:
+            # VMEM-pressure probe: the f32 dequant temporaries scale with
+            # block_k (bk x bn x 4 B x ~3 live values) — if big blocks
+            # break Mosaic's DMA/compute overlap, small bk wins despite
+            # shorter DMA runs
+            for bk in (512, 896, 1792):
+                if K % bk:
+                    continue
+
+                def sk(x, qs=qs, sc=sc, K=K, bk=bk):
+                    return carry(x, quant_matmul(x, qs, sc, fast=True,
+                                                 block_k=bk), K)
+                variants.append((f"strided bk={bk}", sk))
 
         if args.diag:
             # noscale: the SAME blocked dequant kernel minus the scales
