@@ -45,7 +45,7 @@ SHAPES = {
 LAYERS = {"7b": 28, "1.5b": 28, "tiny": 2}
 
 
-def time_chain(step, x0, chain, rtt_s=0.030, unroll=8):
+def time_chain(step, x0, ops, chain, rtt_s=0.030, unroll=8):
     """Dependent-chain timing with dispatch amortization.
 
     Each tunnel dispatch costs a nontrivial, VARIABLE amount (hundreds of
@@ -53,23 +53,28 @@ def time_chain(step, x0, chain, rtt_s=0.030, unroll=8):
     the kernel, for sub-ms kernels. Jitting `unroll` dependent
     applications into ONE program makes each dispatch cover `unroll`
     device steps (unrolled, no fori_loop — CLAUDE.md: pallas in
-    fori_loop has hung the remote-compile path)."""
+    fori_loop has hung the remote-compile path).
+
+    ``ops``: the weight operands, threaded as jit ARGUMENTS — a closure
+    over device arrays would bake them into the program as constants,
+    and a 545 MB lm_head constant blows the remote-compile request
+    (HTTP 413) after minutes of serialization."""
     import jax
 
     @jax.jit
-    def step_u(c):
+    def step_u(c, ops):
         for _ in range(unroll):
-            c = step(c)
+            c = step(c, *ops)
         return c
 
-    _ = np.asarray(step_u(x0))        # compile + warm
+    _ = np.asarray(step_u(x0, ops))   # compile + warm
     links = max(1, chain // unroll)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         c = x0
         for _i in range(links):
-            c = step_u(c)
+            c = step_u(c, ops)
         _ = np.asarray(jax.numpy.sum(c[:1, :1]))
         best = min(best, max(time.perf_counter() - t0 - rtt_s, 1e-9)
                    / (links * unroll))
@@ -128,18 +133,18 @@ def main() -> int:
             return (x + y[:, :K] if y.shape[1] >= K
                     else x + jnp.tile(y, (1, -(-K // y.shape[1])))[:, :K])
 
-        variants = []
+        variants = []      # (tag, fn(c, *ops), ops) — ops are jit args
         if not args.skip_current:
-            def cur(x, qs=qs, sc=sc, K=K):
+            def cur(x, qs, sc, K=K):
                 return carry(x, quant_matmul(x, qs, sc, fast=True), K)
-            variants.append(("current", cur))
+            variants.append(("current", cur, (qs, sc)))
 
         if args.int8:
             from qwen2_audio_tpu.ops.quant_matmul_int8 import quant_matmul_int8
 
-            def i8(x, qs=qs, sc=sc, K=K):
+            def i8(x, qs, sc, K=K):
                 return carry(x, quant_matmul_int8(x, qs, sc), K)
-            variants.append(("int8-mmq", i8))
+            variants.append(("int8-mmq", i8, (qs, sc)))
 
         if args.w8a8:
             # per-channel w8a8 ceiling: XLA-native int8 dot (not the ggml
@@ -147,7 +152,7 @@ def main() -> int:
             sc_n = jnp.asarray(rng.standard_normal((N,)).astype(np.float32)
                                * 0.01)
 
-            def w8(x, qs=qs, sc_n=sc_n, K=K):
+            def w8(x, qs, sc_n, K=K):
                 xf = x.astype(jnp.float32)
                 s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
                 xq = jnp.round(xf * jnp.where(s_x > 0, 1.0 / s_x, 0.0)
@@ -157,7 +162,7 @@ def main() -> int:
                     preferred_element_type=jnp.int32)
                 y = (acc.astype(jnp.float32) * s_x * sc_n).astype(x.dtype)
                 return carry(x, y, K)
-            variants.append(("w8a8-native", w8))
+            variants.append(("w8a8-native", w8, (qs, sc_n)))
 
         if args.bk_sweep:
             # VMEM-pressure probe: the f32 dequant temporaries scale with
@@ -168,10 +173,10 @@ def main() -> int:
                 if K % bk:
                     continue
 
-                def sk(x, qs=qs, sc=sc, K=K, bk=bk):
+                def sk(x, qs, sc, K=K, bk=bk):
                     return carry(x, quant_matmul(x, qs, sc, fast=True,
                                                  block_k=bk), K)
-                variants.append((f"strided bk={bk}", sk))
+                variants.append((f"strided bk={bk}", sk, (qs, sc)))
 
         if args.diag:
             # noscale: the SAME blocked dequant kernel minus the scales
@@ -224,25 +229,25 @@ def main() -> int:
                     interpret=_use_interpret(),
                 )(x, qs)
 
-            def ns(x, qs=qs, K=K):
+            def ns(x, qs, K=K):
                 return carry(x, _ns(x, qs), K)
-            variants.append(("noscale", ns))
+            variants.append(("noscale", ns, (qs,)))
 
             # scales passed as bf16: same strides, half the scale bytes
             sc16 = sc.astype(jnp.bfloat16)
 
-            def sb(x, qs=qs, sc16=sc16, K=K):
+            def sb(x, qs, sc16, K=K):
                 return carry(x, quant_matmul(x, qs, sc16, fast=True), K)
-            variants.append(("sc-bf16", sb))
+            variants.append(("sc-bf16", sb, (qs, sc16)))
 
             # XLA dense bf16 reference (2x the weight bytes, XLA pipeline)
             wdense = (qs.astype(jnp.bfloat16) *
                       jnp.repeat(sc, 32, axis=0).astype(jnp.bfloat16))
             jax.block_until_ready(wdense)
 
-            def dn(x, w=wdense, K=K):
+            def dn(x, w, K=K):
                 return carry(x, x @ w, K)
-            variants.append(("dense-bf16", dn))
+            variants.append(("dense-bf16", dn, (wdense,)))
 
         panel_widths = () if args.skip_panel else sorted(
             {pick_panel_width(N, 512), pick_panel_width(N, 1024)})
@@ -250,22 +255,24 @@ def main() -> int:
             qp = panelize_weight({"qs": qs, "scales": sc}, block_n=bn)
             jax.block_until_ready(qp["qs_p"])
             for bk_tag, bk in (("auto", 0), ("K", K)):
-                def pan(x, qp=qp, bk=bk, K=K):
-                    y = quant_matmul_panel(x, qp["qs_p"], qp["scales_p"],
+                def pan(x, qs_p, scales_p, bk=bk, K=K):
+                    y = quant_matmul_panel(x, qs_p, scales_p,
                                            fast=True, block_k=bk)
                     return (x + y[:, :K] if y.shape[1] >= K
                             else x + jnp.tile(y, (1, -(-K // y.shape[1]))
                                               )[:, :K])
-                variants.append((f"panel bn={bn} bk={bk_tag}", pan))
+                variants.append((f"panel bn={bn} bk={bk_tag}", pan,
+                                 (qp["qs_p"], qp["scales_p"])))
 
-        for tag, fn in variants:
+        for tag, fn, ops in variants:
             # re-arm per variant: one deadline spanning all ~40 serial
             # remote compiles of a cold --diag run WILL fire mid-compile
             # (the documented tunnel-wedge scenario); each variant's
             # compile+3 timed reps fits 1800 s comfortably
             cancel = watchdog(1800.0, f"qmm:{name}:{tag}")
             try:
-                sec = time_chain(fn, x0, args.chain, unroll=args.unroll)
+                sec = time_chain(fn, x0, ops, args.chain,
+                                 unroll=args.unroll)
             except Exception as e:
                 print(f"  {name:8s} {tag:24s} FAILED: {type(e).__name__}: "
                       f"{e}", flush=True)

@@ -139,6 +139,28 @@ def main() -> int:
     assert np.abs(got_p - got).max() < 1e-4
     mark("qmm_g16")
 
+    # 2e. layer-stacked kernels (scalar-prefetch layer select): must be
+    # bit-identical to the per-layer kernel on the sliced weight — the
+    # decode scan depends on these (no per-layer copy materialization)
+    from qwen2_audio_tpu.ops.quant_matmul import quant_linear_stacked
+    import jax.numpy as _jnp
+    ws = [rng.standard_normal((512, 512)).astype(np.float32) * 0.05
+          for _ in range(3)]
+    qws = [quantize_array_for_device(wi, GGMLType.Q8_0) for wi in ws]
+    stacked = {k: _jnp.stack([d[k] for d in qws]) for k in qws[0]}
+    qps = [panelize_weight(d) for d in qws]
+    stacked_p = {k: _jnp.stack([d[k] for d in qps]) for k in qps[0]}
+    for li in (0, 2):
+        want = np.asarray(quant_linear(x, qws[li]))
+        got = np.asarray(quant_linear_stacked(x, stacked,
+                                              _jnp.asarray(li, _jnp.int32)))
+        assert (got == want).all(), ("stacked strided", li)
+        want = np.asarray(quant_linear_panel(x, qps[li]))
+        got = np.asarray(quant_linear_stacked(x, stacked_p,
+                                              _jnp.asarray(li, _jnp.int32)))
+        assert (got == want).all(), ("stacked panel", li)
+    mark("qmm_stacked")
+
     # 3. fused mel kernel
     from qwen2_audio_tpu.audio import mel_filterbank
     from qwen2_audio_tpu.audio.mel import log_mel_spectrogram
