@@ -121,11 +121,17 @@ def panelize_decoder_params(params: Params) -> Params:
     leaves pass through, as do deep-K entries (K > 8192, e.g. the 7B
     "down" projection) where the strided layout already streams at
     memory speed and the panel A/B measured a regression (chain-200,
-    M=8: 987 vs 781 us). Compose AFTER fuse_decoder_params."""
+    M=8: 987 vs 781 us — a per-dispatch chain, i.e. weak evidence per
+    the CLAUDE.md microbench caveat; QA_PANEL_DEEP_K=1 panelizes
+    deep-K entries too for an e2e A/B). Compose AFTER
+    fuse_decoder_params."""
+    import os as _os
+
     import numpy as _np
     from qwen2_audio_tpu.ops.quant_matmul import pick_panel_width
 
-    MAX_PANEL_K = 8192
+    MAX_PANEL_K = (1 << 30) if _os.environ.get("QA_PANEL_DEEP_K") == "1" \
+        else 8192
 
     def panel_stacked(entry: dict) -> dict:
         qs, sc = entry["qs"], entry["scales"]
