@@ -64,7 +64,9 @@ def _kernel(xq_ref, sx_ref, qs_ref, sw_ref, o_ref, acc_ref, *, out_dtype,
         # sx block is TRANSPOSED (groups, m): its lane dim is m, which is
         # always 128-divisible or the full padded M (Mosaic tiling rule);
         # a (m, groups) layout would put the tiny group count on lanes
-        scale = sx_ref[g, :][:, None] * sw_ref[g, :][None, :]
+        # explicit f32: sw may be stored f16 (qparams._scale16_enabled)
+        scale = (sx_ref[g, :][:, None].astype(jnp.float32)
+                 * sw_ref[g, :][None, :].astype(jnp.float32))
         acc_ref[...] += p.astype(jnp.float32) * scale
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)

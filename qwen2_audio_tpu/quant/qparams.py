@@ -63,19 +63,52 @@ def _pack4_enabled() -> bool:
     return os.path.exists(_PACK4_MARKER)
 
 
+_SCALE16_MARKER = "/tmp/qa_kernel_ok_qmm_sc16"
+
+
+def _scale16_enabled() -> bool:
+    """Store group scales as float16 where that is LOSSLESS — the formats
+    whose device scale IS the block's f16 ``d`` payload (q4_0/q8_0/q5_0/
+    q4_1/q5_1). Halves the scale HBM stream (scales are 1/8 of the qs
+    bytes at group 32: ~6% of a q8_0 decode step's traffic); every kernel
+    converts to f32 on read, so results are bit-identical. Formats whose
+    device scale is a computed product (q4_K sub-scales, k-quant d*q) keep
+    f32 — f16 would round them. ≙ ggml keeping d in f16 in the blocks
+    themselves (ggml-common.h block_q8_0). Env QA_SCALE16=0/1 overrides;
+    default on when hardware-validated (marker) or on CPU."""
+    import os
+    env = os.environ.get("QA_SCALE16")
+    if env is not None:
+        return env not in ("0", "false", "")
+    import jax
+    if jax.default_backend() not in ("tpu", "axon"):
+        return True
+    return os.path.exists(_SCALE16_MARKER)
+
+
+def _scale_np_dtype(f16_exact: bool):
+    return np.float16 if (f16_exact and _scale16_enabled()) else np.float32
+
+
 def pack4_device_weight(vals_unsigned: np.ndarray, scales: np.ndarray,
-                        mins: np.ndarray, to_device: bool = True) -> dict:
+                        mins: np.ndarray, to_device: bool = True,
+                        f16_exact: bool = False) -> dict:
     """Unsigned nibbles (N, K) 0..15 + scales/mins (N, K//32) [torch
     layout] -> packed device dict {"qs4": (K/2, N) uint8, "scales",
     "mins"}. Byte g*16+j pairs values (g*32+j | g*32+j+16 << 4) along the
-    input dim — ggml's own in-group nibble pairing (block_q4_0)."""
+    input dim — ggml's own in-group nibble pairing (block_q4_0).
+
+    ``f16_exact``: the scales are raw f16 block payloads, storable as
+    float16 losslessly (_scale16_enabled). Mins stay f32: q4_0's folded
+    -8*d and q4_K's computed mins are not f16 values."""
     vT = np.ascontiguousarray(vals_unsigned.T).astype(np.uint8)   # (K, N)
     K, N = vT.shape
     g = vT.reshape(K // QK, QK, N)
     packed = (g[:, :16] | (g[:, 16:] << 4)).reshape(K // 2, N)
     out = {
         "qs4": np.ascontiguousarray(packed),
-        "scales": np.ascontiguousarray(scales.T, dtype=np.float32),
+        "scales": np.ascontiguousarray(scales.T,
+                                       dtype=_scale_np_dtype(f16_exact)),
         "mins": np.ascontiguousarray(mins.T, dtype=np.float32),
     }
     if to_device:
@@ -84,19 +117,23 @@ def pack4_device_weight(vals_unsigned: np.ndarray, scales: np.ndarray,
 
 
 def device_weight_from_arrays(q_values: np.ndarray, scales: np.ndarray,
-                              narrow: bool, to_device: bool = True) -> dict:
+                              narrow: bool, to_device: bool = True,
+                              f16_exact: bool = False) -> dict:
     """q_values (N, K) ints, scales (N, K//group) — torch layout in, device out.
 
     ``to_device=False`` keeps numpy (callers that stack many layers first
-    avoid 2x transient HBM and per-layer tunnel transfers)."""
+    avoid 2x transient HBM and per-layer tunnel transfers).
+    ``f16_exact``: scales are raw f16 block payloads (see
+    _scale16_enabled) — float16 storage is lossless for them."""
+    sdt = _scale_np_dtype(f16_exact)
     if not to_device:
         return {
             "qs": np.ascontiguousarray(q_values.T, dtype=np.int8),
-            "scales": np.ascontiguousarray(scales.T, dtype=np.float32),
+            "scales": np.ascontiguousarray(scales.T, dtype=sdt),
         }
     return {
         "qs": jnp.asarray(q_values.T, dtype=_qs_dtype(narrow)),
-        "scales": jnp.asarray(scales.T, dtype=jnp.float32),
+        "scales": jnp.asarray(scales.T, dtype=sdt),
     }
 
 
@@ -298,29 +335,36 @@ def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
             # w = (n-8)*d = n*d + (-8*d): the offset folds into the min
             # term, so the packed path shares one kernel with q4_1/q4_K
             return pack4_device_weight(vals + 8, d, -8.0 * d,
-                                       to_device=to_device)
+                                       to_device=to_device, f16_exact=True)
         return device_weight_from_arrays(vals, d, narrow=True,
-                                         to_device=to_device)
+                                         to_device=to_device,
+                                         f16_exact=True)
     if t.ttype == GGMLType.Q8_0:
         vals, d = _unpack_q8_0(raw, n_rows, n_cols)
         return device_weight_from_arrays(vals, d, narrow=False,
-                                         to_device=to_device)
+                                         to_device=to_device,
+                                         f16_exact=True)
     if t.ttype == GGMLType.Q5_0:
         vals, d = _unpack_q5_0(raw, n_rows, n_cols)
         return device_weight_from_arrays(vals, d, narrow=False,
-                                         to_device=to_device)
+                                         to_device=to_device,
+                                         f16_exact=True)
     if t.ttype in (GGMLType.Q4_1, GGMLType.Q5_1, GGMLType.Q4_K,
                    GGMLType.Q5_K):
         unpack = {GGMLType.Q4_1: _unpack_q4_1, GGMLType.Q5_1: _unpack_q5_1,
                   GGMLType.Q4_K: _unpack_q4_K,
                   GGMLType.Q5_K: _unpack_q5_K}[t.ttype]
         vals, d, m = unpack(raw, n_rows, n_cols)
+        f16ok = t.ttype in (GGMLType.Q4_1, GGMLType.Q5_1)  # raw f16 d;
+        # the K formats' scales are super*sub products, not f16 payloads
         if t.ttype in (GGMLType.Q4_1, GGMLType.Q4_K) and _pack4_enabled():
             # both store unsigned nibbles 0..15 with w = n*d + m (the
             # unpackers already return m in +m form)
-            return pack4_device_weight(vals, d, m, to_device=to_device)
+            return pack4_device_weight(vals, d, m, to_device=to_device,
+                                       f16_exact=f16ok)
         out = device_weight_from_arrays(vals, d, narrow=False,
-                                        to_device=to_device)
+                                        to_device=to_device,
+                                        f16_exact=f16ok)
         mins = np.ascontiguousarray(m.T, dtype=np.float32)
         out["mins"] = jnp.asarray(mins) if to_device else mins
         return out

@@ -161,6 +161,28 @@ def main() -> int:
         assert (got == want).all(), ("stacked panel", li)
     mark("qmm_stacked")
 
+    # 2f. f16 scale storage (lossless for the raw-f16-d formats): kernels
+    # must accept float16 scale operands and produce BIT-identical output
+    # (f16 -> f32 conversion is exact)
+    os.environ["QA_SCALE16"] = "1"
+    qw16 = quantize_array_for_device(w, GGMLType.Q8_0)
+    os.environ["QA_SCALE16"] = "0"
+    qw32 = quantize_array_for_device(w, GGMLType.Q8_0)
+    os.environ.pop("QA_SCALE16")
+    assert qw16["scales"].dtype == jnp.float16
+    got16 = np.asarray(quant_linear(x, qw16))
+    got32 = np.asarray(quant_linear(x, qw32))
+    assert (got16 == got32).all()
+    got16p = np.asarray(quant_linear_panel(x, panelize_weight(qw16)))
+    got32p = np.asarray(quant_linear_panel(x, panelize_weight(qw32)))
+    assert (got16p == got32p).all()
+    got16i = np.asarray(quant_matmul_int8(x, qw16["qs"].astype(jnp.int8),
+                                          qw16["scales"]))
+    got32i = np.asarray(quant_matmul_int8(x, qw32["qs"].astype(jnp.int8),
+                                          qw32["scales"]))
+    assert (got16i == got32i).all()
+    mark("qmm_sc16")
+
     # 3. fused mel kernel
     from qwen2_audio_tpu.audio import mel_filterbank
     from qwen2_audio_tpu.audio.mel import log_mel_spectrogram
