@@ -41,6 +41,10 @@ def main() -> int:
                     help="override layer count (0 = preset) — used to "
                          "decompose per-layer vs fixed per-step overhead "
                          "(run L and L/2, extrapolate)")
+    ap.add_argument("--vocab", type=int, default=0,
+                    help="override vocab size (0 = preset) — isolates the "
+                         "lm_head + sampling share of the fixed per-step "
+                         "cost (run V and V/16, extrapolate)")
     ap.add_argument("--new", type=int, default=128)
     ap.add_argument("--prefill", type=int, default=64)
     ap.add_argument("--cache-dir", default="/tmp/qa_param_cache",
@@ -109,6 +113,8 @@ def main() -> int:
     h, inter, L, H, KV, dh, V = SIZES[args.size]
     if args.layers:
         L = args.layers
+    if args.vocab:
+        V = args.vocab
     cfg = Qwen2DecoderConfig(
         vocab_size=V, hidden_size=h, intermediate_size=inter,
         num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
@@ -149,6 +155,8 @@ def main() -> int:
         from qwen2_audio_tpu.io.param_cache import cached_build
         from qwen2_audio_tpu.quant.qparams import _scale16_enabled
         suffix = f"-L{L}" if args.layers else ""
+        if args.vocab:
+            suffix += f"-V{V}"
         if _scale16_enabled():
             suffix += "-sc16"    # scale dtype is part of the cached layout
         path = os.path.join(args.cache_dir,
