@@ -110,7 +110,8 @@ def main() -> int:
         for layer in params["layers"]:
             if "attn" not in ablate:
                 h = ln(x, layer["ln1"])
-                x = x + _attention(layer, h, hp.n_audio_head, True)
+                x = x + _attention(layer, h, hp.n_audio_head,
+                                   "einsum_attn" not in ablate)
             if "mlp" not in ablate:
                 h = ln(x, layer["ln2"])
                 h = _gelu(linear(h, layer["fc1"]), False)
@@ -159,6 +160,7 @@ def main() -> int:
         return sec
 
     t_full = timeit("full", ())
+    timeit("einsum-attn", ("einsum_attn",))
     t_noattn = timeit("no-attn", ("attn",))
     t_nomlp = timeit("no-mlp", ("mlp",))
     t_noln = timeit("no-ln", ("ln",))
