@@ -453,3 +453,14 @@ def test_panelize_skips_deep_k(rng):
     out = panelize_decoder_params(params)
     assert "qs" in out["layers"]["down"]          # untouched
     assert "qs_p" in out["layers"]["qkv"]         # panelized
+
+
+def test_panelize_deep_k_env_override(monkeypatch):
+    """QA_PANEL_DEEP_K=1 panelizes deep-K entries too (e2e A/B hook)."""
+    from qwen2_audio_tpu.models.qwen2_decoder import panelize_decoder_params
+
+    deep = {"qs": np.zeros((2, 9216, 128), np.int8),
+            "scales": np.zeros((2, 9216 // 32, 128), np.float32)}
+    monkeypatch.setenv("QA_PANEL_DEEP_K", "1")
+    out = panelize_decoder_params({"layers": {"down": dict(deep)}})
+    assert "qs_p" in out["layers"]["down"]
