@@ -169,14 +169,21 @@ def main() -> int:
             # block_k (bk x bn x 4 B x ~3 live values) — if big blocks
             # break Mosaic's DMA/compute overlap, small bk wins despite
             # shorter DMA runs
+            from qwen2_audio_tpu.ops.quant_matmul import _pick_block
+            seen_bk = set()
             for bk in (512, 896, 1792):
-                if K % bk:
+                # label with the EFFECTIVE block_k: _pick_block sanitizes
+                # to a 256-multiple divisor, so e.g. bk=896 at K=3584
+                # actually runs 512 — a mislabeled duplicate otherwise
+                eff = _pick_block(K, bk, 256)
+                if K % bk or eff in seen_bk:
                     continue
+                seen_bk.add(eff)
 
                 def sk(x, qs, sc, K=K, bk=bk):
                     return carry(x, quant_matmul(x, qs, sc, fast=True,
                                                  block_k=bk), K)
-                variants.append((f"strided bk={bk}", sk, (qs, sc)))
+                variants.append((f"strided bk={eff}", sk, (qs, sc)))
 
         if args.diag:
             # noscale: the SAME blocked dequant kernel minus the scales

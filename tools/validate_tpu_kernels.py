@@ -163,25 +163,34 @@ def main() -> int:
 
     # 2f. f16 scale storage (lossless for the raw-f16-d formats): kernels
     # must accept float16 scale operands and produce BIT-identical output
-    # (f16 -> f32 conversion is exact)
-    os.environ["QA_SCALE16"] = "1"
-    qw16 = quantize_array_for_device(w, GGMLType.Q8_0)
-    os.environ["QA_SCALE16"] = "0"
-    qw32 = quantize_array_for_device(w, GGMLType.Q8_0)
-    os.environ.pop("QA_SCALE16")
-    assert qw16["scales"].dtype == jnp.float16
-    got16 = np.asarray(quant_linear(x, qw16))
-    got32 = np.asarray(quant_linear(x, qw32))
-    assert (got16 == got32).all()
-    got16p = np.asarray(quant_linear_panel(x, panelize_weight(qw16)))
-    got32p = np.asarray(quant_linear_panel(x, panelize_weight(qw32)))
-    assert (got16p == got32p).all()
-    got16i = np.asarray(quant_matmul_int8(x, qw16["qs"].astype(jnp.int8),
-                                          qw16["scales"]))
-    got32i = np.asarray(quant_matmul_int8(x, qw32["qs"].astype(jnp.int8),
-                                          qw32["scales"]))
-    assert (got16i == got32i).all()
-    mark("qmm_sc16")
+    # (f16 -> f32 conversion is exact). SOFT-FAIL: sc16 is an optional
+    # optimization gated on its own marker — if Mosaic rejects 16-bit
+    # scale operand tiling on this host, skip the marker and keep going
+    # (an abort here would silently drop every LATER marker too).
+    try:
+        os.environ["QA_SCALE16"] = "1"
+        qw16 = quantize_array_for_device(w, GGMLType.Q8_0)
+        os.environ["QA_SCALE16"] = "0"
+        qw32 = quantize_array_for_device(w, GGMLType.Q8_0)
+        assert qw16["scales"].dtype == jnp.float16
+        got16 = np.asarray(quant_linear(x, qw16))
+        got32 = np.asarray(quant_linear(x, qw32))
+        assert (got16 == got32).all()
+        got16p = np.asarray(quant_linear_panel(x, panelize_weight(qw16)))
+        got32p = np.asarray(quant_linear_panel(x, panelize_weight(qw32)))
+        assert (got16p == got32p).all()
+        got16i = np.asarray(quant_matmul_int8(x, qw16["qs"].astype(jnp.int8),
+                                              qw16["scales"]))
+        got32i = np.asarray(quant_matmul_int8(x, qw32["qs"].astype(jnp.int8),
+                                              qw32["scales"]))
+        assert (got16i == got32i).all()
+        mark("qmm_sc16")
+    except Exception as e:  # noqa: BLE001 — report, don't abort the run
+        print(f"[validate] qmm_sc16: FAILED ({type(e).__name__}: {e}) — "
+              "marker not written, f32 scales remain the default",
+              flush=True)
+    finally:
+        os.environ.pop("QA_SCALE16", None)
 
     # 3. fused mel kernel
     from qwen2_audio_tpu.audio import mel_filterbank
