@@ -507,14 +507,22 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
     x = x + linear_at(attn, proj["o"], li)
 
     h = rms_norm(x, lp["ln2"]["w"], cfg.rms_norm_eps)
+    y = None
     if "gate_up" in proj:             # fused MLP in-projection
-        gu = linear_at(h, proj["gate_up"], li)
-        I = cfg.intermediate_size
-        gated = jax.nn.silu(gu[..., :I]) * gu[..., I:]
+        from qwen2_audio_tpu.ops.linear import fused_mlp_at
+        # one-launch SwiGLU kernel (gate/up/down, intermediate stays in
+        # VMEM) when the storage form and decode M allow it
+        y = fused_mlp_at(h, proj["gate_up"], proj["down"], li)
+        if y is None:
+            gu = linear_at(h, proj["gate_up"], li)
+            I = cfg.intermediate_size
+            gated = jax.nn.silu(gu[..., :I]) * gu[..., I:]
     else:
         gated = jax.nn.silu(linear_at(h, proj["gate"], li)) \
             * linear_at(h, proj["up"], li)
-    out = x + linear_at(gated, proj["down"], li)
+    if y is None:
+        y = linear_at(gated, proj["down"], li)
+    out = x + y
     if attn_slice is not None:
         return out, (*new_parts, tap)
     return out, new_parts

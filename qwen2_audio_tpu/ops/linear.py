@@ -82,6 +82,47 @@ def _w8a8(x: jax.Array, p: dict) -> jax.Array:
     return y.astype(x.dtype)
 
 
+_FUSED_MLP_MARKER = "/tmp/qa_kernel_ok_fused_mlp"
+
+
+def _fused_mlp_enabled() -> bool:
+    """One-launch SwiGLU MLP (ops/fused_mlp.py). Env QA_FUSED_MLP=0/1
+    overrides; default on when hardware-validated (marker) or on CPU."""
+    env = os.environ.get("QA_FUSED_MLP")
+    if env is not None:
+        return env not in ("0", "false", "")
+    if jax.default_backend() not in ("tpu", "axon"):
+        return True
+    return os.path.exists(_FUSED_MLP_MARKER)
+
+
+def fused_mlp_at(x: jax.Array, gu: dict, dn: dict, li: jax.Array
+                 ) -> jax.Array | None:
+    """One-launch silu(x@gate)*(x@up)@down for layer-stacked strided
+    int8 dicts at decode M; returns None when the fused kernel does not
+    apply (caller falls back to two linear_at calls)."""
+    if not _fused_mlp_enabled():
+        return None
+    if not ("qs" in gu and "qs" in dn) or "mins" in gu or "mins" in dn \
+            or "b" in gu or "b" in dn:
+        return None
+    K = x.shape[-1]
+    I = dn["qs"].shape[1]
+    if K // gu["scales"].shape[1] != I // dn["scales"].shape[1]:
+        return None
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, K)
+    if x2.shape[0] > 64:       # prefill: MXU-bound, launch count moot
+        return None
+    mode = group_matmul_mode()
+    if mode == "int8":
+        return None
+    from qwen2_audio_tpu.ops.fused_mlp import fused_mlp_stacked
+    y = fused_mlp_stacked(x2, gu["qs"], gu["scales"], dn["qs"],
+                          dn["scales"], li, fast=mode == "bf16")
+    return y.reshape(*lead, -1)
+
+
 def linear_at(x: jax.Array, p: dict, li: jax.Array) -> jax.Array:
     """Layer-stacked linear: every leaf of ``p`` carries a leading
     (n_layers,) axis and ``li`` (traced int32 scalar) selects the layer.

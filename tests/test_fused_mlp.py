@@ -1,0 +1,97 @@
+"""One-launch SwiGLU MLP kernel (ops/fused_mlp.py) vs the two-kernel path.
+
+The fused kernel must track silu(x@gate)*(x@up)@down computed by the
+separate stacked quant matmuls within the fast-mode rounding envelope
+(the intermediate is rounded to bf16 in both paths), and the dequant
+(f32) mode must match tightly.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from qwen2_audio_tpu.config import GGMLType
+from qwen2_audio_tpu.ops.fused_mlp import fused_mlp_stacked
+from qwen2_audio_tpu.ops.quant_matmul import quant_linear_stacked
+from qwen2_audio_tpu.quant.qparams import quantize_array_for_device
+
+
+def _stack(dicts):
+    return {k: jnp.stack([d[k] for d in dicts]) for k in dicts[0]}
+
+
+def _mk(rng, L, K, I, ttype=GGMLType.Q8_0):
+    gus, dns = [], []
+    for _ in range(L):
+        gu = rng.standard_normal((K, 2 * I)).astype(np.float32) * 0.1
+        dn = rng.standard_normal((I, K)).astype(np.float32) * 0.1
+        gus.append(quantize_array_for_device(gu, ttype))
+        dns.append(quantize_array_for_device(dn, ttype))
+    return _stack(gus), _stack(dns)
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_fused_matches_two_kernel(fast, rng):
+    L, K, I, M = 2, 256, 512, 8
+    gu, dn = _mk(rng, L, K, I)
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+
+    import jax
+    for li in range(L):
+        lij = jnp.asarray(li, jnp.int32)
+        got = np.asarray(fused_mlp_stacked(
+            x, gu["qs"], gu["scales"], dn["qs"], dn["scales"], lij,
+            fast=fast))
+        gu_out = quant_linear_stacked(x, gu, lij, fast=fast)
+        gated = jax.nn.silu(gu_out[:, :I]) * gu_out[:, I:]
+        want = np.asarray(quant_linear_stacked(gated, dn, lij, fast=fast))
+        tol = 0.03 if fast else 1e-4
+        scale = np.abs(want).max() + 1e-6
+        assert np.abs(got - want).max() / scale < tol, \
+            (li, fast, np.abs(got - want).max(), scale)
+
+
+def test_fused_block_i_edge_cases(rng):
+    """I not divisible by the preferred block falls back cleanly."""
+    L, K, I, M = 1, 256, 768, 4     # 768 % 256 == 0 but test bi=512 pref
+    gu, dn = _mk(rng, L, K, I)
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    lij = jnp.asarray(0, jnp.int32)
+    got = np.asarray(fused_mlp_stacked(x, gu["qs"], gu["scales"],
+                                       dn["qs"], dn["scales"], lij,
+                                       block_i=512))
+    import jax
+    gu_out = quant_linear_stacked(x, gu, lij)
+    gated = jax.nn.silu(gu_out[:, :I]) * gu_out[:, I:]
+    want = np.asarray(quant_linear_stacked(gated, dn, lij))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_decoder_uses_fused_mlp_and_matches(monkeypatch, rng):
+    """decoder_forward with QA_FUSED_MLP on vs off: same logits within the
+    fast-mode envelope; the dispatch actually engages (fused params,
+    strided q8_0, decode-sized T)."""
+    from qwen2_audio_tpu.config import Qwen2DecoderConfig
+    from qwen2_audio_tpu.models.qwen2_decoder import (
+        create_cache, decoder_forward, embed_tokens, fuse_decoder_params,
+        random_decoder_params)
+    from qwen2_audio_tpu.quant.qparams import quantize_decoder_params
+
+    cfg = Qwen2DecoderConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, tie_word_embeddings=False)
+    params = random_decoder_params(rng, cfg)
+    qp = fuse_decoder_params(quantize_decoder_params(params, GGMLType.Q8_0))
+    toks = jnp.asarray(rng.integers(0, 128, (1, 5)))
+    x = embed_tokens(params, toks)
+
+    outs = {}
+    for env in ("0", "1"):
+        monkeypatch.setenv("QA_FUSED_MLP", env)
+        cache = create_cache(cfg, 1, 8, dtype=jnp.float32)
+        lg, _ = decoder_forward(qp, cfg, x, cache, 0, block_only=True)
+        outs[env] = np.asarray(lg)
+        decoder_forward.clear_cache()
+    scale = np.abs(outs["0"]).max() + 1e-6
+    assert np.abs(outs["1"] - outs["0"]).max() / scale < 1e-4
