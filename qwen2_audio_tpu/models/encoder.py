@@ -82,6 +82,33 @@ def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Array:
     return out.astype(x.dtype) + b[None, :, None].astype(x.dtype)
 
 
+def _unfold_time(x: jax.Array, k: int, stride: int) -> jax.Array:
+    """(B, T, C) -> (B, T//stride, k*C): zero-pad k//2 both sides of time,
+    stack the k taps tap-major (feature = tap*C + c) — the im2col lowering
+    ggml_conv_1d itself uses (ggml/src/ggml.c:6635), expressed as static
+    slices so XLA sees plain matmul operands instead of a convolution."""
+    pad = k // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    T = x.shape[1]
+    u = jnp.concatenate([xp[:, i:i + T] for i in range(k)], axis=-1)
+    return u[:, ::stride] if stride > 1 else u
+
+
+def _conv1d_mm(x: jax.Array, w: jax.Array, b: jax.Array,
+               stride: int) -> jax.Array:
+    """(B, T, C_in) -> (B, T//stride, C_out): the conv stem as an im2col
+    matmul. Same math as _conv1d (f32 accumulate, bias in compute dtype)
+    but keeps the whole stem in the (B, T, C) layout the transformer uses —
+    measured ~5.7x faster e2e than lax.conv on TPU, whose NCW custom-call
+    layout poisons every downstream attention/matmul layout choice."""
+    k = w.shape[-1]
+    m = w.transpose(2, 1, 0).reshape(k * w.shape[1], w.shape[0])
+    u = _unfold_time(x, k, stride)
+    out = jnp.matmul(u, m.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype) + b[None, None, :].astype(x.dtype)
+
+
 def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array, n_head: int) -> jax.Array:
     """Plain softmax attention over (B, T, D) activations, non-causal.
 
@@ -123,7 +150,7 @@ def _attention(params: Params, x: jax.Array, n_head: int,
 
 @functools.partial(
     jax.jit, static_argnames=("hp", "gelu_approximate", "use_flash",
-                              "compute_dtype"))
+                              "compute_dtype", "stem"))
 def encoder_forward(
     params: Params,
     mel: jax.Array,
@@ -133,21 +160,30 @@ def encoder_forward(
     gelu_approximate: bool = False,
     use_flash: bool = False,
     compute_dtype: Any = jnp.float32,
+    stem: str = "matmul",
 ) -> jax.Array:
     """mel (B, n_mels, 2*n_ctx) -> encoder output (B, n_ctx//2, n_state).
 
     ``pos_offset`` mirrors the reference's e_pe iter-view (:1999-2005), used
-    when evaluating a shrunken audio_ctx window.
+    when evaluating a shrunken audio_ctx window. ``stem`` selects the conv
+    stem lowering: "matmul" (im2col, default — keeps the program in (B,T,C)
+    layout end to end) or "conv" (lax.conv, kept for A/B and debugging).
     """
     eps = hp.eps
     x = mel.astype(compute_dtype)
 
-    x = _gelu(_conv1d(x, params["conv1"]["w"], params["conv1"]["b"], 1),
-              gelu_approximate)
-    x = _gelu(_conv1d(x, params["conv2"]["w"], params["conv2"]["b"], 2),
-              gelu_approximate)
-
-    x = jnp.swapaxes(x, 1, 2)                      # (B, T, n_state)
+    if stem == "matmul":
+        x = jnp.swapaxes(x, 1, 2)                  # (B, T, n_mels)
+        x = _gelu(_conv1d_mm(x, params["conv1"]["w"], params["conv1"]["b"],
+                             1), gelu_approximate)
+        x = _gelu(_conv1d_mm(x, params["conv2"]["w"], params["conv2"]["b"],
+                             2), gelu_approximate)
+    else:
+        x = _gelu(_conv1d(x, params["conv1"]["w"], params["conv1"]["b"], 1),
+                  gelu_approximate)
+        x = _gelu(_conv1d(x, params["conv2"]["w"], params["conv2"]["b"], 2),
+                  gelu_approximate)
+        x = jnp.swapaxes(x, 1, 2)                  # (B, T, n_state)
     T = x.shape[1]
     pos = jax.lax.dynamic_slice_in_dim(params["pos"], pos_offset * T, T, axis=0)
     x = x + pos.astype(compute_dtype)[None]

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from qwen2_audio_tpu.config import WhisperHParams
-from qwen2_audio_tpu.models.encoder import _attention, _conv1d, _gelu, _layer_norm
+from qwen2_audio_tpu.models.encoder import (_attention, _conv1d_mm, _gelu,
+                                            _layer_norm)
 
 
 def encoder_intermediates(
@@ -45,15 +46,16 @@ def encoder_intermediates(
             callback(name, val)
 
     eps = hp.eps
-    x = mel.astype(compute_dtype)
-    x = _gelu(_conv1d(x, params["conv1"]["w"], params["conv1"]["b"], 1),
+    # im2col stem in (B, T, C) layout — same lowering as encoder_forward's
+    # default stem="matmul" so per-node taps stay bit-identical to it
+    x = jnp.swapaxes(mel.astype(compute_dtype), 1, 2)
+    x = _gelu(_conv1d_mm(x, params["conv1"]["w"], params["conv1"]["b"], 1),
               gelu_approximate)
     emit("conv1", x)
-    x = _gelu(_conv1d(x, params["conv2"]["w"], params["conv2"]["b"], 2),
+    x = _gelu(_conv1d_mm(x, params["conv2"]["w"], params["conv2"]["b"], 2),
               gelu_approximate)
     emit("conv2", x)
 
-    x = jnp.swapaxes(x, 1, 2)
     T = x.shape[1]
     x = x + params["pos"][:T].astype(compute_dtype)[None]
     emit("pos_add", x)

@@ -95,6 +95,37 @@ def test_encoder_batched(hf_pair, rng):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+def test_matmul_stem_matches_conv_stem(rng):
+    """The im2col stem (production default, stem="matmul") must match the
+    lax.conv lowering (stem="conv") — same math, different XLA lowering;
+    f32 accumulation order may differ by ulps only."""
+    params = random_encoder_params(rng, HP)
+    mel = rng.standard_normal((2, HP.n_mels, 2 * HP.n_audio_ctx)).astype(np.float32)
+    a = np.asarray(encoder_forward(params, jnp.asarray(mel), HP,
+                                   stem="matmul"))
+    b = np.asarray(encoder_forward(params, jnp.asarray(mel), HP,
+                                   stem="conv"))
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_matmul_stem_stride_geometry(rng):
+    """im2col tap alignment: a time-impulse mel must produce identical conv1
+    and conv2 outputs under both lowerings (catches off-by-one pad/stride)."""
+    from qwen2_audio_tpu.models.encoder import _conv1d, _conv1d_mm
+    w = jnp.asarray(rng.standard_normal((8, 4, 3)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((8,)), jnp.float32)
+    x = np.zeros((1, 4, 16), np.float32)
+    x[0, 2, 5] = 1.0          # impulse
+    x[0, 1, 0] = 1.0          # edge (exercises left pad)
+    x[0, 3, 15] = 1.0         # edge (exercises right pad)
+    xc = jnp.asarray(x)
+    for stride in (1, 2):
+        ref = np.asarray(_conv1d(xc, w, b, stride))          # (B, C, T)
+        got = np.asarray(_conv1d_mm(jnp.swapaxes(xc, 1, 2), w, b, stride))
+        np.testing.assert_allclose(got, ref.transpose(0, 2, 1),
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_gelu_tanh_close_to_erf(rng):
     """ggml's tanh-LUT gelu vs exact erf: document the expected gap."""
     params = random_encoder_params(rng, HP)
