@@ -83,6 +83,7 @@ def _w8a8(x: jax.Array, p: dict) -> jax.Array:
 
 
 _FUSED_MLP_MARKER = "/tmp/qa_kernel_ok_fused_mlp"
+_FUSED_MLP4_MARKER = "/tmp/qa_kernel_ok_fused_mlp4"
 
 
 def _fused_mlp_enabled() -> bool:
@@ -98,18 +99,32 @@ def _fused_mlp_enabled() -> bool:
 
 def fused_mlp_at(x: jax.Array, gu: dict, dn: dict, li: jax.Array
                  ) -> jax.Array | None:
-    """One-launch silu(x@gate)*(x@up)@down for layer-stacked strided
-    int8 dicts at decode M; returns None when the fused kernel does not
-    apply (caller falls back to two linear_at calls)."""
+    """One-launch silu(x@gate)*(x@up)@down for layer-stacked quant dicts
+    at decode M — strided int8 ({"qs"}) or packed nibbles ({"qs4"},
+    q4_0/q4_1, mins folded in-kernel); returns None when the fused kernel
+    does not apply (caller falls back to two linear_at calls)."""
     if not _fused_mlp_enabled():
         return None
-    if not ("qs" in gu and "qs" in dn) or "mins" in gu or "mins" in dn \
-            or "b" in gu or "b" in dn:
+    if "b" in gu or "b" in dn:
         return None
     K = x.shape[-1]
-    I = dn["qs"].shape[1]
-    if K // gu["scales"].shape[1] != I // dn["scales"].shape[1]:
-        return None
+    packed = "qs4" in gu and "qs4" in dn
+    if packed:
+        if not ("mins" in gu and "mins" in dn):
+            return None
+        I = dn["qs4"].shape[1] * 2
+        if K // gu["scales"].shape[1] != 32 or I // dn["scales"].shape[1] != 32:
+            return None
+        if jax.default_backend() in ("tpu", "axon") \
+                and os.environ.get("QA_FUSED_MLP") is None \
+                and not os.path.exists(_FUSED_MLP4_MARKER):
+            return None
+    else:
+        if not ("qs" in gu and "qs" in dn) or "mins" in gu or "mins" in dn:
+            return None
+        I = dn["qs"].shape[1]
+        if K // gu["scales"].shape[1] != I // dn["scales"].shape[1]:
+            return None
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
     if x2.shape[0] > 64:       # prefill: MXU-bound, launch count moot
@@ -117,9 +132,15 @@ def fused_mlp_at(x: jax.Array, gu: dict, dn: dict, li: jax.Array
     mode = group_matmul_mode()
     if mode == "int8":
         return None
-    from qwen2_audio_tpu.ops.fused_mlp import fused_mlp_stacked
-    y = fused_mlp_stacked(x2, gu["qs"], gu["scales"], dn["qs"],
-                          dn["scales"], li, fast=mode == "bf16")
+    if packed:
+        from qwen2_audio_tpu.ops.fused_mlp import fused_mlp4_stacked
+        y = fused_mlp4_stacked(x2, gu["qs4"], gu["scales"], gu["mins"],
+                               dn["qs4"], dn["scales"], dn["mins"], li,
+                               fast=mode == "bf16")
+    else:
+        from qwen2_audio_tpu.ops.fused_mlp import fused_mlp_stacked
+        y = fused_mlp_stacked(x2, gu["qs"], gu["scales"], dn["qs"],
+                              dn["scales"], li, fast=mode == "bf16")
     return y.reshape(*lead, -1)
 
 
