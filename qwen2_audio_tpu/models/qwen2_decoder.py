@@ -444,12 +444,21 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    vec_pos = jnp.ndim(pos0) == 1     # per-stream positions (T must be 1)
-    if vec_pos:
+    vec_pos = jnp.ndim(pos0) == 1     # per-stream positions
+    if vec_pos and T == 1:
         bidx = jnp.arange(B)
 
         def upd(buf, val, _start):
             return buf.at[bidx, pos0].set(val[:, 0].astype(buf.dtype))
+    elif vec_pos:
+        # batched-speculative verify: slot b writes rows pos0[b]..pos0[b]+T-1.
+        # Out-of-range rows (a capacity-frozen slot near S) are DROPPED by
+        # XLA scatter semantics, never clamped onto live rows.
+        bidx = jnp.arange(B)
+        rows = pos0[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+
+        def upd(buf, val, _start):
+            return buf.at[bidx[:, None], rows].set(val.astype(buf.dtype))
     else:
         upd = functools.partial(jax.lax.dynamic_update_slice)
     if quant_cache:
@@ -559,9 +568,10 @@ def decoder_forward(
     T = x.shape[1]
     pos0 = jnp.asarray(pos0, jnp.int32)
     if pos0.ndim == 1:                 # per-stream slot positions
-        if T != 1:
-            raise ValueError("vector pos0 requires T == 1 (decode step)")
-        positions = pos0[:, None]      # (B, 1)
+        # (B, T): T == 1 is the plain continuous-batching decode step;
+        # T > 1 is the batched-speculative verify forward (each slot
+        # verifies its own draft block at its own absolute position)
+        positions = pos0[:, None] + jnp.arange(T, dtype=jnp.int32)
     else:
         positions = pos0 + jnp.arange(T, dtype=jnp.int32)
     cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_theta)

@@ -664,3 +664,163 @@ def decode_chunk_slots(params, cfg, cache, slot_pos, slot_logits,
         0, chunk, body,
         (cache, slot_pos, slot_logits, slot_active, toks0, lps0))
     return cache, slot_pos, slot_logits, slot_active, toks, lps
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "chunk", "eos_token_id", "spec_k", "ngram"),
+    donate_argnames=("cache", "slot_pos", "slot_logits", "slot_active",
+                     "slot_hist", "slot_hlen"))
+def decode_chunk_slots_spec(params, cfg, cache, slot_pos, slot_logits,
+                            slot_active, slot_hist, slot_hlen,
+                            suppress_mask=None, *,
+                            chunk: int, eos_token_id: int,
+                            spec_k: int = 7, ngram: int = 2):
+    """Batched-speculative variant of decode_chunk_slots: every ACTIVE
+    slot self-drafts ``spec_k`` tokens from its own n-gram history and
+    verifies them in one (B, spec_k+1) forward — the generate_speculative
+    trick lifted to the continuous-batching slot pool. Decode at small B
+    is still HBM-bound (the forward reads the same weight bytes whether
+    each slot carries 1 or K+1 positions), so aggregate tokens/s
+    multiplies by the mean accepted length across slots.
+
+    Per-slot state beyond decode_chunk_slots: ``slot_hist`` (B, HBUF)
+    int32 emitted-token history (drafting source; reset a row on refill)
+    and ``slot_hlen`` (B,) int32 valid lengths. Returns
+    (cache, slot_pos, slot_logits, slot_active, slot_hist, slot_hlen,
+    toks (B, chunk + spec_k + 1), lps, n_new (B,), iters ()): exactly
+    ``n_new[b]`` leading entries of row b are newly emitted tokens
+    (greedy-exact wrt the plain path at f32); the rest is padding;
+    ``iters`` counts verify forwards (mean accepted length per slot =
+    n_new / iters).
+
+    Capacity semantics: a slot freezes when its next verify block would
+    not fit (pos + spec_k + 1 > S) — up to spec_k positions earlier than
+    the plain path's pos + 1 < S guard. Frozen/finished slots still ride
+    the batched forward but their writes land above their live rows
+    (every row is rewritten before it is first read; out-of-range rows
+    are dropped by scatter semantics, models/qwen2_decoder.py).
+
+    No reference analog: its decode scaffolding is one token per graph
+    launch (src/qwen2-whisper.cpp:2675 commented decode path); this
+    composes two TPU-native levers (per-slot positions + prompt-lookup
+    verification) the reference has neither of.
+    """
+    B = slot_pos.shape[0]
+    S = (cache.k_q if isinstance(cache, QuantKVCache) else cache.k).shape[2]
+    K = spec_k
+    HBUF = slot_hist.shape[1]
+    OUT = chunk + K + 1
+    bidx = jnp.arange(B)
+    sup = (jnp.zeros_like(slot_logits[0]) if suppress_mask is None
+           else suppress_mask)
+
+    toks0 = jnp.full((B, OUT), eos_token_id, jnp.int32)
+    lps0 = jnp.zeros((B, OUT), jnp.float32)
+    emitted0 = jnp.zeros((B,), jnp.int32)
+
+    def cond(st):
+        (_, _, _, active, _, _, _, _, emitted, it) = st
+        return jnp.any(active & (emitted < chunk)) & (it < chunk)
+
+    def body(st):
+        (cache, pos, logits, active, hist, hlen, toks, lps, emitted, it) = st
+        lg = logits + sup[None, :]
+        d0 = jnp.argmax(lg, axis=-1).astype(jnp.int32)          # (B,)
+
+        # --- per-slot n-gram draft from its own history ---------------
+        tail_idx = (jnp.maximum(hlen - (ngram - 1), 0)[:, None]
+                    + jnp.arange(ngram - 1)[None, :])            # (B, n-1)
+        tail = jnp.concatenate([
+            jnp.take_along_axis(hist, jnp.minimum(tail_idx, HBUF - 1),
+                                axis=1),
+            d0[:, None]], axis=1)                                # (B, n)
+        wins = jnp.stack([jnp.roll(hist, -j, axis=1)
+                          for j in range(ngram)], axis=2)        # (B,HBUF,n)
+        idx = jnp.arange(HBUF)[None, :]
+        match = (jnp.all(wins == tail[:, None, :], axis=2)
+                 & (idx <= (hlen - ngram)[:, None]))
+        best = jnp.max(jnp.where(match, idx, -1), axis=1)        # (B,)
+        found = best >= 0
+        start = jnp.where(found, best + ngram, 0)
+        didx = start[:, None] + jnp.arange(K)[None, :]           # (B, K)
+        draft = jnp.take_along_axis(hist, jnp.minimum(didx, HBUF - 1),
+                                    axis=1)
+        valid = found[:, None] & (didx < hlen[:, None])
+        draft = jnp.where(valid, draft, d0[:, None])             # (B, K)
+
+        # --- one (B, K+1) verify forward -------------------------------
+        seq = jnp.concatenate([d0[:, None], draft], axis=1)     # (B, K+1)
+        x = params["embed"][seq]                                 # (B,K+1,D)
+        logits_out, cache = decoder_forward(params, cfg, x, cache, pos)
+        rows = logits_out + sup[None, None, :]                   # (B,K+1,V)
+        tgt = jnp.argmax(rows, axis=-1).astype(jnp.int32)        # (B, K+1)
+
+        ok = (draft == tgt[:, :K]).astype(jnp.int32)
+        n_acc = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)         # (B,)
+        n_emit = n_acc + 1                                       # d0 lands
+
+        epos = jnp.arange(K + 1)[None, :]
+        eos_here = (seq == eos_token_id) & (epos < n_emit[:, None])
+        eos_in = jnp.any(eos_here, axis=1)
+        idx_eos = jnp.argmax(eos_here, axis=1)
+        n_emit = jnp.where(eos_in, jnp.minimum(n_emit, idx_eos + 1), n_emit)
+        n_emit = jnp.minimum(n_emit, chunk - emitted)
+        n_emit = jnp.where(active, n_emit, 0)
+        # the EOS only ends the stream if it actually landed within the
+        # chunk budget; a clipped EOS re-emerges as next round's argmax
+        eos_emitted = eos_in & (idx_eos < n_emit)
+
+        logp_prev = jax.nn.log_softmax(lg, axis=-1)
+        logp_rows = jax.nn.log_softmax(rows, axis=-1)
+        lp = jnp.concatenate([
+            jnp.take_along_axis(logp_prev, d0[:, None], axis=1),
+            jnp.take_along_axis(logp_rows[:, :K], draft[:, :, None],
+                                axis=2)[:, :, 0]], axis=1)       # (B, K+1)
+
+        # scatter this round's block at each slot's emitted offset; the
+        # overhang past n_emit is overwritten by the next round (or
+        # masked by the final n_new count)
+        ocols = emitted[:, None] + jnp.arange(K + 1)[None, :]    # (B, K+1)
+        wmask = active[:, None] & (ocols < OUT)
+        osafe = jnp.minimum(ocols, OUT - 1)
+        toks = toks.at[bidx[:, None], osafe].set(
+            jnp.where(wmask, seq, toks[bidx[:, None], osafe]))
+        lps = lps.at[bidx[:, None], osafe].set(
+            jnp.where(wmask, lp.astype(jnp.float32),
+                      lps[bidx[:, None], osafe]))
+
+        # history append (drafting source): same scatter discipline
+        hcols = hlen[:, None] + jnp.arange(K + 1)[None, :]
+        hmask = active[:, None] & (hcols < HBUF)
+        hsafe = jnp.minimum(hcols, HBUF - 1)
+        hist = hist.at[bidx[:, None], hsafe].set(
+            jnp.where(hmask, seq, hist[bidx[:, None], hsafe]))
+        hlen = jnp.minimum(hlen + n_emit, HBUF)
+
+        # next-step distribution: RAW logits at the LAST emitted position
+        # of this round (sup is re-applied at read time, exactly like the
+        # plain path); frozen/zero-emit slots keep their carried logits
+        last = jnp.take_along_axis(
+            logits_out, jnp.maximum(n_emit - 1, 0)[:, None, None],
+            axis=1)[:, 0]
+        keep = n_emit > 0
+        logits = jnp.where(keep[:, None], last, logits)
+
+        pos = pos + n_emit
+        # freeze: eos emitted, or the next verify block cannot fit
+        active = active & ~eos_emitted & (pos + K + 1 <= S)
+        emitted = emitted + n_emit
+        return (cache, pos, logits, active, hist, hlen, toks, lps,
+                emitted, it + 1)
+
+    st = (cache, slot_pos, slot_logits, slot_active, slot_hist, slot_hlen,
+          toks0, lps0, emitted0, jnp.zeros((), jnp.int32))
+    (cache, slot_pos, slot_logits, slot_active, slot_hist, slot_hlen,
+     toks, lps, emitted, iters) = jax.lax.while_loop(cond, body, st)
+
+    live = jnp.arange(OUT)[None, :] < emitted[:, None]
+    toks = jnp.where(live, toks, eos_token_id)
+    lps = jnp.where(live, lps, 0.0)
+    return (cache, slot_pos, slot_logits, slot_active, slot_hist,
+            slot_hlen, toks, lps, emitted, iters)

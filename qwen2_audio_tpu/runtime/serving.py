@@ -203,6 +203,7 @@ def transcribe_continuous(
     """
     import jax.numpy as jnp
     from qwen2_audio_tpu.runtime.generate import (decode_chunk_slots,
+                                                  decode_chunk_slots_spec,
                                                   prefill_slot)
     from qwen2_audio_tpu.models.qwen2_decoder import create_cache
 
@@ -237,8 +238,25 @@ def transcribe_continuous(
     emitted: dict[int, tuple[list[int], list[float]]] = {}
     budget = params.max_new_tokens
 
+    # batched speculation (decode_chunk_slots_spec): FullParams.speculative_k
+    # semantics match decoding.py's — >0 on, 0 off, <0 auto (CPU, or TPU
+    # once the validator proved THIS composed while_loop program: its own
+    # marker, like the B=1 spec_loop gate)
+    spec_k = getattr(params, "speculative_k", 0)
+    if spec_k < 0:
+        import os
+        import jax as _jax
+        from qwen2_audio_tpu.utils.watchdog import kernel_marker
+        on_tpu = _jax.default_backend() in ("tpu", "axon")
+        spec_k = 7 if (not on_tpu or kernel_marker("spec_slots")) else 0
+    if spec_k > 0:
+        hbuf = budget + spec_k + 8
+        slot_hist = jnp.zeros((B, hbuf), jnp.int32)
+        slot_hlen = jnp.zeros((B,), jnp.int32)
+
     def refill(free_slots):
         nonlocal cache, slot_pos, slot_logits, slot_active
+        nonlocal slot_hist, slot_hlen
         for s in free_slots:
             if not queue:
                 break
@@ -249,18 +267,32 @@ def transcribe_continuous(
             cache, slot_pos, slot_logits, slot_active = prefill_slot(
                 bundle.params, bundle.cfg, cache, slot_pos, slot_logits,
                 slot_active, jnp.int32(s), jnp.asarray(pre))
+            if spec_k > 0:      # fresh draft history for the new stream
+                slot_hist = slot_hist.at[s].set(0)
+                slot_hlen = slot_hlen.at[s].set(0)
             slot_window[s] = w
             emitted[w] = ([], [])
 
+    if spec_k <= 0:
+        slot_hist = slot_hlen = None
     refill(range(B))
     t0 = time_us()
     n_decoded = 0
     while any(w >= 0 for w in slot_window):
-        cache, slot_pos, slot_logits, slot_active, toks, lps = \
-            decode_chunk_slots(
+        if spec_k > 0:
+            (cache, slot_pos, slot_logits, slot_active, slot_hist,
+             slot_hlen, toks, lps, n_new, _iters) = decode_chunk_slots_spec(
                 bundle.params, bundle.cfg, cache, slot_pos, slot_logits,
-                slot_active, chunk=chunk_tokens,
-                eos_token_id=bundle.eos_token_id)
+                slot_active, slot_hist, slot_hlen, chunk=chunk_tokens,
+                eos_token_id=bundle.eos_token_id, spec_k=spec_k)
+            n_new = np.asarray(n_new)
+        else:
+            cache, slot_pos, slot_logits, slot_active, toks, lps = \
+                decode_chunk_slots(
+                    bundle.params, bundle.cfg, cache, slot_pos, slot_logits,
+                    slot_active, chunk=chunk_tokens,
+                    eos_token_id=bundle.eos_token_id)
+            n_new = np.full((B,), chunk_tokens)
         toks = np.asarray(toks)
         lps = np.asarray(lps)
         active = np.asarray(slot_active)
@@ -270,7 +302,7 @@ def transcribe_continuous(
             if w < 0:
                 continue
             row, lrow = emitted[w]
-            for j in range(chunk_tokens):
+            for j in range(int(n_new[s])):
                 if len(row) >= budget:
                     break
                 row.append(int(toks[s, j]))

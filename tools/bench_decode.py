@@ -76,6 +76,13 @@ def main() -> int:
                          "sized for the worst case, streams mostly short "
                          "— where flash-decode's valid-prefix skipping "
                          "pays")
+    ap.add_argument("--slots", action="store_true",
+                    help="continuous-batching slot-pool decode over "
+                         "--batch slots (decode_chunk_slots; with --spec "
+                         "the batched-speculative variant). Reports "
+                         "aggregate tok/s across slots")
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="tokens per chunk call in --slots mode")
     ap.add_argument("--panel", action="store_true",
                     help="contiguous-panel weight storage for the "
                          "ggml-block kernels (quant_matmul_panel; one "
@@ -215,6 +222,51 @@ def main() -> int:
         sup_mask = jnp.asarray(m)
 
     def decode_once():
+        if args.slots:
+            # continuous-batching slot pool: --batch slots decode --new
+            # tokens each in --chunk-sized rounds; --spec runs the
+            # batched-speculative variant (decode_chunk_slots_spec)
+            from qwen2_audio_tpu.models.qwen2_decoder import create_cache
+            from qwen2_audio_tpu.runtime.generate import (
+                decode_chunk_slots, decode_chunk_slots_spec, prefill_slot)
+            B = args.batch
+            S = bundle.max_ctx
+            cache = create_cache(cfg, B, S, dtype=bundle.cache_dtype)
+            slot_pos = jnp.zeros((B,), jnp.int32)
+            slot_logits = jnp.zeros((B, V), jnp.float32)
+            slot_active = jnp.zeros((B,), bool)
+            for s in range(B):
+                cache, slot_pos, slot_logits, slot_active = prefill_slot(
+                    params, cfg, cache, slot_pos, slot_logits, slot_active,
+                    jnp.int32(s), prefill[s:s + 1])
+            hist = jnp.zeros((B, args.new + args.spec + 8), jnp.int32)
+            hlen = jnp.zeros((B,), jnp.int32)
+            total, iters = 0, 0
+            rounds = max(args.new // args.chunk, 1)
+            for _ in range(rounds):
+                if args.spec > 0:
+                    (cache, slot_pos, slot_logits, slot_active, hist, hlen,
+                     toks, _lps, n_new, it) = decode_chunk_slots_spec(
+                        params, cfg, cache, slot_pos, slot_logits,
+                        slot_active, hist, hlen, sup_mask,
+                        chunk=args.chunk, eos_token_id=-1,
+                        spec_k=args.spec)
+                    total += int(np.asarray(n_new).sum())
+                    iters += int(it)
+                else:
+                    (cache, slot_pos, slot_logits, slot_active, toks,
+                     _lps) = decode_chunk_slots(
+                        params, cfg, cache, slot_pos, slot_logits,
+                        slot_active, sup_mask, chunk=args.chunk,
+                        eos_token_id=-1)
+                    total += args.chunk * B
+                    iters += args.chunk
+            np.asarray(toks)    # sync
+
+            class R:
+                tokens = [[0] * (total // B)] * B
+            R.iters = iters
+            return R
         if args.beam > 0:
             return beam_search_device(bundle, prefill, beam_size=args.beam,
                                       max_new_tokens=args.new)

@@ -491,6 +491,42 @@ def main() -> int:
           f"{time.time()-t0:.1f}s", flush=True)
     mark("spec_loop")
 
+    # batched-speculative slot pool: (B, K+1) verify forwards with
+    # per-slot positions under one while_loop (soft-fail — the serving
+    # auto-on gates on this marker, plain chunk loop remains the default)
+    try:
+        from qwen2_audio_tpu.runtime.generate import decode_chunk_slots_spec
+        cache = create_cache(dcfg_fd, 2, 96, dtype=jnp.bfloat16)
+        slot_pos = jnp.zeros((2,), jnp.int32)
+        slot_logits = jnp.zeros((2, dcfg_fd.vocab_size), jnp.float32)
+        slot_active = jnp.zeros((2,), bool)
+        for s in range(2):
+            cache, slot_pos, slot_logits, slot_active = prefill_slot(
+                dp_fd, dcfg_fd, cache, slot_pos, slot_logits, slot_active,
+                jnp.int32(s), pre)
+        hist = jnp.zeros((2, 64), jnp.int32)
+        hlen = jnp.zeros((2,), jnp.int32)
+        t0 = time.time()
+        (cache, slot_pos, slot_logits, slot_active, hist, hlen, toks, lps,
+         n_new, iters) = decode_chunk_slots_spec(
+            dp_fd, dcfg_fd, cache, slot_pos, slot_logits, slot_active,
+            hist, hlen, chunk=8, eos_token_id=-1, spec_k=6)
+        toks = np.asarray(toks)
+        n_new = np.asarray(n_new)
+        assert (n_new == 8).all() and (toks[:, :8] >= 0).all() \
+            and np.isfinite(np.asarray(slot_logits)).all(), \
+            (n_new.tolist(), int(iters))
+        # determinism across a repeat from identical state is covered by
+        # the f32 exactness suite; here the composed program must compile,
+        # run, and emit full chunks
+        print(f"[validate] spec_slots (B x K+1 while_loop) compile+run "
+              f"{time.time()-t0:.1f}s iters={int(iters)}", flush=True)
+        mark("spec_slots")
+    except Exception as e:  # noqa: BLE001
+        print(f"[validate] spec_slots: FAILED ({type(e).__name__}: {e}) — "
+              "marker not written, plain chunk loop remains the serving "
+              "default", flush=True)
+
     print("[validate] ALL OK", flush=True)
     return 0
 
