@@ -22,9 +22,9 @@ def _cfg(vocab=64):
         head_dim=32, tie_word_embeddings=False)
 
 
-def _pool(cfg, params, prefills, S):
+def _pool(cfg, params, prefills, S, cache_dtype=jnp.float32):
     B = len(prefills)
-    cache = create_cache(cfg, B, S, dtype=jnp.float32)
+    cache = create_cache(cfg, B, S, dtype=cache_dtype)
     slot_pos = jnp.zeros((B,), jnp.int32)
     slot_logits = jnp.zeros((B, cfg.vocab_size), jnp.float32)
     slot_active = jnp.zeros((B,), bool)
@@ -36,8 +36,9 @@ def _pool(cfg, params, prefills, S):
 
 
 def _run_plain(cfg, params, prefills, *, S, chunk, rounds, eos=-1,
-               suppress=None):
-    cache, pos, logits, active = _pool(cfg, params, prefills, S)
+               suppress=None, cache_dtype=jnp.float32):
+    cache, pos, logits, active = _pool(cfg, params, prefills, S,
+                                       cache_dtype)
     B = len(prefills)
     streams = [[] for _ in range(B)]
     for _ in range(rounds):
@@ -56,8 +57,10 @@ def _run_plain(cfg, params, prefills, *, S, chunk, rounds, eos=-1,
 
 
 def _run_spec(cfg, params, prefills, *, S, chunk, rounds, eos=-1,
-              suppress=None, spec_k=6, ngram=2, hbuf=128):
-    cache, pos, logits, active = _pool(cfg, params, prefills, S)
+              suppress=None, spec_k=6, ngram=2, hbuf=128,
+              cache_dtype=jnp.float32):
+    cache, pos, logits, active = _pool(cfg, params, prefills, S,
+                                       cache_dtype)
     B = len(prefills)
     hist = jnp.zeros((B, hbuf), jnp.int32)
     hlen = jnp.zeros((B,), jnp.int32)
@@ -223,3 +226,22 @@ def test_spec_slots_refill_midstream(rng):
                                     eos_token_id=-1, spec_k=6)
         got.extend(int(x) for x in np.asarray(toks)[0, :int(n_new[0])])
     assert got == want_b[0]
+
+
+def test_spec_slots_quant_cache_matches_plain(rng):
+    """The serving regime consumes an int8 KV cache; the (B, T>1) per-slot
+    cache scatter (values + per-vector scales) is the new primitive —
+    streams must match the plain q8-cache pool exactly (both paths
+    quantize identical K/V vectors, so acceptance is deterministic)."""
+    cfg = _cfg(vocab=8)            # cyclic output: exercises acceptance
+    params = random_decoder_params(np.random.default_rng(2), cfg)
+    prefills = [
+        jnp.asarray(np.random.default_rng(60 + i).standard_normal(
+            (1, t0, 128)) * 0.1, jnp.float32)
+        for i, t0 in enumerate((4, 6))]
+    want, wpos, _ = _run_plain(cfg, params, prefills, S=256, chunk=12,
+                               rounds=2, cache_dtype="q8")
+    got, gpos, _ = _run_spec(cfg, params, prefills, S=256, chunk=12,
+                             rounds=2, spec_k=6, cache_dtype="q8")
+    assert got == want
+    np.testing.assert_array_equal(gpos, wpos)
