@@ -81,6 +81,132 @@ def _fused_mlp_kernel(li_ref, x_ref, g_qs_ref, g_sc_ref, u_qs_ref, u_sc_ref,
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
+def _fused_mlp_m_kernel(li_ref, x_ref, g_qs_ref, g_sc_ref, g_mn_ref,
+                        u_qs_ref, u_sc_ref, u_mn_ref,
+                        d_qs_ref, d_sc_ref, d_mn_ref, o_ref, acc_ref, *,
+                        out_dtype, fast: bool, group: int):
+    """Strided-int8 + per-group-min variant (q5_1 / q5_K at 32-groups,
+    q2_K at 16-groups): dequant is w = q*d + m in-kernel — the external
+    gsum(x) @ mins correction cannot see the fused intermediate."""
+    del li_ref
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def deq(q_ref, s_ref, m_ref):
+        q = q_ref[0].astype(jnp.float32)
+        s = s_ref[0].astype(jnp.float32)
+        m = m_ref[0].astype(jnp.float32)
+        k, n = q.shape
+        n_g = k // group
+        s_full = jnp.broadcast_to(s[:, None, :], (n_g, group, n)
+                                  ).reshape(k, n)
+        m_full = jnp.broadcast_to(m[:, None, :], (n_g, group, n)
+                                  ).reshape(k, n)
+        return q * s_full + m_full
+
+    if fast:
+        x = x_ref[...].astype(jnp.bfloat16)
+
+        def dot(a, w):
+            return jnp.dot(a, w.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+    else:
+        x = x_ref[...].astype(jnp.float32)
+
+        def dot(a, w):
+            return jnp.dot(a, w, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+    g = dot(x, deq(g_qs_ref, g_sc_ref, g_mn_ref))
+    u = dot(x, deq(u_qs_ref, u_sc_ref, u_mn_ref))
+    gated = g * jax.nn.sigmoid(g) * u
+    if fast:
+        gated = gated.astype(jnp.bfloat16)
+    acc_ref[...] += dot(gated, deq(d_qs_ref, d_sc_ref, d_mn_ref))
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_i", "fast"))
+def fused_mlp_m_stacked(
+    x: jax.Array,            # (M, K)
+    gu_qs: jax.Array,        # (L, K, 2I) int8
+    gu_sc: jax.Array,        # (L, K // g, 2I)
+    gu_mn: jax.Array,        # (L, K // g, 2I)
+    dn_qs: jax.Array,        # (L, I, K) int8
+    dn_sc: jax.Array,        # (L, I // g, K)
+    dn_mn: jax.Array,        # (L, I // g, K)
+    li: jax.Array,           # () int32
+    *,
+    block_i: int = 256,
+    fast: bool = False,
+) -> jax.Array:
+    """silu(x @ gate) * (x @ up) @ down for layer ``li``, one launch,
+    over strided int8 weights with per-group mins."""
+    M, K = x.shape
+    L, K2, I2 = gu_qs.shape
+    I = I2 // 2
+    D = dn_qs.shape[2]
+    group = K // gu_sc.shape[1]
+    assert K2 == K and dn_qs.shape == (L, I, D) and group in (16, 32)
+    assert gu_sc.shape == (L, K // group, 2 * I) == gu_mn.shape
+    assert dn_sc.shape == (L, I // group, D) == dn_mn.shape
+
+    bi = block_i
+    while I % bi or bi % (8 * group):
+        bi //= 2
+        if bi < 8 * group:
+            bi = I
+            break
+
+    block_m = max(8, 1 << (M - 1).bit_length())
+    m_pad = -M % block_m
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+
+    grid = (I // bi,)
+    n_gate_blocks = I // bi
+    out = pl.pallas_call(
+        functools.partial(_fused_mlp_m_kernel, out_dtype=x.dtype, fast=fast,
+                          group=group),
+        out_shape=jax.ShapeDtypeStruct((Mp, D), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, K), lambda i, li: (0, 0)),
+                pl.BlockSpec((1, K, bi), lambda i, li: (li[0], 0, i)),
+                pl.BlockSpec((1, K // group, bi),
+                             lambda i, li: (li[0], 0, i)),
+                pl.BlockSpec((1, K // group, bi),
+                             lambda i, li: (li[0], 0, i)),
+                pl.BlockSpec((1, K, bi),
+                             lambda i, li: (li[0], 0, i + n_gate_blocks)),
+                pl.BlockSpec((1, K // group, bi),
+                             lambda i, li: (li[0], 0, i + n_gate_blocks)),
+                pl.BlockSpec((1, K // group, bi),
+                             lambda i, li: (li[0], 0, i + n_gate_blocks)),
+                pl.BlockSpec((1, bi, D), lambda i, li: (li[0], i, 0)),
+                pl.BlockSpec((1, bi // group, D),
+                             lambda i, li: (li[0], i, 0)),
+                pl.BlockSpec((1, bi // group, D),
+                             lambda i, li: (li[0], i, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_m, D), lambda i, li: (0, 0)),
+            scratch_shapes=[pltpu.VMEM((block_m, D), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_use_interpret(),
+    )(jnp.asarray(li, jnp.int32).reshape(1), x,
+      gu_qs, gu_sc, gu_mn, gu_qs, gu_sc, gu_mn, dn_qs, dn_sc, dn_mn)
+    return out[:M] if m_pad else out
+
+
 def _fused_mlp4_kernel(li_ref, x_ref, g_qp_ref, g_sc_ref, g_mn_ref,
                        u_qp_ref, u_sc_ref, u_mn_ref,
                        d_qp_ref, d_sc_ref, d_mn_ref, o_ref, acc_ref, *,

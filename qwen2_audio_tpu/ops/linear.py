@@ -84,6 +84,7 @@ def _w8a8(x: jax.Array, p: dict) -> jax.Array:
 
 _FUSED_MLP_MARKER = "/tmp/qa_kernel_ok_fused_mlp"
 _FUSED_MLP4_MARKER = "/tmp/qa_kernel_ok_fused_mlp4"
+_FUSED_MLP_M_MARKER = "/tmp/qa_kernel_ok_fused_mlp_m"
 
 
 def _fused_mlp_enabled() -> bool:
@@ -120,10 +121,17 @@ def fused_mlp_at(x: jax.Array, gu: dict, dn: dict, li: jax.Array
                 and not os.path.exists(_FUSED_MLP4_MARKER):
             return None
     else:
-        if not ("qs" in gu and "qs" in dn) or "mins" in gu or "mins" in dn:
+        if not ("qs" in gu and "qs" in dn):
+            return None
+        with_mins = "mins" in gu and "mins" in dn
+        if ("mins" in gu) != ("mins" in dn):
             return None
         I = dn["qs"].shape[1]
         if K // gu["scales"].shape[1] != I // dn["scales"].shape[1]:
+            return None
+        if with_mins and jax.default_backend() in ("tpu", "axon") \
+                and os.environ.get("QA_FUSED_MLP") is None \
+                and not os.path.exists(_FUSED_MLP_M_MARKER):
             return None
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
@@ -137,6 +145,11 @@ def fused_mlp_at(x: jax.Array, gu: dict, dn: dict, li: jax.Array
         y = fused_mlp4_stacked(x2, gu["qs4"], gu["scales"], gu["mins"],
                                dn["qs4"], dn["scales"], dn["mins"], li,
                                fast=mode == "bf16")
+    elif with_mins:
+        from qwen2_audio_tpu.ops.fused_mlp import fused_mlp_m_stacked
+        y = fused_mlp_m_stacked(x2, gu["qs"], gu["scales"], gu["mins"],
+                                dn["qs"], dn["scales"], dn["mins"], li,
+                                fast=mode == "bf16")
     else:
         from qwen2_audio_tpu.ops.fused_mlp import fused_mlp_stacked
         y = fused_mlp_stacked(x2, gu["qs"], gu["scales"], dn["qs"],

@@ -94,6 +94,63 @@ def test_fused4_matches_two_kernel(fast, ttype, rng):
             (li, fast, np.abs(got - want).max(), scale)
 
 
+@pytest.mark.parametrize("fast", [False, True])
+@pytest.mark.parametrize("ttype", [GGMLType.Q5_1, GGMLType.Q2_K])
+def test_fused_m_matches_two_kernel(fast, ttype, rng):
+    """Strided-int8 + mins fused MLP (q5_1 32-groups, q2_K 16-groups) vs
+    the two-launch path + external gsum@mins correction."""
+    from qwen2_audio_tpu.ops.fused_mlp import fused_mlp_m_stacked
+
+    L, K, I, M = 2, 256, 512, 8
+    gu, dn = _mk(rng, L, K, I, ttype=ttype)
+    assert "mins" in gu and "qs" in gu, "strided+mins storage expected"
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+
+    import jax
+    for li in range(L):
+        lij = jnp.asarray(li, jnp.int32)
+        got = np.asarray(fused_mlp_m_stacked(
+            x, gu["qs"], gu["scales"], gu["mins"],
+            dn["qs"], dn["scales"], dn["mins"], lij, fast=fast))
+        gu_out = quant_linear_stacked(x, gu, lij, fast=fast)
+        gated = jax.nn.silu(gu_out[:, :I]) * gu_out[:, I:]
+        want = np.asarray(quant_linear_stacked(gated, dn, lij, fast=fast))
+        tol = 0.03 if fast else 1e-4
+        scale = np.abs(want).max() + 1e-6
+        assert np.abs(got - want).max() / scale < tol, \
+            (li, fast, np.abs(got - want).max(), scale)
+
+
+def test_decoder_uses_fused_m_mlp_and_matches(monkeypatch, rng):
+    """decoder_forward q5_1 (strided + mins): fused on/off logits parity
+    — the dispatch routes min-carrying strided dicts to the m-variant."""
+    from qwen2_audio_tpu.config import Qwen2DecoderConfig
+    from qwen2_audio_tpu.models.qwen2_decoder import (
+        create_cache, decoder_forward, embed_tokens, fuse_decoder_params,
+        random_decoder_params)
+    from qwen2_audio_tpu.quant.qparams import quantize_decoder_params
+
+    cfg = Qwen2DecoderConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, tie_word_embeddings=False)
+    params = random_decoder_params(rng, cfg)
+    qp = fuse_decoder_params(quantize_decoder_params(params, GGMLType.Q5_1))
+    assert "mins" in qp["layers"]["gate_up"], "expected strided+mins q5_1"
+    toks = jnp.asarray(rng.integers(0, 128, (1, 5)))
+    x = embed_tokens(params, toks)
+
+    outs = {}
+    for env in ("0", "1"):
+        monkeypatch.setenv("QA_FUSED_MLP", env)
+        cache = create_cache(cfg, 1, 8, dtype=jnp.float32)
+        lg, _ = decoder_forward(qp, cfg, x, cache, 0, block_only=True)
+        outs[env] = np.asarray(lg)
+        decoder_forward.clear_cache()
+    scale = np.abs(outs["0"]).max() + 1e-6
+    assert np.abs(outs["1"] - outs["0"]).max() / scale < 1e-4
+
+
 def test_decoder_uses_fused4_mlp_and_matches(monkeypatch, rng):
     """decoder_forward q4_0 with QA_FUSED_MLP on vs off: same logits
     within the fast-mode envelope (the packed fused kernel engages —

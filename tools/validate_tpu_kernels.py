@@ -258,6 +258,39 @@ def main() -> int:
               "marker not written, two-kernel MLP remains the q4 default",
               flush=True)
 
+    # 2i. strided-int8 + mins fused MLP (q5_1/q5_K/q2_K) — soft-fail
+    try:
+        import jax as _jx
+        from qwen2_audio_tpu.ops.fused_mlp import fused_mlp_m_stacked
+        from qwen2_audio_tpu.ops.quant_matmul import quant_linear_stacked
+        Km, Im = 512, 1024
+        gu_l = [quantize_array_for_device(
+            rng.standard_normal((Km, 2 * Im)).astype(np.float32) * 0.1,
+            GGMLType.Q5_1) for _ in range(2)]
+        dn_l = [quantize_array_for_device(
+            rng.standard_normal((Im, Km)).astype(np.float32) * 0.1,
+            GGMLType.Q5_1) for _ in range(2)]
+        gu_s = {k: _jnp.stack([d[k] for d in gu_l]) for k in gu_l[0]}
+        dn_s = {k: _jnp.stack([d[k] for d in dn_l]) for k in dn_l[0]}
+        assert "mins" in gu_s and "qs" in gu_s
+        xm = jnp.asarray(rng.standard_normal((8, Km)), jnp.float32)
+        for lif in (0, 1):
+            lij = _jnp.asarray(lif, _jnp.int32)
+            got = np.asarray(fused_mlp_m_stacked(
+                xm, gu_s["qs"], gu_s["scales"], gu_s["mins"],
+                dn_s["qs"], dn_s["scales"], dn_s["mins"], lij, fast=True))
+            gu_out = quant_linear_stacked(xm, gu_s, lij, fast=True)
+            gated = _jx.nn.silu(gu_out[:, :Im]) * gu_out[:, Im:]
+            want = np.asarray(quant_linear_stacked(gated, dn_s, lij,
+                                                   fast=True))
+            rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+            assert np.isfinite(got).all() and rel < 0.03, (lif, rel)
+        mark("fused_mlp_m")
+    except Exception as e:  # noqa: BLE001
+        print(f"[validate] fused_mlp_m: FAILED ({type(e).__name__}: {e}) — "
+              "marker not written, two-kernel MLP remains the min-format "
+              "default", flush=True)
+
     # 3. fused mel kernel
     from qwen2_audio_tpu.audio import mel_filterbank
     from qwen2_audio_tpu.audio.mel import log_mel_spectrogram
