@@ -407,7 +407,8 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
            cos: jax.Array, sin: jax.Array, pos0: jax.Array,
            block_only: bool, use_flash: bool = False,
            quant_cache: bool = False,
-           attn_slice: tuple | None = None) -> tuple[jax.Array, tuple]:
+           attn_slice: tuple | None = None,
+           tp_axis: str | None = None) -> tuple[jax.Array, tuple]:
     """One decoder block; returns (x_out, new_cache_parts) — plus the
     attention tap appended to new_cache_parts when ``attn_slice`` is set
     (block_only non-flash path only; the DTW alignment pass).
@@ -513,7 +514,14 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
         else:
             attn = _gqa_attention(q, k_cache, v_cache, pos0,
                                   k_cache.shape[1])
-    x = x + linear_at(attn, proj["o"], li)
+    o = linear_at(attn, proj["o"], li)
+    if tp_axis is not None:
+        # Megatron row-parallel out-projection: each shard holds
+        # (Hq_local*d, D) rows, partial sums reduce over the tp axis
+        # (≙ the role of ggml-cuda's split-buffer peer reduction,
+        # ggml/src/ggml-cuda.cu:1358 — here one XLA psum over ICI)
+        o = jax.lax.psum(o, tp_axis)
+    x = x + o
 
     h = rms_norm(x, lp["ln2"]["w"], cfg.rms_norm_eps)
     y = None
@@ -531,6 +539,8 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
             * linear_at(h, proj["up"], li)
     if y is None:
         y = linear_at(gated, proj["down"], li)
+    if tp_axis is not None:
+        y = jax.lax.psum(y, tp_axis)   # row-parallel down projection
     out = x + y
     if attn_slice is not None:
         return out, (*new_parts, tap)
@@ -539,7 +549,7 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "block_only", "logits_last_only",
-                                    "use_flash", "attn_slice"),
+                                    "use_flash", "attn_slice", "tp_axis"),
                    donate_argnames=("cache",))
 def decoder_forward(
     params: Params,
@@ -551,6 +561,10 @@ def decoder_forward(
     logits_last_only: bool = False,  # skip the T-1 unused lm_head rows
     use_flash: bool = False,         # Pallas causal GQA kernel for prefill
     attn_slice: tuple | None = None,  # (q0, qn, k0, kn) attention tap
+    tp_axis: str | None = None,      # Megatron TP inside shard_map: psum
+                                     # after row-parallel o/down; ``cfg``
+                                     # must then carry PER-SHARD head and
+                                     # intermediate sizes (parallel/tp.py)
 ) -> tuple[jax.Array, KVCache]:
     """Run T positions through all layers; returns (logits (B,T,V), cache).
 
@@ -596,7 +610,7 @@ def decoder_forward(
         li, lp = layer_in[0], layer_in[1]
         x, new_parts = _layer(cfg, x, lp, proj, li, layer_in[2:], cos, sin,
                               pos0, block_only, use_flash, quant_cache,
-                              attn_slice=attn_slice)
+                              attn_slice=attn_slice, tp_axis=tp_axis)
         return x, new_parts
 
     x, outs = jax.lax.scan(

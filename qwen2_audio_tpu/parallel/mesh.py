@@ -75,13 +75,13 @@ def decoder_param_spec(params: dict) -> Any:
     """Specs for models/qwen2_decoder.py stacked-layer params (dense or
     quantized): leading (L,...) axis replicated, Megatron col/row split."""
     return _spec_by_rules(params, [
-        (r"layers/(q|k|v|gate|up)/(w|qs|qs8)$", P(None, "tp")),
-        (r"layers/(q|k|v|gate|up)/(scales|scale_n)$", P(None, "tp")),
+        (r"layers/(q|k|v|gate|up)/(w|qs|qs8|qs4)$", P(None, "tp")),
+        (r"layers/(q|k|v|gate|up)/(scales|scale_n|mins)$", P(None, "tp")),
         (r"layers/(q|k|v)/b$", P("tp")),
-        (r"layers/(o|down)/(w|qs|qs8)$", P("tp", None)),
-        (r"layers/(o|down)/scales$", P("tp", None)),
+        (r"layers/(o|down)/(w|qs|qs8|qs4)$", P("tp", None)),
+        (r"layers/(o|down)/(scales|mins)$", P("tp", None)),
         (r"layers/(o|down)/scale_n$", P(None)),  # per-out-channel: replicated
-        (r"lm_head/(w|qs|qs8|scales|scale_n)$", P(None, "tp")),
+        (r"lm_head/(w|qs|qs8|qs4|scales|scale_n|mins)$", P(None, "tp")),
     ])
 
 

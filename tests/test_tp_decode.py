@@ -1,0 +1,107 @@
+"""Tensor-parallel decode through the production quant kernels
+(parallel/tp.py): shard_map + per-layer psums must reproduce the
+single-device decoder_forward for every weight form, on the virtual mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen2_audio_tpu.config import GGMLType, Qwen2DecoderConfig
+from qwen2_audio_tpu.models.qwen2_decoder import (create_cache,
+                                                  decoder_forward,
+                                                  embed_tokens,
+                                                  random_decoder_params)
+from qwen2_audio_tpu.parallel.mesh import make_mesh
+from qwen2_audio_tpu.parallel.tp import (shard_decoder_for_tp, tp_local_cfg,
+                                         tp_decoder_forward)
+from qwen2_audio_tpu.quant.qparams import quantize_decoder_params
+
+CFG = Qwen2DecoderConfig(
+    vocab_size=128, hidden_size=128, intermediate_size=256,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=32, tie_word_embeddings=False)
+
+
+def _params(rng, quant=None):
+    p = random_decoder_params(rng, CFG)
+    if quant is not None:
+        p = quantize_decoder_params(p, quant)
+    return p
+
+
+@pytest.mark.parametrize("quant", [None, GGMLType.Q8_0, GGMLType.Q4_0])
+def test_tp_matches_single_device(quant, rng):
+    params = _params(np.random.default_rng(31), quant)
+    toks = jnp.asarray(np.random.default_rng(32).integers(0, 128, (2, 5)))
+    dense = random_decoder_params(np.random.default_rng(31), CFG)
+    x = embed_tokens(dense, toks)
+
+    cache = create_cache(CFG, 2, 16, dtype=jnp.float32)
+    want, wcache = decoder_forward(params, CFG, x, cache, 0,
+                                   block_only=True)
+
+    mesh = make_mesh(dp=1, tp=2)
+    sp = shard_decoder_for_tp(params, mesh)
+    cache2 = create_cache(CFG, 2, 16, dtype=jnp.float32)
+    got, gcache = tp_decoder_forward(sp, CFG, mesh, x, cache2, 0,
+                                     block_only=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+    # the sharded cache must hold the same K/V (gather and compare)
+    np.testing.assert_allclose(np.asarray(gcache.k), np.asarray(wcache.k),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_tp_decode_step_vec_pos(rng):
+    """Per-stream positions (continuous batching) under TP."""
+    params = _params(np.random.default_rng(41), GGMLType.Q8_0)
+    dense = random_decoder_params(np.random.default_rng(41), CFG)
+    B, S = 2, 16
+    toks_pre = jnp.asarray(np.random.default_rng(42).integers(0, 128, (B, 6)))
+    xp = embed_tokens(dense, toks_pre)
+    tok1 = jnp.asarray(np.random.default_rng(43).integers(0, 128, (B, 1)))
+    x1 = embed_tokens(dense, tok1)
+    pos = jnp.asarray([6, 3], jnp.int32)
+
+    cache = create_cache(CFG, B, S, dtype=jnp.float32)
+    _, cache = decoder_forward(params, CFG, xp, cache, 0, block_only=True)
+    want, _ = decoder_forward(params, CFG, x1, cache, pos)
+
+    mesh = make_mesh(dp=1, tp=2)
+    sp = shard_decoder_for_tp(params, mesh)
+    cache2 = create_cache(CFG, B, S, dtype=jnp.float32)
+    _, cache2 = tp_decoder_forward(sp, CFG, mesh, xp, cache2, 0,
+                                   block_only=True)
+    got, _ = tp_decoder_forward(sp, CFG, mesh, x1, cache2, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_tp_quant_cache(rng):
+    """int8 KV cache sharded on the kv-head axis under TP."""
+    params = _params(np.random.default_rng(51), GGMLType.Q8_0)
+    dense = random_decoder_params(np.random.default_rng(51), CFG)
+    toks = jnp.asarray(np.random.default_rng(52).integers(0, 128, (2, 5)))
+    x = embed_tokens(dense, toks)
+
+    cache = create_cache(CFG, 2, 16, dtype="q8")
+    want, _ = decoder_forward(params, CFG, x, cache, 0, block_only=True)
+
+    mesh = make_mesh(dp=1, tp=2)
+    sp = shard_decoder_for_tp(params, mesh)
+    cache2 = create_cache(CFG, 2, 16, dtype="q8")
+    got, _ = tp_decoder_forward(sp, CFG, mesh, x, cache2, 0,
+                                block_only=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_tp_rejects_fused_and_bad_tp():
+    from qwen2_audio_tpu.models.qwen2_decoder import fuse_decoder_params
+    params = _params(np.random.default_rng(61))
+    mesh = make_mesh(dp=1, tp=2)
+    with pytest.raises(ValueError, match="unfused"):
+        shard_decoder_for_tp(fuse_decoder_params(params), mesh)
+    with pytest.raises(ValueError, match="divide"):
+        tp_local_cfg(CFG, 3)
