@@ -118,11 +118,74 @@ def tp_decoder_forward(params, cfg: Qwen2DecoderConfig, mesh: Mesh,
         # tied embeddings: embed is replicated, logits already full-V
         return logits, new_cache
 
-    kw = dict(mesh=mesh, in_specs=(pspec, xspec, cspec, posspec),
-              out_specs=(P(batch_axis, None, None), cspec))
+    fn = _shard_map(step, mesh, (pspec, xspec, cspec, posspec),
+                    (P(batch_axis, None, None), cspec))
+    return fn(params, inputs_embeds, cache, jnp.asarray(pos0, jnp.int32))
+
+
+def _shard_map(step, mesh, in_specs, out_specs):
+    kw = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     try:                                     # jax >= 0.8
-        fn = jax.shard_map(step, check_vma=False, **kw)
+        return jax.shard_map(step, check_vma=False, **kw)
     except (AttributeError, TypeError):      # older jax
         from jax.experimental.shard_map import shard_map as _sm
-        fn = _sm(step, check_rep=False, **kw)
-    return fn(params, inputs_embeds, cache, jnp.asarray(pos0, jnp.int32))
+        return _sm(step, check_rep=False, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def tp_prefill_slot(params, cfg: Qwen2DecoderConfig, mesh: Mesh,
+                    cache, slot_pos, slot_logits, slot_active,
+                    slot, prefill):
+    """generate.prefill_slot over a TP mesh: the stream's K/V block lands
+    sharded on the kv-head axis; slot state stays replicated."""
+    from qwen2_audio_tpu.runtime.generate import prefill_slot
+
+    lcfg = tp_local_cfg(cfg, mesh.shape["tp"])
+    pspec = decoder_param_spec(params)
+    cspec = _cache_spec(cache, None)
+
+    def step(p, c, sp_, sl, sa, s, pre):
+        return prefill_slot(p, lcfg, c, sp_, sl, sa, s, pre, tp_axis="tp")
+
+    fn = _shard_map(step, mesh,
+                    (pspec, cspec, P(), P(), P(), P(), P()),
+                    (cspec, P(), P(), P()))
+    return fn(params, cache, slot_pos, slot_logits, slot_active,
+              jnp.asarray(slot, jnp.int32), prefill)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mesh", "chunk", "eos_token_id",
+                                    "spec_k", "ngram"),
+                   donate_argnames=("cache",))
+def tp_decode_chunk_slots_spec(params, cfg: Qwen2DecoderConfig, mesh: Mesh,
+                               cache, slot_pos, slot_logits, slot_active,
+                               slot_hist, slot_hlen, suppress_mask=None, *,
+                               chunk: int, eos_token_id: int,
+                               spec_k: int = 7, ngram: int = 2):
+    """Batched-speculative slot decode over a TP mesh: every device runs
+    the full while_loop on its Megatron shard; per-layer psums + one
+    logits all_gather per verify forward ride the ICI. Slot state
+    (positions, logits, history) is replicated; only weights and the KV
+    cache are sharded. Multi-chip continuous-batching serving — nothing
+    comparable exists in the reference (its split-buffer TP never met its
+    never-merged decoder)."""
+    from qwen2_audio_tpu.runtime.generate import decode_chunk_slots_spec
+
+    lcfg = tp_local_cfg(cfg, mesh.shape["tp"])
+    pspec = decoder_param_spec(params)
+    cspec = _cache_spec(cache, None)
+
+    def step(p, c, sp_, sl, sa, sh, shl, sup):
+        return decode_chunk_slots_spec(
+            p, lcfg, c, sp_, sl, sa, sh, shl, sup, chunk=chunk,
+            eos_token_id=eos_token_id, spec_k=spec_k, ngram=ngram,
+            tp_axis="tp")
+
+    sup = (jnp.zeros((slot_logits.shape[1],), jnp.float32)
+           if suppress_mask is None else suppress_mask)
+    fn = _shard_map(step, mesh,
+                    (pspec, cspec, P(), P(), P(), P(), P(), P()),
+                    (cspec, P(), P(), P(), P(), P(), P(), P(), P(), P()))
+    return fn(params, cache, slot_pos, slot_logits, slot_active,
+              slot_hist, slot_hlen, sup)

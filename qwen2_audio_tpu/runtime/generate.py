@@ -578,10 +578,11 @@ def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg",),
+    static_argnames=("cfg", "tp_axis"),
     donate_argnames=("cache", "slot_pos", "slot_logits", "slot_active"))
 def prefill_slot(params, cfg, cache, slot_pos, slot_logits, slot_active,
-                 slot: jax.Array, prefill: jax.Array):
+                 slot: jax.Array, prefill: jax.Array,
+                 tp_axis: str | None = None):
     """Prefill ONE stream (1, T0, D) and install it into slot `slot` of
     the shared pool: its K/V block lands at cache[:, slot, :T0], its
     next-token logits into slot_logits[slot]. One executable per T0."""
@@ -591,7 +592,11 @@ def prefill_slot(params, cfg, cache, slot_pos, slot_logits, slot_active,
     from qwen2_audio_tpu.runtime.decoding import _prefill_flash
     logits, mini = decoder_forward(params, cfg, prefill, mini, 0,
                                    block_only=True, logits_last_only=True,
-                                   use_flash=_prefill_flash())
+                                   use_flash=_prefill_flash(),
+                                   tp_axis=tp_axis)
+    if tp_axis is not None and not cfg.tie_word_embeddings:
+        # column-split lm_head: slot_logits state is full-vocab
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
 
     def install(buf, block):
         # buf (L, B, S, ...) <- block (L, 1, T0, ...) at batch index `slot`
@@ -618,11 +623,12 @@ def prefill_slot(params, cfg, cache, slot_pos, slot_logits, slot_active,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk", "eos_token_id"),
+    static_argnames=("cfg", "chunk", "eos_token_id", "tp_axis"),
     donate_argnames=("cache", "slot_pos", "slot_logits", "slot_active"))
 def decode_chunk_slots(params, cfg, cache, slot_pos, slot_logits,
                        slot_active, suppress_mask=None, *,
-                       chunk: int, eos_token_id: int):
+                       chunk: int, eos_token_id: int,
+                       tp_axis: str | None = None):
     """Advance every ACTIVE slot by up to `chunk` tokens (inactive slots
     are frozen: no cache writes, no position advance). Returns
     (cache, slot_pos, slot_logits, slot_active, tokens (B, chunk),
@@ -655,7 +661,11 @@ def decode_chunk_slots(params, cfg, cache, slot_pos, slot_logits,
         # would READ row S-1, and an active stream that legitimately writes
         # S-1 does so on its own final step, overwriting the scratch.
         write_pos = jnp.where(active, pos, S - 1)
-        new_logits, cache = decoder_forward(params, cfg, x, cache, write_pos)
+        new_logits, cache = decoder_forward(params, cfg, x, cache, write_pos,
+                                            tp_axis=tp_axis)
+        if tp_axis is not None and not cfg.tie_word_embeddings:
+            new_logits = jax.lax.all_gather(new_logits, tp_axis, axis=-1,
+                                            tiled=True)
         logits = jnp.where(active[:, None], new_logits[:, -1], logits)
         pos = jnp.where(active, pos + 1, pos)
         return cache, pos, logits, new_active & active, toks, lps
@@ -668,14 +678,16 @@ def decode_chunk_slots(params, cfg, cache, slot_pos, slot_logits,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk", "eos_token_id", "spec_k", "ngram"),
+    static_argnames=("cfg", "chunk", "eos_token_id", "spec_k", "ngram",
+                     "tp_axis"),
     donate_argnames=("cache", "slot_pos", "slot_logits", "slot_active",
                      "slot_hist", "slot_hlen"))
 def decode_chunk_slots_spec(params, cfg, cache, slot_pos, slot_logits,
                             slot_active, slot_hist, slot_hlen,
                             suppress_mask=None, *,
                             chunk: int, eos_token_id: int,
-                            spec_k: int = 7, ngram: int = 2):
+                            spec_k: int = 7, ngram: int = 2,
+                            tp_axis: str | None = None):
     """Batched-speculative variant of decode_chunk_slots: every ACTIVE
     slot self-drafts ``spec_k`` tokens from its own n-gram history and
     verifies them in one (B, spec_k+1) forward — the generate_speculative
@@ -752,7 +764,11 @@ def decode_chunk_slots_spec(params, cfg, cache, slot_pos, slot_logits,
         # --- one (B, K+1) verify forward -------------------------------
         seq = jnp.concatenate([d0[:, None], draft], axis=1)     # (B, K+1)
         x = params["embed"][seq]                                 # (B,K+1,D)
-        logits_out, cache = decoder_forward(params, cfg, x, cache, pos)
+        logits_out, cache = decoder_forward(params, cfg, x, cache, pos,
+                                            tp_axis=tp_axis)
+        if tp_axis is not None and not cfg.tie_word_embeddings:
+            logits_out = jax.lax.all_gather(logits_out, tp_axis, axis=-1,
+                                            tiled=True)
         rows = logits_out + sup[None, None, :]                   # (B,K+1,V)
         tgt = jnp.argmax(rows, axis=-1).astype(jnp.int32)        # (B, K+1)
 

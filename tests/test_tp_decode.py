@@ -105,3 +105,65 @@ def test_tp_rejects_fused_and_bad_tp():
         shard_decoder_for_tp(fuse_decoder_params(params), mesh)
     with pytest.raises(ValueError, match="divide"):
         tp_local_cfg(CFG, 3)
+
+
+def test_tp_spec_slot_pool_matches_single(rng):
+    """Multi-chip batched-speculative serving: the TP slot pool (prefill +
+    spec chunk decode under shard_map) must emit the same streams as the
+    single-device pool."""
+    from qwen2_audio_tpu.runtime.generate import (decode_chunk_slots_spec,
+                                                  prefill_slot)
+    from qwen2_audio_tpu.parallel.tp import (tp_decode_chunk_slots_spec,
+                                             tp_prefill_slot)
+
+    cfg = Qwen2DecoderConfig(
+        vocab_size=64, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, tie_word_embeddings=False)
+    params = quantize_decoder_params(
+        random_decoder_params(np.random.default_rng(71), cfg), GGMLType.Q8_0)
+    prefills = [
+        jnp.asarray(np.random.default_rng(80 + i).standard_normal(
+            (1, t0, 128)) * 0.1, jnp.float32)
+        for i, t0 in enumerate((4, 6))]
+    B, S, HB = 2, 128, 64
+
+    def run(tp_mesh=None):
+        cache = create_cache(cfg, B, S, dtype=jnp.float32)
+        pos = jnp.zeros((B,), jnp.int32)
+        logits = jnp.zeros((B, cfg.vocab_size), jnp.float32)
+        active = jnp.zeros((B,), bool)
+        for s, pre in enumerate(prefills):
+            if tp_mesh is None:
+                cache, pos, logits, active = prefill_slot(
+                    params, cfg, cache, pos, logits, active,
+                    jnp.int32(s), pre)
+            else:
+                sp = run.sp
+                cache, pos, logits, active = tp_prefill_slot(
+                    sp, cfg, tp_mesh, cache, pos, logits, active,
+                    jnp.int32(s), pre)
+        hist = jnp.zeros((B, HB), jnp.int32)
+        hlen = jnp.zeros((B,), jnp.int32)
+        streams = [[] for _ in range(B)]
+        for _ in range(2):
+            if tp_mesh is None:
+                (cache, pos, logits, active, hist, hlen, toks, _l, n_new,
+                 _it) = decode_chunk_slots_spec(
+                    params, cfg, cache, pos, logits, active, hist, hlen,
+                    chunk=10, eos_token_id=-1, spec_k=5)
+            else:
+                (cache, pos, logits, active, hist, hlen, toks, _l, n_new,
+                 _it) = tp_decode_chunk_slots_spec(
+                    run.sp, cfg, tp_mesh, cache, pos, logits, active,
+                    hist, hlen, chunk=10, eos_token_id=-1, spec_k=5)
+            t, n = np.asarray(toks), np.asarray(n_new)
+            for b in range(B):
+                streams[b].extend(int(x) for x in t[b, :n[b]])
+        return streams
+
+    want = run()
+    mesh = make_mesh(dp=1, tp=2)
+    run.sp = shard_decoder_for_tp(params, mesh)
+    got = run(mesh)
+    assert got == want
