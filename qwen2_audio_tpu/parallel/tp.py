@@ -189,3 +189,31 @@ def tp_decode_chunk_slots_spec(params, cfg: Qwen2DecoderConfig, mesh: Mesh,
                     (cspec, P(), P(), P(), P(), P(), P(), P(), P(), P()))
     return fn(params, cache, slot_pos, slot_logits, slot_active,
               slot_hist, slot_hlen, sup)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mesh", "chunk", "eos_token_id"),
+                   donate_argnames=("cache",))
+def tp_decode_chunk_slots(params, cfg: Qwen2DecoderConfig, mesh: Mesh,
+                          cache, slot_pos, slot_logits, slot_active,
+                          suppress_mask=None, *,
+                          chunk: int, eos_token_id: int):
+    """Plain (non-speculative) chunk decode over a TP mesh — the
+    speculative variant's fallback when FullParams.speculative_k == 0."""
+    from qwen2_audio_tpu.runtime.generate import decode_chunk_slots
+
+    lcfg = tp_local_cfg(cfg, mesh.shape["tp"])
+    pspec = decoder_param_spec(params)
+    cspec = _cache_spec(cache, None)
+
+    def step(p, c, sp_, sl, sa, sup):
+        return decode_chunk_slots(p, lcfg, c, sp_, sl, sa, sup,
+                                  chunk=chunk, eos_token_id=eos_token_id,
+                                  tp_axis="tp")
+
+    sup = (jnp.zeros((slot_logits.shape[1],), jnp.float32)
+           if suppress_mask is None else suppress_mask)
+    fn = _shard_map(step, mesh,
+                    (pspec, cspec, P(), P(), P(), P()),
+                    (cspec, P(), P(), P(), P(), P()))
+    return fn(params, cache, slot_pos, slot_logits, slot_active, sup)

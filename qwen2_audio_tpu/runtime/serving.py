@@ -187,6 +187,7 @@ def transcribe_continuous(
     params: FullParams | None = None,
     max_streams: int = 8,
     chunk_tokens: int = 16,
+    mesh=None,
 ) -> Iterator[Segment]:
     """Continuous batching over 30 s windows: a fixed pool of
     `max_streams` decode slots shares ONE KV cache; when a window
@@ -200,7 +201,13 @@ def transcribe_continuous(
     (advance every active slot `chunk_tokens` with per-slot positions).
     Segments are yielded in COMPLETION order, each tagged with its window
     time range.
+
+    ``mesh``: a jax Mesh with a "tp" axis runs the decode tensor-parallel
+    through the production quant kernels (parallel/tp.py shard_map;
+    requires the canonical unfused decoder schema). Data-parallel serving
+    needs no machinery: run one pool per replica.
     """
+    import functools
     import jax.numpy as jnp
     from qwen2_audio_tpu.runtime.generate import (decode_chunk_slots,
                                                   decode_chunk_slots_spec,
@@ -214,6 +221,26 @@ def transcribe_continuous(
     hp = ctx.hparams
     state = ctx.state or ctx.init_state()
     bundle = ctx.decoder
+
+    dec_params = bundle.params
+    if mesh is not None:
+        from qwen2_audio_tpu.parallel.tp import (shard_decoder_for_tp,
+                                                 tp_decode_chunk_slots,
+                                                 tp_decode_chunk_slots_spec,
+                                                 tp_prefill_slot)
+        dec_params = shard_decoder_for_tp(dec_params, mesh)
+        _prefill = functools.partial(tp_prefill_slot, dec_params,
+                                     bundle.cfg, mesh)
+        _chunk = functools.partial(tp_decode_chunk_slots, dec_params,
+                                   bundle.cfg, mesh)
+        _chunk_spec = functools.partial(tp_decode_chunk_slots_spec,
+                                        dec_params, bundle.cfg, mesh)
+    else:
+        _prefill = functools.partial(prefill_slot, dec_params, bundle.cfg)
+        _chunk = functools.partial(decode_chunk_slots, dec_params,
+                                   bundle.cfg)
+        _chunk_spec = functools.partial(decode_chunk_slots_spec, dec_params,
+                                        bundle.cfg)
 
     if ctx.pcm_to_mel_with_state(state, samples) != 0:
         raise RuntimeError("mel computation failed")
@@ -264,8 +291,8 @@ def transcribe_continuous(
             audio = bundle.project_audio(enc[w])
             pre = _prefill_embeds(bundle, audio,
                                   params.prompt_tokens or [])[0][None]
-            cache, slot_pos, slot_logits, slot_active = prefill_slot(
-                bundle.params, bundle.cfg, cache, slot_pos, slot_logits,
+            cache, slot_pos, slot_logits, slot_active = _prefill(
+                cache, slot_pos, slot_logits,
                 slot_active, jnp.int32(s), jnp.asarray(pre))
             if spec_k > 0:      # fresh draft history for the new stream
                 slot_hist = slot_hist.at[s].set(0)
@@ -281,15 +308,15 @@ def transcribe_continuous(
     while any(w >= 0 for w in slot_window):
         if spec_k > 0:
             (cache, slot_pos, slot_logits, slot_active, slot_hist,
-             slot_hlen, toks, lps, n_new, _iters) = decode_chunk_slots_spec(
-                bundle.params, bundle.cfg, cache, slot_pos, slot_logits,
+             slot_hlen, toks, lps, n_new, _iters) = _chunk_spec(
+                cache, slot_pos, slot_logits,
                 slot_active, slot_hist, slot_hlen, chunk=chunk_tokens,
                 eos_token_id=bundle.eos_token_id, spec_k=spec_k)
             n_new = np.asarray(n_new)
         else:
             cache, slot_pos, slot_logits, slot_active, toks, lps = \
-                decode_chunk_slots(
-                    bundle.params, bundle.cfg, cache, slot_pos, slot_logits,
+                _chunk(
+                    cache, slot_pos, slot_logits,
                     slot_active, chunk=chunk_tokens,
                     eos_token_id=bundle.eos_token_id)
             n_new = np.full((B,), chunk_tokens)

@@ -167,3 +167,38 @@ def test_tp_spec_slot_pool_matches_single(rng):
     run.sp = shard_decoder_for_tp(params, mesh)
     got = run(mesh)
     assert got == want
+
+
+def test_transcribe_continuous_tp_mesh(rng):
+    """transcribe_continuous(mesh=tp2) must yield the same segments as the
+    single-device pool — the serving-level TP plumbing end to end."""
+    import io
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.config import WhisperHParams
+    from qwen2_audio_tpu.io.export import write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+    from qwen2_audio_tpu.runtime import WhisperContext, FullParams
+    from qwen2_audio_tpu.runtime.serving import transcribe_continuous
+
+    hp = WhisperHParams(n_vocab=64, n_audio_ctx=64, n_audio_state=64,
+                        n_audio_head=4, n_audio_layer=2, n_mels=16)
+    buf = io.BytesIO()
+    write_encoder_checkpoint(buf, random_encoder_params(rng, hp), hp,
+                             mel_filterbank(hp.n_mels), [b"x"] * 60)
+    samples = (0.1 * np.random.default_rng(8).standard_normal(16000 * 5)
+               ).astype(np.float32)
+
+    def run(mesh):
+        ctx = WhisperContext.init_from_buffer_with_params(buf.getvalue())
+        ctx.decoder = random_bundle(np.random.default_rng(3), CFG,
+                                    enc_state=64, max_ctx=512)
+        p = FullParams(max_new_tokens=6, temperature_inc=0.0,
+                       speculative_k=5)
+        return sorted(
+            ((s.t0_cs, tuple(s.tokens)) for s in transcribe_continuous(
+                ctx, samples, p, max_streams=2, chunk_tokens=3, mesh=mesh)))
+
+    single = run(None)
+    tp2 = run(make_mesh(dp=1, tp=2))
+    assert single == tp2
