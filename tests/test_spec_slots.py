@@ -245,3 +245,41 @@ def test_spec_slots_quant_cache_matches_plain(rng):
                              rounds=2, spec_k=6, cache_dtype="q8")
     assert got == want
     np.testing.assert_array_equal(gpos, wpos)
+
+
+def test_spec_slots_property_fuzz():
+    """Randomized property test: across random seeds, slot counts, chunk
+    sizes, spec widths, n-gram orders, vocab sizes (cycle-prone and not),
+    EOS choices and cache dtypes, the spec pool must equal the plain pool
+    stream-for-stream."""
+    import itertools
+    base = np.random.default_rng(1234)
+    for trial in range(6):
+        vocab = int(base.choice([8, 16, 64]))
+        B = int(base.integers(1, 4))
+        chunk = int(base.integers(3, 12))
+        spec_k = int(base.integers(2, 9))
+        ngram = int(base.choice([2, 3]))
+        rounds = int(base.integers(1, 4))
+        eos = int(base.integers(0, vocab)) if base.random() < 0.5 else -1
+        cdt = "q8" if base.random() < 0.3 else jnp.float32
+        cfg = _cfg(vocab=vocab)
+        params = random_decoder_params(
+            np.random.default_rng(int(base.integers(1 << 30))), cfg)
+        prefills = [
+            jnp.asarray(np.random.default_rng(
+                int(base.integers(1 << 30))).standard_normal(
+                (1, int(base.integers(2, 8)), 128)) * 0.1, jnp.float32)
+            for _ in range(B)]
+        S = 8 + max(p.shape[1] for p in prefills) \
+            + rounds * chunk + spec_k + 1
+        S = -(-S // 8) * 8
+        tag = (trial, vocab, B, chunk, spec_k, ngram, rounds, eos, str(cdt))
+        want, wpos, wact = _run_plain(cfg, params, prefills, S=S,
+                                      chunk=chunk, rounds=rounds, eos=eos,
+                                      cache_dtype=cdt)
+        got, gpos, gact = _run_spec(cfg, params, prefills, S=S, chunk=chunk,
+                                    rounds=rounds, eos=eos, spec_k=spec_k,
+                                    ngram=ngram, cache_dtype=cdt)
+        assert got == want, (tag, got, want)
+        np.testing.assert_array_equal(gact, wact, err_msg=str(tag))
