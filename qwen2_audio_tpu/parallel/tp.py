@@ -3,8 +3,8 @@
 parallel/mesh.py's GSPMD specs let XLA auto-partition the DENSE/XLA decode
 paths; Pallas custom calls, however, are opaque to the GSPMD partitioner
 (it would replicate them). This module runs the SAME decoder_forward —
-stacked scalar-prefetch quant kernels, fused MLP, int8 KV cache and all —
-under ``shard_map``: every device executes the full program on its local
+stacked scalar-prefetch quant kernels, int8 KV cache and all — under
+``shard_map``: every device executes the full program on its local
 Megatron shard and two psums per layer (after the row-parallel o and down
 projections, models/qwen2_decoder.py::_layer tp_axis) ride the ICI.
 
@@ -19,7 +19,9 @@ Sharding layout (decoder_param_spec, parallel/mesh.py):
 Requires the CANONICAL (unfused) layer schema: the fused "qkv"/"gate_up"
 concat axes interleave q|k|v (gate|up) blocks, so a plain column split
 would hand device 0 a chunk of q only. TP therefore runs 7 matmuls/layer
-instead of 4 — measured neutral at decode (fusion was -3%..+1.6%).
+instead of 4 (measured neutral at decode: fusion was -3%..+1.6%) and the
+one-launch fused-MLP kernel — which dispatches on the fused gate_up
+schema — does NOT engage under TP.
 
 ≙ the reference's only true TP analog: CUDA split-buffer row sharding with
 peer-to-peer partial reduction (ggml/src/ggml-cuda.cu:1358,
@@ -132,7 +134,8 @@ def _shard_map(step, mesh, in_specs, out_specs):
         return _sm(step, check_rep=False, **kw)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"),
+                   donate_argnames=("cache",))
 def tp_prefill_slot(params, cfg: Qwen2DecoderConfig, mesh: Mesh,
                     cache, slot_pos, slot_logits, slot_active,
                     slot, prefill):

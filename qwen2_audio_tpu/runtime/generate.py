@@ -782,6 +782,12 @@ def decode_chunk_slots_spec(params, cfg, cache, slot_pos, slot_logits,
         idx_eos = jnp.argmax(eos_here, axis=1)
         n_emit = jnp.where(eos_in, jnp.minimum(n_emit, idx_eos + 1), n_emit)
         n_emit = jnp.minimum(n_emit, chunk - emitted)
+        # capacity: the plain pool emits its last token writing row S-1
+        # (then freezes with pos == S); clamping the accepted suffix —
+        # instead of freezing whole verify blocks early — keeps emission
+        # counts EXACTLY equal to the plain path at the cache boundary
+        # (clamped queries only read rows <= pos + t <= S-1, all written)
+        n_emit = jnp.minimum(n_emit, jnp.maximum(S - pos, 0))
         n_emit = jnp.where(active, n_emit, 0)
         # the EOS only ends the stream if it actually landed within the
         # chunk budget; a clipped EOS re-emerges as next round's argmax
@@ -824,8 +830,12 @@ def decode_chunk_slots_spec(params, cfg, cache, slot_pos, slot_logits,
         logits = jnp.where(keep[:, None], last, logits)
 
         pos = pos + n_emit
-        # freeze: eos emitted, or the next verify block cannot fit
-        active = active & ~eos_emitted & (pos + K + 1 <= S)
+        # freeze: eos emitted, or the cache is exhausted (the plain pool's
+        # new_active criterion is old_pos + 1 < S == new_pos < S). A
+        # frozen slot keeps riding the batched forward; its block writes
+        # land above its live rows (rewritten before any read) or out of
+        # range (dropped by scatter semantics).
+        active = active & ~eos_emitted & (pos < S)
         emitted = emitted + n_emit
         return (cache, pos, logits, active, hist, hlen, toks, lps,
                 emitted, it + 1)

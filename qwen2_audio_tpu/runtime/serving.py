@@ -266,9 +266,11 @@ def transcribe_continuous(
     budget = params.max_new_tokens
 
     # batched speculation (decode_chunk_slots_spec): FullParams.speculative_k
-    # semantics match decoding.py's — >0 on, 0 off, <0 auto (CPU, or TPU
-    # once the validator proved THIS composed while_loop program: its own
-    # marker, like the B=1 spec_loop gate)
+    # >0 on, 0 off, <0 auto. Auto resolves ON for CPU — unlike decoding.py's
+    # B=1 auto (CPU pays real compute for T=K+1 there); here the CPU
+    # backend exists for the test suite, and auto-on keeps the spec pool
+    # covered by every serving test. On TPU, auto gates on the validator's
+    # spec_slots marker like the B=1 spec_loop gate.
     spec_k = getattr(params, "speculative_k", 0)
     if spec_k < 0:
         import os
@@ -277,7 +279,10 @@ def transcribe_continuous(
         on_tpu = _jax.default_backend() in ("tpu", "axon")
         spec_k = 7 if (not on_tpu or kernel_marker("spec_slots")) else 0
     if spec_k > 0:
-        hbuf = budget + spec_k + 8
+        # a slot can emit up to chunk_tokens-1 past the host budget before
+        # the host marks it finished; size the draft history for the full
+        # device-side stream so late-tail drafting never goes stale
+        hbuf = budget + chunk_tokens + spec_k + 8
         slot_hist = jnp.zeros((B, hbuf), jnp.int32)
         slot_hlen = jnp.zeros((B,), jnp.int32)
 

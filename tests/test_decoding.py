@@ -171,3 +171,68 @@ def test_beam_strategy_through_api(rng):
     rc = ctx.full(p, (0.1 * rng.standard_normal(32000)).astype(np.float32))
     assert rc == 0
     assert len(ctx.state.result_tokens) > 0
+
+
+def test_spec_slot_pool_matches_host_loop_and_hf(hf_and_bundle, rng):
+    """CLAUDE.md decode-path rule: the batched-speculative slot pool and
+    the TP shard_map decode must match the HOST loop and HF generate —
+    not just each other (tests/test_spec_slots.py, tests/test_tp_decode.py
+    prove pool-vs-pool; this anchors the chain to the external oracles)."""
+    import torch
+    hf, bundle = hf_and_bundle
+    prompt = rng.integers(2, 90, (1, 6))
+    NEW = 12
+
+    with torch.no_grad():
+        want_hf = hf.generate(torch.from_numpy(prompt), max_new_tokens=NEW,
+                              do_sample=False, eos_token_id=95,
+                              pad_token_id=0).numpy()[0, 6:]
+
+    from qwen2_audio_tpu.models.qwen2_decoder import (create_cache,
+                                                      embed_tokens)
+    prefill = embed_tokens(bundle.params, jnp.asarray(prompt))
+    host = greedy_decode(bundle, prefill, max_new_tokens=NEW)
+    host_row = list(host.tokens[0])
+
+    # spec slot pool, one slot, eos = the bundle's real eos
+    from qwen2_audio_tpu.runtime.generate import (decode_chunk_slots_spec,
+                                                  prefill_slot)
+    cache = create_cache(CFG, 1, 64, dtype=jnp.float32)
+    pos = jnp.zeros((1,), jnp.int32)
+    logits = jnp.zeros((1, CFG.vocab_size), jnp.float32)
+    active = jnp.zeros((1,), bool)
+    cache, pos, logits, active = prefill_slot(
+        bundle.params, CFG, cache, pos, logits, active, jnp.int32(0),
+        prefill)
+    hist = jnp.zeros((1, 64), jnp.int32)
+    hlen = jnp.zeros((1,), jnp.int32)
+    (cache, pos, logits, active, hist, hlen, toks, _l, n_new, _it) = \
+        decode_chunk_slots_spec(bundle.params, CFG, cache, pos, logits,
+                                active, hist, hlen, chunk=NEW,
+                                eos_token_id=95, spec_k=5)
+    pool_row = [int(t) for t in np.asarray(toks)[0, :int(n_new[0])]]
+
+    # TP=2 decode of the same prompt through the sharded quant-free params
+    from qwen2_audio_tpu.parallel.mesh import make_mesh
+    from qwen2_audio_tpu.parallel.tp import (shard_decoder_for_tp,
+                                             tp_decoder_forward)
+    mesh = make_mesh(dp=1, tp=2)
+    sp = shard_decoder_for_tp(bundle.params, mesh)
+    tp_row = []
+    c2 = create_cache(CFG, 1, 64, dtype=jnp.float32)
+    lg, c2 = tp_decoder_forward(sp, CFG, mesh, prefill, c2, 0,
+                                block_only=True)
+    p = prompt.shape[1]
+    for _ in range(NEW):
+        t = int(jnp.argmax(lg[0, -1]))
+        tp_row.append(t)
+        if t == 95:
+            break
+        lg, c2 = tp_decoder_forward(
+            sp, CFG, mesh, embed_tokens(bundle.params,
+                                        jnp.asarray([[t]])), c2, p)
+        p += 1
+
+    np.testing.assert_array_equal(host_row, want_hf)
+    assert pool_row == host_row
+    assert tp_row == host_row

@@ -283,3 +283,28 @@ def test_spec_slots_property_fuzz():
                                     ngram=ngram, cache_dtype=cdt)
         assert got == want, (tag, got, want)
         np.testing.assert_array_equal(gact, wact, err_msg=str(tag))
+
+
+def test_spec_slots_capacity_boundary_matches_plain():
+    """Streams that exhaust the cache mid-chunk: the spec pool must emit
+    exactly the plain pool's tokens (clamped accepted suffix), not freeze
+    whole verify blocks early."""
+    cfg = _cfg(vocab=8)
+    params = random_decoder_params(np.random.default_rng(2), cfg)
+    prefills = [
+        jnp.asarray(np.random.default_rng(70 + i).standard_normal(
+            (1, t0, 128)) * 0.1, jnp.float32)
+        for i, t0 in enumerate((4, 6))]
+    S = 24                      # tiny: slots hit capacity inside round 2
+    want, wpos, wact = _run_plain(cfg, params, prefills, S=S, chunk=12,
+                                  rounds=2)
+    got, gpos, gact = _run_spec(cfg, params, prefills, S=S, chunk=12,
+                                rounds=2, spec_k=6)
+    # the plain pool pads frozen steps with eos (-1, never really emitted
+    # here) which the plain helper appends; the spec pool returns exact
+    # counts — compare the real emitted streams
+    want = [[t for t in row if t != -1] for row in want]
+    assert got == want, (got, want)
+    np.testing.assert_array_equal(gpos, wpos)   # same final cache positions
+    np.testing.assert_array_equal(gact, wact)
+    assert not gact.any()       # both pools exhausted the cache

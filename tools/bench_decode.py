@@ -263,8 +263,8 @@ def main() -> int:
                     iters += args.chunk
             np.asarray(toks)    # sync
 
-            class R:
-                tokens = [[0] * (total // B)] * B
+            class R:            # exact aggregate count (spec rounds can
+                tokens = [[0] * total]   # emit non-multiples of B)
             R.iters = iters
             return R
         if args.beam > 0:
