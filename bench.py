@@ -25,7 +25,10 @@ import numpy as np
 CLIP_SECONDS = 30.0
 CHAIN = 20
 RTT_S = 0.030
-WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", "900"))
+# must outlast a worst-case FRESH remote compile of the encoder chain
+# (5-18 min per new program shape on this setup) — 900 s once zeroed the
+# metric on a healthy tunnel that was merely cold-compiling
+WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", "1800"))
 
 
 def _report_failure():
