@@ -106,6 +106,12 @@ def transcribe_long_form(
     # a sequential dependency, so windows decode one at a time (the
     # reference pays the same serialization; batched long-form requires
     # the default no_context=True)
+    # whisper_full_params suppression (suppress_regex / non-speech list)
+    # applies to the serving decodes too, same as the whisper_full path
+    from qwen2_audio_tpu.runtime.decoding import build_suppress_mask
+    sup_np = build_suppress_mask(bundle, params)
+    sup_mask = None if sup_np is None else jnp.asarray(sup_np)
+
     carry_context = not params.no_context
     if carry_context and batch_size > 1:
         batch_size = 1
@@ -130,7 +136,8 @@ def transcribe_long_form(
                                    max_new_tokens=params.max_new_tokens,
                                    length_penalty=params.length_penalty,
                                    repetition_penalty=params.repetition_penalty,
-                                   timings=state.timings)
+                                   timings=state.timings,
+                                   suppress_mask=sup_np)
                        for b in range(len(group))]
             tokens = [r.tokens[0] for r in results]
             avglp = [r.avg_logprob[0] for r in results]
@@ -140,7 +147,8 @@ def transcribe_long_form(
             r = greedy_decode_device(
                 bundle, prefill, max_new_tokens=params.max_new_tokens,
                 temperature=params.temperature,
-                repetition_penalty=params.repetition_penalty)
+                repetition_penalty=params.repetition_penalty,
+                suppress_mask=sup_mask)
             state.timings.t_decode_us += time_us() - t0
             state.timings.n_decode += sum(len(t) for t in r.tokens)
             tokens, avglp = r.tokens, r.avg_logprob
@@ -221,6 +229,10 @@ def transcribe_continuous(
     hp = ctx.hparams
     state = ctx.state or ctx.init_state()
     bundle = ctx.decoder
+
+    from qwen2_audio_tpu.runtime.decoding import build_suppress_mask
+    sup_np = build_suppress_mask(bundle, params)
+    sup_mask = None if sup_np is None else jnp.asarray(sup_np)
 
     dec_params = bundle.params
     if mesh is not None:
@@ -315,14 +327,15 @@ def transcribe_continuous(
             (cache, slot_pos, slot_logits, slot_active, slot_hist,
              slot_hlen, toks, lps, n_new, _iters) = _chunk_spec(
                 cache, slot_pos, slot_logits,
-                slot_active, slot_hist, slot_hlen, chunk=chunk_tokens,
+                slot_active, slot_hist, slot_hlen, sup_mask,
+                chunk=chunk_tokens,
                 eos_token_id=bundle.eos_token_id, spec_k=spec_k)
             n_new = np.asarray(n_new)
         else:
             cache, slot_pos, slot_logits, slot_active, toks, lps = \
                 _chunk(
                     cache, slot_pos, slot_logits,
-                    slot_active, chunk=chunk_tokens,
+                    slot_active, sup_mask, chunk=chunk_tokens,
                     eos_token_id=bundle.eos_token_id)
             n_new = np.full((B,), chunk_tokens)
         toks = np.asarray(toks)

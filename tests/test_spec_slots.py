@@ -308,3 +308,48 @@ def test_spec_slots_capacity_boundary_matches_plain():
     np.testing.assert_array_equal(gpos, wpos)   # same final cache positions
     np.testing.assert_array_equal(gact, wact)
     assert not gact.any()       # both pools exhausted the cache
+
+
+def test_serving_honors_suppression(rng):
+    """FullParams.suppress_regex must mask tokens in the serving paths
+    (transcribe_continuous and transcribe_long_form), same as the
+    whisper_full decode — previously only the full() path built the
+    mask."""
+    import io
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.config import WhisperHParams
+    from qwen2_audio_tpu.io.export import write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+    from qwen2_audio_tpu.runtime import WhisperContext, FullParams
+    from qwen2_audio_tpu.runtime.serving import (transcribe_continuous,
+                                                 transcribe_long_form)
+
+    hp = WhisperHParams(n_vocab=64, n_audio_ctx=64, n_audio_state=64,
+                        n_audio_head=4, n_audio_layer=2, n_mels=16)
+    buf = io.BytesIO()
+    write_encoder_checkpoint(buf, random_encoder_params(rng, hp), hp,
+                             mel_filterbank(hp.n_mels), [b"x"] * 60)
+    cfg = _cfg(vocab=96)
+    samples = (0.1 * np.random.default_rng(8).standard_normal(16000 * 3)
+               ).astype(np.float32)
+
+    def run(fn, regex, **kw):
+        ctx = WhisperContext.init_from_buffer_with_params(buf.getvalue())
+        ctx.decoder = random_bundle(np.random.default_rng(3), cfg,
+                                    enc_state=64, max_ctx=512)
+        # token_strings: make every id a distinct digit-ish surface
+        ctx.decoder.token_strings = lambda i: f"tok{i}"
+        p = FullParams(max_new_tokens=8, temperature_inc=0.0,
+                       suppress_regex=regex)
+        return [t for s in fn(ctx, samples, p, **kw) for t in s.tokens]
+
+    base = run(transcribe_continuous, "", max_streams=2, chunk_tokens=4)
+    assert base, "need a non-empty decode to test suppression"
+    banned = base[0]
+    regex = f"^tok{banned}$"
+    for fn, kw in ((transcribe_continuous,
+                    dict(max_streams=2, chunk_tokens=4)),
+                   (transcribe_long_form, dict(batch_size=2))):
+        out = run(fn, regex, **kw)
+        assert banned not in out, (fn.__name__, banned, out)
