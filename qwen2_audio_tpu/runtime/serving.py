@@ -189,31 +189,28 @@ def transcribe_long_form(
             yield seg
 
 
-def transcribe_continuous(
-    ctx: WhisperContext,
-    samples: np.ndarray,
-    params: FullParams | None = None,
-    max_streams: int = 8,
-    chunk_tokens: int = 16,
-    mesh=None,
-) -> Iterator[Segment]:
-    """Continuous batching over 30 s windows: a fixed pool of
-    `max_streams` decode slots shares ONE KV cache; when a window
-    finishes (EOS or token budget) its slot is refilled with the next
-    window while the others keep decoding — no lockstep barrier at
-    bucket edges (ROADMAP round-1 lever 4; the reference's declared
-    whisper_full_parallel never existed to compare against).
+class _Job:
+    """One decode stream for the shared slot pool: an encoded window (or
+    any audio-conditioned prefix) plus the metadata its Segment needs."""
 
-    Device primitives: generate.prefill_slot (install one stream's K/V
-    block + first logits at a slot index) and generate.decode_chunk_slots
-    (advance every active slot `chunk_tokens` with per-slot positions).
-    Segments are yielded in COMPLETION order, each tagged with its window
-    time range.
+    __slots__ = ("tag", "enc", "t0_cs", "t1_cs")
 
-    ``mesh``: a jax Mesh with a "tp" axis runs the decode tensor-parallel
-    through the production quant kernels (parallel/tp.py shard_map;
-    requires the canonical unfused decoder schema). Data-parallel serving
-    needs no machinery: run one pool per replica.
+    def __init__(self, tag, enc, t0_cs, t1_cs):
+        self.tag, self.enc = tag, enc
+        self.t0_cs, self.t1_cs = t0_cs, t1_cs
+
+
+def _serve_pool(ctx, params, jobs, max_streams, chunk_tokens, mesh):
+    """Continuous-batching core: a fixed pool of decode slots over ONE
+    shared KV cache; finished slots refill from the job queue with no
+    lockstep barrier. Yields (job, Segment) in COMPLETION order.
+
+    Used by transcribe_continuous (jobs = one audio's 30 s windows) and
+    transcribe_many (jobs = windows of MANY requests — continuous
+    batching across requests, the vLLM-style serving shape). With
+    FullParams.speculative_k, slots self-draft and verify in one
+    (B, K+1) forward (decode_chunk_slots_spec); with ``mesh`` the decode
+    runs tensor-parallel through parallel/tp.py.
     """
     import functools
     import jax.numpy as jnp
@@ -222,11 +219,6 @@ def transcribe_continuous(
                                                   prefill_slot)
     from qwen2_audio_tpu.models.qwen2_decoder import create_cache
 
-    if ctx.decoder is None:
-        raise RuntimeError("transcribe_continuous requires an attached "
-                           "decoder")
-    params = params or FullParams()
-    hp = ctx.hparams
     state = ctx.state or ctx.init_state()
     bundle = ctx.decoder
 
@@ -254,26 +246,17 @@ def transcribe_continuous(
         _chunk_spec = functools.partial(decode_chunk_slots_spec, dec_params,
                                         bundle.cfg)
 
-    if ctx.pcm_to_mel_with_state(state, samples) != 0:
-        raise RuntimeError("mel computation failed")
-    mel = state.mel
-    offsets = _chunk_offsets(mel.n_len_org, hp.n_audio_ctx)
-    if not offsets:
+    queue = list(jobs)
+    if not queue:
         return
-    window_cs = 2 * hp.n_audio_ctx
-
-    # encode all windows up front (batched; cheap next to decode)
-    enc = encode_windows(ctx, mel, offsets,
-                         batch_size=min(max_streams, len(offsets)))
-    queue = list(range(len(offsets)))            # window indices to decode
-    B = min(max_streams, len(offsets))
+    B = min(max_streams, len(queue))
 
     cache = create_cache(bundle.cfg, B, bundle.max_ctx,
                          dtype=bundle.cache_dtype)
     slot_pos = jnp.zeros((B,), jnp.int32)
     slot_logits = jnp.zeros((B, bundle.cfg.vocab_size), jnp.float32)
     slot_active = jnp.zeros((B,), bool)
-    slot_window = [-1] * B                       # window index per slot
+    slot_job: list = [None] * B
     emitted: dict[int, tuple[list[int], list[float]]] = {}
     budget = params.max_new_tokens
 
@@ -297,6 +280,8 @@ def transcribe_continuous(
         hbuf = budget + chunk_tokens + spec_k + 8
         slot_hist = jnp.zeros((B, hbuf), jnp.int32)
         slot_hlen = jnp.zeros((B,), jnp.int32)
+    else:
+        slot_hist = slot_hlen = None
 
     def refill(free_slots):
         nonlocal cache, slot_pos, slot_logits, slot_active
@@ -304,8 +289,8 @@ def transcribe_continuous(
         for s in free_slots:
             if not queue:
                 break
-            w = queue.pop(0)
-            audio = bundle.project_audio(enc[w])
+            job = queue.pop(0)
+            audio = bundle.project_audio(job.enc)
             pre = _prefill_embeds(bundle, audio,
                                   params.prompt_tokens or [])[0][None]
             cache, slot_pos, slot_logits, slot_active = _prefill(
@@ -314,15 +299,13 @@ def transcribe_continuous(
             if spec_k > 0:      # fresh draft history for the new stream
                 slot_hist = slot_hist.at[s].set(0)
                 slot_hlen = slot_hlen.at[s].set(0)
-            slot_window[s] = w
-            emitted[w] = ([], [])
+            slot_job[s] = job
+            emitted[s] = ([], [])
 
-    if spec_k <= 0:
-        slot_hist = slot_hlen = None
     refill(range(B))
     t0 = time_us()
     n_decoded = 0
-    while any(w >= 0 for w in slot_window):
+    while any(j is not None for j in slot_job):
         if spec_k > 0:
             (cache, slot_pos, slot_logits, slot_active, slot_hist,
              slot_hlen, toks, lps, n_new, _iters) = _chunk_spec(
@@ -343,10 +326,9 @@ def transcribe_continuous(
         active = np.asarray(slot_active)
         finished = []
         for s in range(B):
-            w = slot_window[s]
-            if w < 0:
+            if slot_job[s] is None:
                 continue
-            row, lrow = emitted[w]
+            row, lrow = emitted[s]
             for j in range(int(n_new[s])):
                 if len(row) >= budget:
                     break
@@ -360,13 +342,12 @@ def transcribe_continuous(
             if (not active[s]) or len(row) >= budget:
                 finished.append(s)
         for s in finished:
-            w = slot_window[s]
-            slot_window[s] = -1
+            job = slot_job[s]
+            slot_job[s] = None
             slot_active = slot_active.at[s].set(False)
-            row, lrow = emitted.pop(w)
-            off = offsets[w]
+            row, lrow = emitted.pop(s)
             seg = Segment(
-                t0_cs=off, t1_cs=min(off + window_cs, mel.n_len_org),
+                t0_cs=job.t0_cs, t1_cs=job.t1_cs,
                 text=bundle.text(row), tokens=row,
                 avg_logprob=float(np.mean(lrow)) if lrow else 0.0)
             from qwen2_audio_tpu.runtime.decoding import _token_surfaces
@@ -377,8 +358,101 @@ def transcribe_continuous(
                 "probs": [float(np.exp(min(l, 0.0))) for l in lrow],
                 "speaker_turn_next": False,
             })
-            yield seg
+            yield job, seg
         if finished:
             refill(finished)
     state.timings.t_decode_us += time_us() - t0
     state.timings.n_decode += n_decoded
+
+
+def transcribe_continuous(
+    ctx: WhisperContext,
+    samples: np.ndarray,
+    params: FullParams | None = None,
+    max_streams: int = 8,
+    chunk_tokens: int = 16,
+    mesh=None,
+) -> Iterator[Segment]:
+    """Continuous batching over 30 s windows: a fixed pool of
+    `max_streams` decode slots shares ONE KV cache; when a window
+    finishes (EOS or token budget) its slot is refilled with the next
+    window while the others keep decoding — no lockstep barrier at
+    bucket edges (ROADMAP round-1 lever 4; the reference's declared
+    whisper_full_parallel never existed to compare against).
+
+    Device primitives: generate.prefill_slot (install one stream's K/V
+    block + first logits at a slot index) and generate.decode_chunk_slots
+    (advance every active slot `chunk_tokens` with per-slot positions).
+    Segments are yielded in COMPLETION order, each tagged with its window
+    time range.
+
+    ``mesh``: a jax Mesh with a "tp" axis runs the decode tensor-parallel
+    through the production quant kernels (parallel/tp.py shard_map;
+    requires the canonical unfused decoder schema). Data-parallel serving
+    needs no machinery: run one pool per replica.
+    """
+    if ctx.decoder is None:
+        raise RuntimeError("transcribe_continuous requires an attached "
+                           "decoder")
+    params = params or FullParams()
+    hp = ctx.hparams
+    state = ctx.state or ctx.init_state()
+
+    if ctx.pcm_to_mel_with_state(state, samples) != 0:
+        raise RuntimeError("mel computation failed")
+    mel = state.mel
+    offsets = _chunk_offsets(mel.n_len_org, hp.n_audio_ctx)
+    if not offsets:
+        return
+    window_cs = 2 * hp.n_audio_ctx
+
+    # encode all windows up front (batched; cheap next to decode)
+    enc = encode_windows(ctx, mel, offsets,
+                         batch_size=min(max_streams, len(offsets)))
+    jobs = [_Job(w, enc[w], off, min(off + window_cs, mel.n_len_org))
+            for w, off in enumerate(offsets)]
+    for _job, seg in _serve_pool(ctx, params, jobs, max_streams,
+                                 chunk_tokens, mesh):
+        yield seg
+
+
+def transcribe_many(
+    ctx: WhisperContext,
+    audios: list,
+    params: FullParams | None = None,
+    max_streams: int = 8,
+    chunk_tokens: int = 16,
+    mesh=None,
+) -> "Iterator[tuple[int, Segment]]":
+    """Continuous batching ACROSS requests: the windows of MANY audio
+    inputs share one slot pool — a short clip's slot refills with the
+    next request's window while long clips keep decoding, so no request
+    waits for a batch barrier (the production serving shape; nothing in
+    the reference compares — its whisper_full_parallel was never even
+    implemented for ONE audio, include/qwen2-whisper.h:464-469).
+
+    Yields (audio_index, Segment) in COMPLETION order across requests.
+    """
+    if ctx.decoder is None:
+        raise RuntimeError("transcribe_many requires an attached decoder")
+    params = params or FullParams()
+    hp = ctx.hparams
+    state = ctx.state or ctx.init_state()
+    window_cs = 2 * hp.n_audio_ctx
+
+    jobs = []
+    for a, samples in enumerate(audios):
+        if ctx.pcm_to_mel_with_state(state, samples) != 0:
+            raise RuntimeError(f"mel computation failed (audio {a})")
+        mel = state.mel
+        offsets = _chunk_offsets(mel.n_len_org, hp.n_audio_ctx)
+        if not offsets:
+            continue
+        enc = encode_windows(ctx, mel, offsets,
+                             batch_size=min(max_streams, len(offsets)))
+        for w, off in enumerate(offsets):
+            jobs.append(_Job(a, enc[w], off,
+                             min(off + window_cs, mel.n_len_org)))
+    for job, seg in _serve_pool(ctx, params, jobs, max_streams,
+                                chunk_tokens, mesh):
+        yield job.tag, seg

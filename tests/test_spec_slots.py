@@ -353,3 +353,47 @@ def test_serving_honors_suppression(rng):
                    (transcribe_long_form, dict(batch_size=2))):
         out = run(fn, regex, **kw)
         assert banned not in out, (fn.__name__, banned, out)
+
+
+def test_transcribe_many_matches_per_audio_runs(rng):
+    """Continuous batching across requests: each audio's segments from the
+    shared pool must equal its own transcribe_continuous run."""
+    import io
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.config import WhisperHParams
+    from qwen2_audio_tpu.io.export import write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+    from qwen2_audio_tpu.runtime import WhisperContext, FullParams
+    from qwen2_audio_tpu.runtime.serving import (transcribe_continuous,
+                                                 transcribe_many)
+
+    hp = WhisperHParams(n_vocab=64, n_audio_ctx=64, n_audio_state=64,
+                        n_audio_head=4, n_audio_layer=2, n_mels=16)
+    buf = io.BytesIO()
+    write_encoder_checkpoint(buf, random_encoder_params(rng, hp), hp,
+                             mel_filterbank(hp.n_mels), [b"x"] * 60)
+    cfg = _cfg(vocab=96)
+    g = np.random.default_rng(8)
+    audios = [(0.1 * g.standard_normal(16000 * n)).astype(np.float32)
+              for n in (3, 2, 4)]        # different lengths -> ragged refill
+    p = FullParams(max_new_tokens=6, temperature_inc=0.0)
+
+    def ctx_new():
+        c = WhisperContext.init_from_buffer_with_params(buf.getvalue())
+        c.decoder = random_bundle(np.random.default_rng(3), cfg,
+                                  enc_state=64, max_ctx=512)
+        return c
+
+    want = {}
+    for a, smp in enumerate(audios):
+        segs = transcribe_continuous(ctx_new(), smp, p, max_streams=2,
+                                     chunk_tokens=4)
+        want[a] = sorted((s.t0_cs, tuple(s.tokens)) for s in segs)
+
+    got: dict[int, list] = {a: [] for a in range(len(audios))}
+    for a, seg in transcribe_many(ctx_new(), audios, p, max_streams=2,
+                                  chunk_tokens=4):
+        got[a].append((seg.t0_cs, tuple(seg.tokens)))
+    got = {a: sorted(v) for a, v in got.items()}
+    assert got == want
