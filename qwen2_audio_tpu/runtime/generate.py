@@ -706,12 +706,14 @@ def decode_chunk_slots_spec(params, cfg, cache, slot_pos, slot_logits,
     ``iters`` counts verify forwards (mean accepted length per slot =
     n_new / iters).
 
-    Capacity semantics: a slot freezes when its next verify block would
-    not fit (pos + spec_k + 1 > S) — up to spec_k positions earlier than
-    the plain path's pos + 1 < S guard. Frozen/finished slots still ride
-    the batched forward but their writes land above their live rows
-    (every row is rewritten before it is first read; out-of-range rows
-    are dropped by scatter semantics, models/qwen2_decoder.py).
+    Capacity semantics match the plain pool EXACTLY: the accepted suffix
+    is clamped to the remaining cache rows (last token may write row
+    S-1; the slot freezes once pos reaches S), so whether speculation is
+    enabled never changes what a capacity-limited stream emits.
+    Frozen/finished slots still ride the batched forward but their
+    writes land above their live rows (every row is rewritten before it
+    is first read; out-of-range rows are dropped by scatter semantics,
+    models/qwen2_decoder.py).
 
     No reference analog: its decode scaffolding is one token per graph
     launch (src/qwen2-whisper.cpp:2675 commented decode path); this

@@ -108,9 +108,11 @@ def transcribe_long_form(
     # the default no_context=True)
     # whisper_full_params suppression (suppress_regex / non-speech list)
     # applies to the serving decodes too, same as the whisper_full path
-    from qwen2_audio_tpu.runtime.decoding import build_suppress_mask
+    from qwen2_audio_tpu.runtime.decoding import (build_blank_mask,
+                                                  build_suppress_mask)
     sup_np = build_suppress_mask(bundle, params)
     sup_mask = None if sup_np is None else jnp.asarray(sup_np)
+    blank_np = build_blank_mask(bundle, params)   # step-0 suppress_blank
 
     carry_context = not params.no_context
     if carry_context and batch_size > 1:
@@ -137,7 +139,8 @@ def transcribe_long_form(
                                    length_penalty=params.length_penalty,
                                    repetition_penalty=params.repetition_penalty,
                                    timings=state.timings,
-                                   suppress_mask=sup_np)
+                                   suppress_mask=sup_np,
+                                   suppress_first=blank_np)
                        for b in range(len(group))]
             tokens = [r.tokens[0] for r in results]
             avglp = [r.avg_logprob[0] for r in results]
@@ -148,7 +151,9 @@ def transcribe_long_form(
                 bundle, prefill, max_new_tokens=params.max_new_tokens,
                 temperature=params.temperature,
                 repetition_penalty=params.repetition_penalty,
-                suppress_mask=sup_mask)
+                suppress_mask=sup_mask,
+                suppress_first=None if blank_np is None
+                else jnp.asarray(blank_np))
             state.timings.t_decode_us += time_us() - t0
             state.timings.n_decode += sum(len(t) for t in r.tokens)
             tokens, avglp = r.tokens, r.avg_logprob
@@ -200,7 +205,7 @@ class _Job:
         self.t0_cs, self.t1_cs = t0_cs, t1_cs
 
 
-def _serve_pool(ctx, params, jobs, max_streams, chunk_tokens, mesh):
+def _serve_pool(ctx, params, jobs, n_slots, chunk_tokens, mesh):
     """Continuous-batching core: a fixed pool of decode slots over ONE
     shared KV cache; finished slots refill from the job queue with no
     lockstep barrier. Yields (job, Segment) in COMPLETION order.
@@ -213,18 +218,25 @@ def _serve_pool(ctx, params, jobs, max_streams, chunk_tokens, mesh):
     runs tensor-parallel through parallel/tp.py.
     """
     import functools
-    import jax.numpy as jnp
     from qwen2_audio_tpu.runtime.generate import (decode_chunk_slots,
                                                   decode_chunk_slots_spec,
                                                   prefill_slot)
     from qwen2_audio_tpu.models.qwen2_decoder import create_cache
+    from qwen2_audio_tpu.runtime.decoding import (build_blank_mask,
+                                                  build_suppress_mask)
 
     state = ctx.state or ctx.init_state()
     bundle = ctx.decoder
 
-    from qwen2_audio_tpu.runtime.decoding import build_suppress_mask
     sup_np = build_suppress_mask(bundle, params)
     sup_mask = None if sup_np is None else jnp.asarray(sup_np)
+    # FullParams.suppress_blank: a step-0-only mask. Each slot's "step 0"
+    # samples from the logits prefill_slot installed, so baking the mask
+    # into that state row at refill time is exactly the whisper_full
+    # behavior (the first chunk read adds sup_mask on top; the row is
+    # overwritten with raw logits after the first emission).
+    blank_np = build_blank_mask(bundle, params)
+    blank = None if blank_np is None else jnp.asarray(blank_np)
 
     dec_params = bundle.params
     if mesh is not None:
@@ -246,10 +258,8 @@ def _serve_pool(ctx, params, jobs, max_streams, chunk_tokens, mesh):
         _chunk_spec = functools.partial(decode_chunk_slots_spec, dec_params,
                                         bundle.cfg)
 
-    queue = list(jobs)
-    if not queue:
-        return
-    B = min(max_streams, len(queue))
+    queue = iter(jobs)          # pulled lazily: transcribe_many encodes
+    B = n_slots                  # each audio only when a slot wants it
 
     cache = create_cache(bundle.cfg, B, bundle.max_ctx,
                          dtype=bundle.cache_dtype)
@@ -287,15 +297,17 @@ def _serve_pool(ctx, params, jobs, max_streams, chunk_tokens, mesh):
         nonlocal cache, slot_pos, slot_logits, slot_active
         nonlocal slot_hist, slot_hlen
         for s in free_slots:
-            if not queue:
+            job = next(queue, None)
+            if job is None:
                 break
-            job = queue.pop(0)
             audio = bundle.project_audio(job.enc)
             pre = _prefill_embeds(bundle, audio,
                                   params.prompt_tokens or [])[0][None]
             cache, slot_pos, slot_logits, slot_active = _prefill(
                 cache, slot_pos, slot_logits,
                 slot_active, jnp.int32(s), jnp.asarray(pre))
+            if blank is not None:    # step-0 blank/EOT suppression
+                slot_logits = slot_logits.at[s].add(blank)
             if spec_k > 0:      # fresh draft history for the new stream
                 slot_hist = slot_hist.at[s].set(0)
                 slot_hlen = slot_hlen.at[s].set(0)
@@ -315,12 +327,17 @@ def _serve_pool(ctx, params, jobs, max_streams, chunk_tokens, mesh):
                 eos_token_id=bundle.eos_token_id, spec_k=spec_k)
             n_new = np.asarray(n_new)
         else:
+            pos_before = np.asarray(slot_pos)
             cache, slot_pos, slot_logits, slot_active, toks, lps = \
                 _chunk(
                     cache, slot_pos, slot_logits,
                     slot_active, sup_mask, chunk=chunk_tokens,
                     eos_token_id=bundle.eos_token_id)
-            n_new = np.full((B,), chunk_tokens)
+            # exact per-slot emission: the plain pool advances pos once
+            # per REAL token (frozen steps pad toks with eos but do not
+            # advance) — without this, a capacity freeze would append a
+            # phantom EOS the model never emitted
+            n_new = np.asarray(slot_pos) - pos_before
         toks = np.asarray(toks)
         lps = np.asarray(lps)
         active = np.asarray(slot_active)
@@ -411,7 +428,8 @@ def transcribe_continuous(
                          batch_size=min(max_streams, len(offsets)))
     jobs = [_Job(w, enc[w], off, min(off + window_cs, mel.n_len_org))
             for w, off in enumerate(offsets)]
-    for _job, seg in _serve_pool(ctx, params, jobs, max_streams,
+    for _job, seg in _serve_pool(ctx, params, jobs,
+                                 min(max_streams, len(jobs)),
                                  chunk_tokens, mesh):
         yield seg
 
@@ -440,19 +458,23 @@ def transcribe_many(
     state = ctx.state or ctx.init_state()
     window_cs = 2 * hp.n_audio_ctx
 
-    jobs = []
-    for a, samples in enumerate(audios):
-        if ctx.pcm_to_mel_with_state(state, samples) != 0:
-            raise RuntimeError(f"mel computation failed (audio {a})")
-        mel = state.mel
-        offsets = _chunk_offsets(mel.n_len_org, hp.n_audio_ctx)
-        if not offsets:
-            continue
-        enc = encode_windows(ctx, mel, offsets,
-                             batch_size=min(max_streams, len(offsets)))
-        for w, off in enumerate(offsets):
-            jobs.append(_Job(a, enc[w], off,
-                             min(off + window_cs, mel.n_len_org)))
-    for job, seg in _serve_pool(ctx, params, jobs, max_streams,
+    def jobs():
+        # LAZY per-audio: mel + encode run only when the pool pulls a
+        # request's first window, so first-token latency and held encoder
+        # outputs scale with the pool depth, not the queue length
+        for a, samples in enumerate(audios):
+            if ctx.pcm_to_mel_with_state(state, samples) != 0:
+                raise RuntimeError(f"mel computation failed (audio {a})")
+            mel = state.mel
+            offsets = _chunk_offsets(mel.n_len_org, hp.n_audio_ctx)
+            if not offsets:
+                continue
+            enc = encode_windows(ctx, mel, offsets,
+                                 batch_size=min(max_streams, len(offsets)))
+            for w, off in enumerate(offsets):
+                yield _Job(a, enc[w], off,
+                           min(off + window_cs, mel.n_len_org))
+
+    for job, seg in _serve_pool(ctx, params, jobs(), max_streams,
                                 chunk_tokens, mesh):
         yield job.tag, seg

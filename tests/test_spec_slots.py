@@ -252,7 +252,6 @@ def test_spec_slots_property_fuzz():
     sizes, spec widths, n-gram orders, vocab sizes (cycle-prone and not),
     EOS choices and cache dtypes, the spec pool must equal the plain pool
     stream-for-stream."""
-    import itertools
     base = np.random.default_rng(1234)
     for trial in range(6):
         vocab = int(base.choice([8, 16, 64]))
@@ -397,3 +396,53 @@ def test_transcribe_many_matches_per_audio_runs(rng):
         got[a].append((seg.t0_cs, tuple(seg.tokens)))
     got = {a: sorted(v) for a, v in got.items()}
     assert got == want
+
+
+def test_serving_suppress_blank_and_capacity_parity(rng):
+    """Two serving-level regressions: (1) FullParams.suppress_blank masks
+    the blank first token in the pool (step-0 mask baked into the
+    prefilled slot logits); (2) a capacity-frozen stream emits identical
+    tokens with speculation on or off — the plain pool must not append
+    the device's frozen-step EOS padding as a real token."""
+    import io
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.config import WhisperHParams
+    from qwen2_audio_tpu.io.export import write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+    from qwen2_audio_tpu.runtime import WhisperContext, FullParams
+    from qwen2_audio_tpu.runtime.serving import transcribe_continuous
+
+    hp = WhisperHParams(n_vocab=64, n_audio_ctx=64, n_audio_state=64,
+                        n_audio_head=4, n_audio_layer=2, n_mels=16)
+    buf = io.BytesIO()
+    write_encoder_checkpoint(buf, random_encoder_params(rng, hp), hp,
+                             mel_filterbank(hp.n_mels), [b"x"] * 60)
+    cfg = _cfg(vocab=96)
+    smp = (0.1 * np.random.default_rng(8).standard_normal(16000 * 3)
+           ).astype(np.float32)
+
+    def run(max_ctx, sk, blank=False, blank_tok=None):
+        ctx = WhisperContext.init_from_buffer_with_params(buf.getvalue())
+        ctx.decoder = random_bundle(np.random.default_rng(3), cfg,
+                                    enc_state=64, max_ctx=max_ctx)
+        if blank_tok is not None:
+            ctx.decoder.token_strings = \
+                lambda i: " " if i == blank_tok else f"tok{i}"
+        p = FullParams(max_new_tokens=8, temperature_inc=0.0,
+                       suppress_blank=blank, speculative_k=sk)
+        return [tuple(s.tokens) for s in sorted(
+            transcribe_continuous(ctx, smp, p, max_streams=1,
+                                  chunk_tokens=4),
+            key=lambda s: s.t0_cs)]
+
+    # (1) suppress_blank masks the natural first token when it is "blank"
+    first = run(512, 0, blank=False)[0][0]
+    masked = run(512, 0, blank=True, blank_tok=first)
+    assert masked[0][0] != first
+
+    # (2) capacity freeze: prefill(~35 embeds) + a few tokens exhausts a
+    # tiny cache mid-chunk; spec on/off must emit identical streams
+    plain = run(40, 0)
+    spec = run(40, 7)
+    assert plain == spec, (plain, spec)

@@ -299,7 +299,8 @@ def main() -> int:
     r = decode_once()
     compile_s = time.time() - t0
     print(f"compile+warm {compile_s:.1f}s "
-          f"({len(r.tokens[0])} tokens)", file=sys.stderr)
+          f"({sum(len(t) for t in r.tokens)} tokens total)",
+          file=sys.stderr)
     print(f"time-to-first-token from process start: "
           f"{time.time()-t_process0:.1f}s", file=sys.stderr)
 
