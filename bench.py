@@ -82,16 +82,14 @@ def main() -> int:
              + 0.05 * rng.standard_normal(t.size)).astype(np.float32)
 
     t0 = time.perf_counter()
-    if on_tpu and os.path.exists("/tmp/qa_kernel_ok_mel"):
-        # validated fused Pallas mel: compiles in seconds; the XLA gather
-        # formulation takes minutes through the remote-compile path
-        from qwen2_audio_tpu.ops.mel_kernel import log_mel_spectrogram_fused
-        mel = log_mel_spectrogram_fused(audio, mel_filterbank(hp.n_mels))
-    elif on_tpu:
-        # fresh host, marker not yet written: the XLA mel would pay a
-        # multi-minute remote compile (BENCH_r02 measured 259 s) while the
-        # validator is still running in the background — the numpy host
-        # mel is exact (C-loop oracle-tested) and compiles nothing
+    if on_tpu:
+        # Input prep, not part of the timed metric: the numpy host mel is
+        # exact (C-loop oracle-tested) and compiles NOTHING. Any device mel
+        # (XLA gather or the validated fused Pallas kernel) pays a
+        # multi-minute remote compile on a cold cache — BENCH_r02 measured
+        # 259 s for the XLA form, a cold r3 run 307 s for the fused kernel
+        # — which is pure driver-run waste. The device mels stay covered by
+        # the validator (marker `mel`) and the mel benches.
         from qwen2_audio_tpu.audio.mel import log_mel_spectrogram_np
         mel = log_mel_spectrogram_np(audio, mel_filterbank(hp.n_mels))
     else:

@@ -44,6 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from qwen2_audio_tpu.ops.quant_matmul import scales_f32
+
 
 def _use_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
@@ -53,7 +55,7 @@ def _use_interpret() -> bool:
 
 def _deq_strided(q_ref, s_ref):
     q = q_ref[0].astype(jnp.float32)
-    s = s_ref[0].astype(jnp.float32)
+    s = scales_f32(s_ref[0])
     k, n = q.shape
     group = k // s.shape[0]
     s_full = jnp.broadcast_to(s[:, None, :], (k // group, group, n)
@@ -63,7 +65,7 @@ def _deq_strided(q_ref, s_ref):
 
 def _deq_strided_m(q_ref, s_ref, m_ref):
     q = q_ref[0].astype(jnp.float32)
-    s = s_ref[0].astype(jnp.float32)
+    s = scales_f32(s_ref[0])
     m = m_ref[0].astype(jnp.float32)
     k, n = q.shape
     group = k // s.shape[0]
@@ -82,7 +84,7 @@ def _deq_packed_m(qp_ref, s_ref, m_ref):
     hi = (p >> 4).astype(jnp.float32)
     q = jnp.concatenate([lo.reshape(n_g, 16, bn), hi.reshape(n_g, 16, bn)],
                         axis=1).reshape(bk, bn)
-    s = s_ref[0].astype(jnp.float32)
+    s = scales_f32(s_ref[0])
     m = m_ref[0].astype(jnp.float32)
     s_full = jnp.broadcast_to(s[:, None, :], (n_g, 32, bn)).reshape(bk, bn)
     m_full = jnp.broadcast_to(m[:, None, :], (n_g, 32, bn)).reshape(bk, bn)

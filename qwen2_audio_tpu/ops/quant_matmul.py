@@ -28,6 +28,32 @@ def _use_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def scales_f32(s: jax.Array) -> jax.Array:
+    """Group scales -> f32 values, whatever the storage dtype.
+
+    uint16 arrays are raw f16 BIT PATTERNS expanded with integer ops:
+    this Mosaic build rejects f16 kernel operands outright ("Unsupported
+    type in mosaic dialect: 'f16'", validator stage qmm_sc16), so the
+    lossless half-width scale stream (qparams._scale_u16_enabled) stores
+    the bits and every kernel rebuilds the f32 value here — exact for
+    every finite f16 INCLUDING subnormals. inf/nan are not mapped (ggml
+    block `d` payloads are finite by construction). The expansion is a
+    handful of VPU integer ops on a (bk//group, bn) block — noise next
+    to the (bk, bn) dequant multiply it feeds."""
+    if s.dtype != jnp.uint16:
+        return s.astype(jnp.float32)
+    bits = s.astype(jnp.int32)                    # zero-extending
+    e = (bits >> 10) & 0x1F
+    m = bits & 0x3FF
+    sign = jnp.where((bits >> 15) != 0, -1.0, 1.0).astype(jnp.float32)
+    # normals: f32 bits = (e + 127-15) << 23 | m << 13
+    normal = jax.lax.bitcast_convert_type(((e + 112) << 23) | (m << 13),
+                                          jnp.float32)
+    # subnormals (e == 0): value = m * 2^-24, exact in f32
+    sub = m.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+    return sign * jnp.where(e == 0, sub, normal)
+
+
 def _qmm_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
                 fast: bool, group: int = GROUP):
     @pl.when(pl.program_id(2) == 0)
@@ -35,7 +61,7 @@ def _qmm_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = qs_ref[...].astype(jnp.float32)            # (bk, bn)
-    s = sc_ref[...].astype(jnp.float32)            # (bk//group, bn)
+    s = scales_f32(sc_ref[...])                    # (bk//group, bn)
     # element-wise repeat (row g -> rows g*group..g*group+group-1);
     # pltpu.repeat would TILE the block instead, which is the wrong
     # group expansion
@@ -167,7 +193,7 @@ def _qmm_panel_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = qs_ref[0].astype(jnp.float32)              # (bk, bn)
-    s = sc_ref[0].astype(jnp.float32)              # (bk//group, bn)
+    s = scales_f32(sc_ref[0])                      # (bk//group, bn)
     bk, bn = q.shape
     s_full = jnp.broadcast_to(s[:, None, :], (bk // group, group, bn)
                               ).reshape(bk, bn)
@@ -302,7 +328,7 @@ def _qmm_stacked_kernel(li_ref, x_ref, qs_ref, sc_ref, o_ref, acc_ref, *,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = qs_ref[0].astype(jnp.float32)              # (bk, bn)
-    s = sc_ref[0].astype(jnp.float32)              # (bk//group, bn)
+    s = scales_f32(sc_ref[0])                      # (bk//group, bn)
     bk, bn = q.shape
     s_full = jnp.broadcast_to(s[:, None, :], (bk // group, group, bn)
                               ).reshape(bk, bn)
@@ -386,7 +412,7 @@ def _qmm_panel_stacked_kernel(li_ref, x_ref, qs_ref, sc_ref, o_ref, acc_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = qs_ref[0, 0].astype(jnp.float32)           # (bk, bn)
-    s = sc_ref[0, 0].astype(jnp.float32)
+    s = scales_f32(sc_ref[0, 0])
     bk, bn = q.shape
     s_full = jnp.broadcast_to(s[:, None, :], (bk // group, group, bn)
                               ).reshape(bk, bn)
@@ -475,7 +501,7 @@ def _qmm4_stacked_kernel(li_ref, x_ref, qp_ref, sc_ref, o_ref, acc_ref, *,
     n_g = bk // GROUP
     q = jnp.concatenate([lo.reshape(n_g, 16, bn), hi.reshape(n_g, 16, bn)],
                         axis=1).reshape(bk, bn)
-    s = sc_ref[0].astype(jnp.float32)
+    s = scales_f32(sc_ref[0])
     s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)).reshape(bk, bn)
     w = q * s_full
     if fast:
@@ -620,7 +646,7 @@ def dequantize_weight(qw: dict, dtype=jnp.float32) -> jax.Array:
         return dequantize_weight4(qw, dtype)
     q = qw["qs"].astype(jnp.float32)
     group = q.shape[0] // qw["scales"].shape[0]
-    s = jnp.repeat(qw["scales"].astype(jnp.float32), group, axis=0)
+    s = jnp.repeat(scales_f32(qw["scales"]), group, axis=0)
     w = q * s
     if "mins" in qw:
         w = w + jnp.repeat(qw["mins"].astype(jnp.float32), group, axis=0)
@@ -655,7 +681,7 @@ def _qmm4_kernel(x_ref, qp_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
     n_g = bk // GROUP
     q = jnp.concatenate([lo.reshape(n_g, 16, bn), hi.reshape(n_g, 16, bn)],
                         axis=1).reshape(bk, bn)
-    s = sc_ref[...].astype(jnp.float32)            # (bk//32, bn)
+    s = scales_f32(sc_ref[...])                    # (bk//32, bn)
     s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)).reshape(bk, bn)
     w = q * s_full
     if fast:
@@ -745,6 +771,6 @@ def dequantize_weight4(qw: dict, dtype=jnp.float32) -> jax.Array:
     lo = (p & 0xF).astype(jnp.float32).reshape(n_g, 16, N)
     hi = (p >> 4).astype(jnp.float32).reshape(n_g, 16, N)
     q = jnp.concatenate([lo, hi], axis=1).reshape(K2 * 2, N)
-    s = jnp.repeat(qw["scales"].astype(jnp.float32), GROUP, axis=0)
+    s = jnp.repeat(scales_f32(qw["scales"]), GROUP, axis=0)
     m = jnp.repeat(qw["mins"].astype(jnp.float32), GROUP, axis=0)
     return (q * s + m).astype(dtype)

@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from qwen2_audio_tpu.ops.quant_matmul import scales_f32
+
 GROUP = 32
 
 
@@ -64,9 +66,9 @@ def _kernel(xq_ref, sx_ref, qs_ref, sw_ref, o_ref, acc_ref, *, out_dtype,
         # sx block is TRANSPOSED (groups, m): its lane dim is m, which is
         # always 128-divisible or the full padded M (Mosaic tiling rule);
         # a (m, groups) layout would put the tiny group count on lanes
-        # explicit f32: sw may be stored f16 (qparams._scale16_enabled)
+        # sw may be stored f16 or u16 bit patterns (qparams scale16/u16)
         scale = (sx_ref[g, :][:, None].astype(jnp.float32)
-                 * sw_ref[g, :][None, :].astype(jnp.float32))
+                 * scales_f32(sw_ref[g, :][None, :]))
         acc_ref[...] += p.astype(jnp.float32) * scale
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)

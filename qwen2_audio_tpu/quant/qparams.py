@@ -86,8 +86,40 @@ def _scale16_enabled() -> bool:
     return os.path.exists(_SCALE16_MARKER)
 
 
-def _scale_np_dtype(f16_exact: bool):
-    return np.float16 if (f16_exact and _scale16_enabled()) else np.float32
+_SCALE_U16_MARKER = "/tmp/qa_kernel_ok_qmm_scu16"
+
+
+def _scale_u16_enabled() -> bool:
+    """f16-scale storage as uint16 BIT PATTERNS, expanded to f32 inside the
+    kernels with integer ops (ops/quant_matmul.py::scales_f32). Same
+    lossless half-width HBM stream as _scale16_enabled, but it sidesteps
+    this Mosaic build's rejection of f16 kernel operands ("Unsupported
+    type in mosaic dialect: 'f16'"). Env QA_SCALE_U16=0/1 overrides;
+    default on when hardware-validated (marker qmm_scu16). On CPU the
+    plain-f16 path already defaults on (and is the preferred storage),
+    so u16 stays opt-in there."""
+    import os
+    env = os.environ.get("QA_SCALE_U16")
+    if env is not None:
+        return env not in ("0", "false", "")
+    import jax
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return os.path.exists(_SCALE_U16_MARKER)
+
+
+def _store_scales_np(s: np.ndarray, f16_exact: bool) -> np.ndarray:
+    """Host-side scale storage: f32 by default; where the values are raw
+    f16 block payloads (f16_exact), store half-width — as float16 when the
+    backend can ingest it, else as the uint16 bit pattern (scales_f32
+    expands in-kernel). Both are bit-lossless round-trips of the f32
+    values decoded from the f16 payloads."""
+    s = np.ascontiguousarray(s, dtype=np.float32)
+    if f16_exact and _scale16_enabled():
+        return s.astype(np.float16)
+    if f16_exact and _scale_u16_enabled():
+        return s.astype(np.float16).view(np.uint16)
+    return s
 
 
 def pack4_device_weight(vals_unsigned: np.ndarray, scales: np.ndarray,
@@ -107,8 +139,7 @@ def pack4_device_weight(vals_unsigned: np.ndarray, scales: np.ndarray,
     packed = (g[:, :16] | (g[:, 16:] << 4)).reshape(K // 2, N)
     out = {
         "qs4": np.ascontiguousarray(packed),
-        "scales": np.ascontiguousarray(scales.T,
-                                       dtype=_scale_np_dtype(f16_exact)),
+        "scales": _store_scales_np(scales.T, f16_exact),
         "mins": np.ascontiguousarray(mins.T, dtype=np.float32),
     }
     if to_device:
@@ -125,15 +156,15 @@ def device_weight_from_arrays(q_values: np.ndarray, scales: np.ndarray,
     avoid 2x transient HBM and per-layer tunnel transfers).
     ``f16_exact``: scales are raw f16 block payloads (see
     _scale16_enabled) — float16 storage is lossless for them."""
-    sdt = _scale_np_dtype(f16_exact)
+    sc = _store_scales_np(scales.T, f16_exact)
     if not to_device:
         return {
             "qs": np.ascontiguousarray(q_values.T, dtype=np.int8),
-            "scales": np.ascontiguousarray(scales.T, dtype=sdt),
+            "scales": sc,
         }
     return {
         "qs": jnp.asarray(q_values.T, dtype=_qs_dtype(narrow)),
-        "scales": jnp.asarray(scales.T, dtype=sdt),
+        "scales": jnp.asarray(sc),
     }
 
 

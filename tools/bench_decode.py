@@ -160,12 +160,15 @@ def main() -> int:
 
     if args.quant != "none" and args.cache_dir:
         from qwen2_audio_tpu.io.param_cache import cached_build
-        from qwen2_audio_tpu.quant.qparams import _scale16_enabled
+        from qwen2_audio_tpu.quant.qparams import (_scale16_enabled,
+                                                   _scale_u16_enabled)
         suffix = f"-L{L}" if args.layers else ""
         if args.vocab:
             suffix += f"-V{V}"
         if _scale16_enabled():
             suffix += "-sc16"    # scale dtype is part of the cached layout
+        elif _scale_u16_enabled():
+            suffix += "-scu16"
         path = os.path.join(args.cache_dir,
                             f"bench-{args.size}-{args.quant}{suffix}.npz")
         params = cached_build(path, build_host)

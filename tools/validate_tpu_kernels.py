@@ -192,6 +192,45 @@ def main() -> int:
     finally:
         os.environ.pop("QA_SCALE16", None)
 
+    # 2f'. uint16-bit-pattern scale storage: the same lossless half-width
+    # stream stored as raw f16 bits and expanded in-kernel with integer
+    # ops (ops/quant_matmul.py::scales_f32) — sidesteps the Mosaic f16
+    # operand rejection that fails 2f on this build. SOFT-FAIL like 2f.
+    try:
+        os.environ["QA_SCALE16"] = "0"
+        os.environ["QA_SCALE_U16"] = "1"
+        qwu = quantize_array_for_device(w, GGMLType.Q8_0)
+        os.environ["QA_SCALE_U16"] = "0"
+        qw32u = quantize_array_for_device(w, GGMLType.Q8_0)
+        assert qwu["scales"].dtype == jnp.uint16
+        gotu = np.asarray(quant_linear(x, qwu))
+        got32u = np.asarray(quant_linear(x, qw32u))
+        assert (gotu == got32u).all()
+        gotup = np.asarray(quant_linear_panel(x, panelize_weight(qwu)))
+        got32up = np.asarray(quant_linear_panel(x, panelize_weight(qw32u)))
+        assert (gotup == got32up).all()
+        gotui = np.asarray(quant_matmul_int8(x, qwu["qs"].astype(jnp.int8),
+                                             qwu["scales"]))
+        got32i2 = np.asarray(quant_matmul_int8(x, qw32u["qs"].astype(jnp.int8),
+                                               qw32u["scales"]))
+        assert (gotui == got32i2).all()
+        # stacked form — the production decode path reads scales this way
+        stku = {k: _jnp.stack([v, v]) for k, v in qwu.items()}
+        stk32 = {k: _jnp.stack([v, v]) for k, v in qw32u.items()}
+        gotus = np.asarray(quant_linear_stacked(x, stku,
+                                                _jnp.asarray(1, _jnp.int32)))
+        got32s = np.asarray(quant_linear_stacked(x, stk32,
+                                                 _jnp.asarray(1, _jnp.int32)))
+        assert (gotus == got32s).all()
+        mark("qmm_scu16")
+    except Exception as e:  # noqa: BLE001 — report, don't abort the run
+        print(f"[validate] qmm_scu16: FAILED ({type(e).__name__}: {e}) — "
+              "marker not written, f32 scales remain the default",
+              flush=True)
+    finally:
+        os.environ.pop("QA_SCALE16", None)
+        os.environ.pop("QA_SCALE_U16", None)
+
     # 2g. one-launch SwiGLU MLP kernel (optional — soft-fail like 2f):
     # must track the two-kernel stacked path within fast-mode rounding
     try:
