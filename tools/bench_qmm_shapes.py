@@ -98,6 +98,10 @@ def main() -> int:
     ap.add_argument("--diag", action="store_true",
                     help="diagnostic variants: noscale kernel, bf16 "
                          "scales, XLA dense-bf16 reference")
+    ap.add_argument("--q4", action="store_true",
+                    help="include the packed-nibble kernel (quant_matmul4) "
+                         "and its u16-scale form — quantifies the in-kernel "
+                         "unpack cost vs the int8 kernel's halved bytes")
     ap.add_argument("--bk-sweep", action="store_true",
                     help="strided kernel at block_k 512/896/1792 "
                          "(VMEM-pressure probe)")
@@ -133,18 +137,18 @@ def main() -> int:
             return (x + y[:, :K] if y.shape[1] >= K
                     else x + jnp.tile(y, (1, -(-K // y.shape[1])))[:, :K])
 
-        variants = []      # (tag, fn(c, *ops), ops) — ops are jit args
+        variants = []      # (tag, fn(c, *ops), ops, gbytes) — ops are jit args
         if not args.skip_current:
             def cur(x, qs, sc, K=K):
                 return carry(x, quant_matmul(x, qs, sc, fast=True), K)
-            variants.append(("current", cur, (qs, sc)))
+            variants.append(("current", cur, (qs, sc), gb))
 
         if args.int8:
             from qwen2_audio_tpu.ops.quant_matmul_int8 import quant_matmul_int8
 
             def i8(x, qs, sc, K=K):
                 return carry(x, quant_matmul_int8(x, qs, sc), K)
-            variants.append(("int8-mmq", i8, (qs, sc)))
+            variants.append(("int8-mmq", i8, (qs, sc), gb))
 
         if args.w8a8:
             # per-channel w8a8 ceiling: XLA-native int8 dot (not the ggml
@@ -162,7 +166,30 @@ def main() -> int:
                     preferred_element_type=jnp.int32)
                 y = (acc.astype(jnp.float32) * s_x * sc_n).astype(x.dtype)
                 return carry(x, y, K)
-            variants.append(("w8a8-native", w8, (qs, sc_n)))
+            variants.append(("w8a8-native", w8, (qs, sc_n), (qs.size + sc_n.size * 4) / 1e9))
+
+        if args.q4:
+            from qwen2_audio_tpu.ops.quant_matmul import quant_matmul4
+            qs4 = jnp.asarray(rng.integers(0, 256, (K // 2, N),
+                                           dtype=np.uint8))
+
+            def q4(x, qs4, sc, K=K):
+                return carry(x, quant_matmul4(x, qs4, sc, fast=True), K)
+            variants.append(("q4-packed", q4, (qs4, sc),
+                             (qs4.size + sc.size * 4) / 1e9))
+
+            sc_u16 = jnp.asarray(np.asarray(sc).astype(np.float16)
+                                 .view(np.uint16))
+
+            def q4u(x, qs4, sc_u16, K=K):
+                return carry(x, quant_matmul4(x, qs4, sc_u16, fast=True), K)
+            variants.append(("q4-packed-scu16", q4u, (qs4, sc_u16),
+                             (qs4.size + sc.size * 2) / 1e9))
+
+            def q8u(x, qs, sc_u16, K=K):
+                return carry(x, quant_matmul(x, qs, sc_u16, fast=True), K)
+            variants.append(("strided-scu16", q8u, (qs, sc_u16),
+                             (qs.size + sc.size * 2) / 1e9))
 
         if args.bk_sweep:
             # VMEM-pressure probe: the f32 dequant temporaries scale with
@@ -183,7 +210,7 @@ def main() -> int:
                 def sk(x, qs, sc, K=K, bk=bk):
                     return carry(x, quant_matmul(x, qs, sc, fast=True,
                                                  block_k=bk), K)
-                variants.append((f"strided bk={eff}", sk, (qs, sc)))
+                variants.append((f"strided bk={eff}", sk, (qs, sc), gb))
 
         if args.diag:
             # noscale: the SAME blocked dequant kernel minus the scales
@@ -238,14 +265,14 @@ def main() -> int:
 
             def ns(x, qs, K=K):
                 return carry(x, _ns(x, qs), K)
-            variants.append(("noscale", ns, (qs,)))
+            variants.append(("noscale", ns, (qs,), qs.size / 1e9))
 
             # scales passed as bf16: same strides, half the scale bytes
             sc16 = sc.astype(jnp.bfloat16)
 
             def sb(x, qs, sc16, K=K):
                 return carry(x, quant_matmul(x, qs, sc16, fast=True), K)
-            variants.append(("sc-bf16", sb, (qs, sc16)))
+            variants.append(("sc-bf16", sb, (qs, sc16), (qs.size + sc.size * 2) / 1e9))
 
             # XLA dense bf16 reference (2x the weight bytes, XLA pipeline)
             wdense = (qs.astype(jnp.bfloat16) *
@@ -254,7 +281,7 @@ def main() -> int:
 
             def dn(x, w, K=K):
                 return carry(x, x @ w, K)
-            variants.append(("dense-bf16", dn, (wdense,)))
+            variants.append(("dense-bf16", dn, (wdense,), wdense.size * 2 / 1e9))
 
         panel_widths = () if args.skip_panel else sorted(
             {pick_panel_width(N, 512), pick_panel_width(N, 1024)})
@@ -269,9 +296,9 @@ def main() -> int:
                             else x + jnp.tile(y, (1, -(-K // y.shape[1]))
                                               )[:, :K])
                 variants.append((f"panel bn={bn} bk={bk_tag}", pan,
-                                 (qp["qs_p"], qp["scales_p"])))
+                                 (qp["qs_p"], qp["scales_p"]), gb))
 
-        for tag, fn, ops in variants:
+        for tag, fn, ops, gb_v in variants:
             # re-arm per variant: one deadline spanning all ~40 serial
             # remote compiles of a cold --diag run WILL fire mid-compile
             # (the documented tunnel-wedge scenario); each variant's
@@ -287,7 +314,7 @@ def main() -> int:
             finally:
                 cancel()
             print(f"  {name:8s} {tag:24s} {sec*1e6:9.1f} us  "
-                  f"{gb/sec:7.1f} GB/s", flush=True)
+                  f"{gb_v/sec:7.1f} GB/s", flush=True)
             total.setdefault(tag, {})[name] = sec
 
     L = LAYERS[args.size]
