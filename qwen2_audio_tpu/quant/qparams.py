@@ -505,9 +505,16 @@ def quantize_decoder_params(params: dict, ttype: GGMLType,
     return out
 
 
-def quantize_encoder_params(params: dict, ttype: GGMLType) -> dict:
+def quantize_encoder_params(params: dict, ttype: GGMLType,
+                            mode: str = "ggml") -> dict:
     """Quantize the encoder's per-layer attention/MLP linears (conv stem,
-    norms, pos embed stay dense — same skip set as the quantize tool)."""
+    norms, pos embed stay dense — same skip set as the quantize tool).
+
+    mode="ggml": bit-exact ggml block dicts (the reference's quantized
+    encoder inference contract). mode="fast": per-channel w8a8 — the
+    encoder is MXU-compute-bound at T=1500, so the native int8 MXU path
+    (2x bf16 peak on v5e) trades ~2x coarser weight rounding for
+    throughput, same trade as the decoder's w8a8 serving mode."""
     out = {k: v for k, v in params.items()}
     new_layers = []
     for lyr in params["layers"]:
@@ -515,7 +522,8 @@ def quantize_encoder_params(params: dict, ttype: GGMLType) -> dict:
         for key in _ENCODER_QUANT_KEYS:
             entry = dict(lyr[key])
             w = np.asarray(entry.pop("w"))
-            entry.update(quantize_array_for_device(w, ttype))
+            entry.update(fast_w8_from_array(w) if mode == "fast"
+                         else quantize_array_for_device(w, ttype))
             nl[key] = entry
         new_layers.append(nl)
     out["layers"] = new_layers

@@ -225,3 +225,31 @@ def test_fused_qkv_matches_separate(rng):
     aq = np.asarray(encoder_forward(qp, mel, hp))
     bq = np.asarray(encoder_forward(fuse_encoder_qkv(qp), mel, hp))
     np.testing.assert_allclose(bq, aq, atol=1e-5, rtol=1e-5)
+
+
+def test_w8a8_encoder_close_to_dense(rng):
+    """quantize_encoder_params(mode="fast") — the serving-throughput
+    encoder config (per-channel int8 weights on the native int8 MXU,
+    ops/linear.py::_w8a8). Not a bit-exactness contract like the ggml
+    blocks; assert the output tracks dense within w8a8 rounding, and the
+    fused-QKV transform stays a pure re-parameterization."""
+    import jax.numpy as jnp
+    from qwen2_audio_tpu.config import GGMLType
+    from qwen2_audio_tpu.models.encoder import (encoder_forward,
+                                                fuse_encoder_qkv,
+                                                random_encoder_params)
+    from qwen2_audio_tpu.quant.qparams import quantize_encoder_params
+    hp = HP
+    params = random_encoder_params(rng, hp)
+    mel = jnp.asarray(rng.standard_normal((1, hp.n_mels,
+                                           2 * hp.n_audio_ctx)), jnp.float32)
+    dense = np.asarray(encoder_forward(params, mel, hp))
+    qp = quantize_encoder_params(params, GGMLType.Q8_0, mode="fast")
+    assert "qs8" in qp["layers"][0]["q"] and "scale_n" in qp["layers"][0]["q"]
+    w8 = np.asarray(encoder_forward(qp, mel, hp))
+    # per-channel int8 rounding through a tiny tower: same scale of error
+    # as the decoder's w8a8 logits drift — loose but must correlate
+    assert np.corrcoef(dense.ravel(), w8.ravel())[0, 1] > 0.999
+    assert np.max(np.abs(w8 - dense)) < 0.15 * np.max(np.abs(dense))
+    w8f = np.asarray(encoder_forward(fuse_encoder_qkv(qp), mel, hp))
+    np.testing.assert_allclose(w8f, w8, atol=2e-5, rtol=1e-5)
