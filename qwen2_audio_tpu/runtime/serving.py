@@ -34,6 +34,27 @@ class Segment:
     avg_logprob: float
 
 
+# Adaptive-speculation pool introspection (read by tests and bench tools):
+# chunk counts per mode from the most recent _serve_pool run.
+LAST_POOL_STATS: dict[str, int] = {}
+_PROBE_EVERY = 12      # re-probe the losing mode every N chunks
+
+
+@jax.jit
+def _append_hist(hist: jax.Array, hlen: jax.Array, toks: jax.Array,
+                 n_new: jax.Array):
+    """Append each slot's first n_new[s] emitted tokens to its draft
+    history (hist (B,H), hlen (B,), toks (B,C)) — keeps the n-gram
+    drafter's context fresh across PLAIN chunks in the adaptive pool.
+    Out-of-range scatter indices are dropped (mode='drop')."""
+    B, H = hist.shape
+    C = toks.shape[1]
+    col = jnp.arange(C)[None, :]
+    idx = jnp.where(col < n_new[:, None], hlen[:, None] + col, H)
+    hist = hist.at[jnp.arange(B)[:, None], idx].set(toks, mode="drop")
+    return hist, jnp.minimum(hlen + n_new, H)
+
+
 def _chunk_offsets(n_len_org: int, n_ctx: int) -> list[int]:
     """Window starts: one 2*n_ctx-frame window per 30 s of content."""
     step = 2 * n_ctx
@@ -276,13 +297,25 @@ def _serve_pool(ctx, params, jobs, n_slots, chunk_tokens, mesh):
     # backend exists for the test suite, and auto-on keeps the spec pool
     # covered by every serving test. On TPU, auto gates on the validator's
     # spec_slots marker like the B=1 spec_loop gate.
+    #
+    # Auto additionally runs ADAPTIVELY: the (B, K+1)-wide verify forward
+    # costs ~2.1x the plain B-wide chunk on chip, so at full pools the
+    # speculative pool only pays when the n-gram accept rate clears that
+    # ratio (measured at B=8, zero acceptance: 974 vs 2072 tok/s aggregate
+    # — a 2.1x LOSS; at B=1 it is a strict win). Both chunk kernels
+    # implement identical greedy semantics (tests assert token-for-token
+    # equality), so the pool times each mode's chunks and keeps running
+    # the faster one, re-probing the loser every _PROBE_EVERY chunks.
+    # ≙ the role of ggml's runtime backend/kernel selection, applied at
+    # the scheduler altitude.
     spec_k = getattr(params, "speculative_k", 0)
+    spec_auto = spec_k < 0
     if spec_k < 0:
-        import os
         import jax as _jax
         from qwen2_audio_tpu.utils.watchdog import kernel_marker
         on_tpu = _jax.default_backend() in ("tpu", "axon")
         spec_k = 7 if (not on_tpu or kernel_marker("spec_slots")) else 0
+    adaptive = spec_auto and spec_k > 0
     if spec_k > 0:
         # a slot can emit up to chunk_tokens-1 past the host budget before
         # the host marks it finished; size the draft history for the full
@@ -317,8 +350,30 @@ def _serve_pool(ctx, params, jobs, n_slots, chunk_tokens, mesh):
     refill(range(B))
     t0 = time_us()
     n_decoded = 0
+    import time as _time
+    rates = {True: [], False: []}      # mode -> recent tok/s samples
+    LAST_POOL_STATS.clear()
+    LAST_POOL_STATS.update({"spec_chunks": 0, "plain_chunks": 0})
+    stats = LAST_POOL_STATS
+    chunk_i = 0
+
+    def _pick_spec() -> bool:
+        if not adaptive:
+            return spec_k > 0
+        if not rates[True]:
+            return True                # sample spec first
+        if not rates[False]:
+            return False               # then one plain sample
+        spec_wins = (np.mean(rates[True][-3:])
+                     >= np.mean(rates[False][-3:]))
+        if chunk_i % _PROBE_EVERY == _PROBE_EVERY - 1:
+            return not spec_wins       # re-probe the loser
+        return spec_wins
+
     while any(j is not None for j in slot_job):
-        if spec_k > 0:
+        use_spec = spec_k > 0 and _pick_spec()
+        t_chunk = _time.perf_counter()
+        if use_spec:
             (cache, slot_pos, slot_logits, slot_active, slot_hist,
              slot_hlen, toks, lps, n_new, _iters) = _chunk_spec(
                 cache, slot_pos, slot_logits,
@@ -338,6 +393,21 @@ def _serve_pool(ctx, params, jobs, n_slots, chunk_tokens, mesh):
             # advance) — without this, a capacity freeze would append a
             # phantom EOS the model never emitted
             n_new = np.asarray(slot_pos) - pos_before
+            if spec_k > 0:
+                # keep draft history current across plain chunks so a later
+                # spec chunk drafts from fresh context (stale history only
+                # lowers acceptance — drafts are verified — but fresh is
+                # free: one small scatter)
+                slot_hist, slot_hlen = _append_hist(
+                    slot_hist, slot_hlen, toks, jnp.asarray(n_new))
+        if spec_k > 0:
+            # np.asarray(n_new) above already forced the readback, so this
+            # wall time covers the device work, not just dispatch
+            dt = max(_time.perf_counter() - t_chunk, 1e-6)
+            rates[use_spec].append(float(n_new.sum()) / dt)
+            del rates[use_spec][:-8]
+            stats["spec_chunks" if use_spec else "plain_chunks"] += 1
+            chunk_i += 1
         toks = np.asarray(toks)
         lps = np.asarray(lps)
         active = np.asarray(slot_active)

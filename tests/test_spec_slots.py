@@ -446,3 +446,63 @@ def test_serving_suppress_blank_and_capacity_parity(rng):
     plain = run(40, 0)
     spec = run(40, 7)
     assert plain == spec, (plain, spec)
+
+
+def test_append_hist_scatter():
+    """_append_hist (adaptive pool): appends each slot's first n_new
+    tokens at hlen, drops overflow, advances hlen."""
+    from qwen2_audio_tpu.runtime.serving import _append_hist
+    hist = jnp.zeros((2, 6), jnp.int32)
+    hlen = jnp.asarray([1, 5], jnp.int32)
+    toks = jnp.asarray([[7, 8, 9], [3, 4, 5]], jnp.int32)
+    n_new = jnp.asarray([2, 3], jnp.int32)
+    h2, l2 = _append_hist(hist, hlen, toks, n_new)
+    np.testing.assert_array_equal(np.asarray(h2),
+                                  [[0, 7, 8, 0, 0, 0],
+                                   [0, 0, 0, 0, 0, 3]])   # 4,5 dropped
+    np.testing.assert_array_equal(np.asarray(l2), [3, 6])  # clamped to H
+
+
+def test_transcribe_continuous_adaptive_matches_plain(rng):
+    """speculative_k=-1 (auto) runs the ADAPTIVE pool: it samples both
+    chunk modes, keeps the faster, and must still emit exactly the plain
+    pool's streams (both kernels are greedy-exact, so mode mixing cannot
+    change output)."""
+    import io
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.config import WhisperHParams
+    from qwen2_audio_tpu.io.export import write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+    from qwen2_audio_tpu.runtime import WhisperContext, FullParams
+    from qwen2_audio_tpu.runtime import serving
+    from qwen2_audio_tpu.runtime.serving import transcribe_continuous
+
+    hp = WhisperHParams(n_vocab=64, n_audio_ctx=64, n_audio_state=64,
+                        n_audio_head=4, n_audio_layer=2, n_mels=16)
+    buf = io.BytesIO()
+    write_encoder_checkpoint(buf, random_encoder_params(rng, hp), hp,
+                             mel_filterbank(hp.n_mels), [b"x"] * 60)
+    cfg = _cfg(vocab=96)
+    samples = (0.1 * np.random.default_rng(8).standard_normal(16000 * 5)
+               ).astype(np.float32)
+
+    def run(sk):
+        ctx = WhisperContext.init_from_buffer_with_params(buf.getvalue())
+        ctx.decoder = random_bundle(np.random.default_rng(3), cfg,
+                                    enc_state=64, max_ctx=512)
+        p = FullParams(max_new_tokens=6, temperature_inc=0.0,
+                       speculative_k=sk)
+        return list(transcribe_continuous(ctx, samples, p, max_streams=2,
+                                          chunk_tokens=3))
+
+    plain = run(0)
+    auto = run(-1)
+    assert [(s.t0_cs, s.tokens) for s in sorted(plain, key=lambda s: s.t0_cs)] \
+        == [(s.t0_cs, s.tokens) for s in sorted(auto, key=lambda s: s.t0_cs)]
+    # the adaptive pool sampled BOTH modes (first two chunks) and kept going
+    assert serving.LAST_POOL_STATS["spec_chunks"] >= 1
+    assert serving.LAST_POOL_STATS["plain_chunks"] >= 1
+    # explicit spec_k stays fixed-mode: no plain chunks
+    run(7)
+    assert serving.LAST_POOL_STATS["plain_chunks"] == 0
