@@ -37,7 +37,9 @@ class Segment:
 # Adaptive-speculation pool introspection (read by tests and bench tools):
 # chunk counts per mode from the most recent _serve_pool run.
 LAST_POOL_STATS: dict[str, int] = {}
-_PROBE_EVERY = 12      # re-probe the losing mode every N chunks
+_PROBE_MIN = 8         # first re-probe of the losing mode after N chunks
+_PROBE_MAX = 128       # backoff cap: a 2x-slower loser probed every 128
+#                        chunks costs <1% steady-state throughput
 
 
 @jax.jit
@@ -357,6 +359,8 @@ def _serve_pool(ctx, params, jobs, n_slots, chunk_tokens, mesh):
     stats = LAST_POOL_STATS
     chunk_i = 0
 
+    probe = {"interval": _PROBE_MIN, "next": _PROBE_MIN, "winner": None}
+
     def _pick_spec() -> bool:
         if not adaptive:
             return spec_k > 0
@@ -366,8 +370,17 @@ def _serve_pool(ctx, params, jobs, n_slots, chunk_tokens, mesh):
             return False               # then one plain sample
         spec_wins = (np.mean(rates[True][-3:])
                      >= np.mean(rates[False][-3:]))
-        if chunk_i % _PROBE_EVERY == _PROBE_EVERY - 1:
-            return not spec_wins       # re-probe the loser
+        if probe["winner"] is None:
+            probe["winner"] = spec_wins
+        elif probe["winner"] != spec_wins:
+            # regime change (acceptance rose/fell): re-probe eagerly again
+            probe.update(interval=_PROBE_MIN,
+                         next=chunk_i + _PROBE_MIN, winner=spec_wins)
+        if chunk_i >= probe["next"]:
+            # probe the loser; each confirmation backs the cadence off
+            probe["interval"] = min(probe["interval"] * 2, _PROBE_MAX)
+            probe["next"] = chunk_i + probe["interval"]
+            return not spec_wins
         return spec_wins
 
     while any(j is not None for j in slot_job):
