@@ -24,16 +24,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np  # noqa: E402
 
 
-def time_chain(step, x0, chain, rtt_s=0.030):
-    import jax
+def time_chain(step, params, x0, chain, rtt_s=0.030):
+    """Weights are threaded as jit ARGUMENTS, never closed over: a
+    closed-over device array becomes a program constant that serializes
+    into the remote-compile request (CLAUDE.md — the 1.28 GB encoder
+    param tree wedged this very tool for half an hour before 413ing)."""
     import jax.numpy as jnp
-    _ = np.asarray(jnp.sum(step(x0)))       # compile + warm
+    _ = np.asarray(jnp.sum(step(params, x0)))       # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         c = x0
         for _i in range(chain):
-            c = step(c)
+            c = step(params, c)
         _ = np.asarray(jnp.sum(c if not isinstance(c, tuple) else c[0]))
         best = min(best, max(time.perf_counter() - t0 - rtt_s, 1e-9) / chain)
     return best
@@ -42,6 +45,10 @@ def time_chain(step, x0, chain, rtt_s=0.030):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chain", type=int, default=100)
+    ap.add_argument("--preset", default="qwen2-audio",
+                    help="WHISPER_PRESETS key (use 'tiny' for CPU smoke)")
+    ap.add_argument("--unroll", type=int, default=8,
+                    help="in-jit repetitions for the sub-ms mm/ew sections")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +65,7 @@ def main() -> int:
     from qwen2_audio_tpu.models.encoder import (encoder_forward,
                                                 fuse_encoder_qkv,
                                                 random_encoder_params)
-    hp = WHISPER_PRESETS["qwen2-audio"]
+    hp = WHISPER_PRESETS[args.preset]
     rng = np.random.default_rng(0)
     dtype = jnp.bfloat16
     params = fuse_encoder_qkv(random_encoder_params(rng, hp, dtype=dtype))
@@ -70,12 +77,12 @@ def main() -> int:
         (1, hp.n_mels, 2 * hp.n_audio_ctx)) * 0.1, dtype)
 
     @jax.jit
-    def full(c):
-        out = encoder_forward(params, c, hp, use_flash=use_flash,
+    def full(p, c):
+        out = encoder_forward(p, c, hp, use_flash=use_flash,
                               compute_dtype=dtype)
         return c + (jnp.sum(out) * 0).astype(c.dtype)
 
-    sec = time_chain(full, mel, args.chain)
+    sec = time_chain(full, params, mel, args.chain)
     print(f"full forward          {sec*1e3:8.2f} ms  "
           f"(RTF {30.0/sec:7.1f}x)", flush=True)
 
@@ -98,14 +105,32 @@ def main() -> int:
         return x
 
     @jax.jit
-    def layers_only(c):
-        out = layers_only_fn(params, c)
+    def layers_only(p, c):
+        out = layers_only_fn(p, c)
         return c + (jnp.sum(out) * 0).astype(c.dtype)
 
-    sec_l = time_chain(layers_only, x_t, args.chain)
+    sec_l = time_chain(layers_only, params, x_t, args.chain)
     print(f"layers only           {sec_l*1e3:8.2f} ms  "
           f"({sec_l*1e3/hp.n_audio_layer:6.3f} ms/layer; conv+pos+pool "
           f"overhead {1e3*(sec-sec_l):5.2f} ms)", flush=True)
+
+    # bare attention op (the flash kernel exactly as the layer calls it)
+    from qwen2_audio_tpu.ops.flash_attention import flash_attention_encoder
+
+    @jax.jit
+    def attn(x):
+        c = x
+        for _ in range(args.unroll):
+            y = flash_attention_encoder(c, c, c, hp.n_audio_head)
+            c = c + (jnp.sum(y) * 0).astype(c.dtype)
+        return c
+
+    s_a = time_chain(lambda _p, c: attn(c), None, x_t, args.chain) \
+        / args.unroll
+    print(f"flash attention       {s_a*1e6:8.1f} us/layer  "
+          f"(x{hp.n_audio_layer} = {s_a*1e3*hp.n_audio_layer:6.2f} ms; "
+          f"useful {4*hp.n_audio_ctx**2*hp.n_audio_state/s_a/1e12:5.1f} TF/s)",
+          flush=True)
 
     # bare matmuls at M=1500 vs 1536
     d = hp.n_audio_state
@@ -118,12 +143,17 @@ def main() -> int:
             x0 = jnp.asarray(rng.standard_normal((M, K)) * 0.1, dtype)
 
             @jax.jit
-            def mm(c, w=w, K=K):
-                y = jnp.dot(c, w, preferred_element_type=jnp.float32
-                            ).astype(c.dtype)
-                return c + (jnp.sum(y) * 0).astype(c.dtype)
+            def mm(w, c):
+                # UNROLL dots inside one jit: a single ~100 us dot per
+                # dispatch drowns in tunnel RTT variance (CLAUDE.md);
+                # the +0*sum carry defeats CSE between iterations
+                for _ in range(args.unroll):
+                    y = jnp.dot(c, w, preferred_element_type=jnp.float32
+                                ).astype(c.dtype)
+                    c = c + (jnp.sum(y) * 0).astype(c.dtype)
+                return c
 
-            s = time_chain(mm, x0, args.chain)
+            s = time_chain(mm, w, x0, args.chain) / args.unroll
             fl = 2 * M * K * N
             total += s
             print(f"  mm M={M:4d} {name:4s} ({K:5d}x{N:5d}) "
@@ -137,12 +167,14 @@ def main() -> int:
     b_ln = jnp.zeros((d,), dtype)
 
     @jax.jit
-    def ew(c):
-        h = enc_mod._layer_norm(c, w_ln, b_ln, hp.eps)
-        h = enc_mod._gelu(h, False)
-        return c + h
+    def ew(wb, c):
+        for _ in range(args.unroll):
+            h = enc_mod._layer_norm(c, wb[0], wb[1], hp.eps)
+            h = enc_mod._gelu(h, False)
+            c = c + h * jnp.float32(1e-6).astype(c.dtype)  # keep magnitude
+        return c
 
-    s = time_chain(ew, x_t, args.chain)
+    s = time_chain(ew, (w_ln, b_ln), x_t, args.chain) / args.unroll
     print(f"LN+gelu+residual      {s*1e6:8.1f} us", flush=True)
     print("DONE", flush=True)
     return 0
