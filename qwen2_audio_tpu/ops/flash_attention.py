@@ -93,9 +93,36 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref,
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
 
 
+def _attn_kernel_single(q_ref, k_ref, v_ref, o_ref,
+                        *, sm_scale: float, kv_valid: int, block_k: int):
+    """One-shot softmax-attention tile: the whole KV fits in a single
+    k block (the encoder regime — T=1500 rides one 1536 tile), so the
+    online-softmax machinery of _attn_kernel (m/l scratch, alpha
+    rescales, accumulator carry, per-ki branches) is pure overhead.
+    This variant computes max/exp/sum/AV in one pass with no scratch."""
+    q = q_ref[0, 0]                         # (block_q, d)
+    k = k_ref[0, 0]                         # (block_k, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (block_q, block_k)
+    s *= sm_scale
+    if kv_valid < block_k:                  # mask padded keys
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0, 0]                         # (block_k, d)
+    acc = jax.lax.dot(p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (acc * l_inv).astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "causal", "kv_valid", "block_q", "block_k"))
+    static_argnames=("sm_scale", "causal", "kv_valid", "block_q", "block_k",
+                     "single"))
 def flash_attention(
     q: jax.Array,       # (B, Hq, Tq, d)
     k: jax.Array,       # (B, Hkv, Tk, d) — Hkv may divide Hq (GQA)
@@ -106,6 +133,7 @@ def flash_attention(
     kv_valid: int | None = None,
     block_q: int = 256,
     block_k: int = 512,
+    single: bool = False,
 ) -> jax.Array:
     """O = softmax(sm_scale * Q K^T) V, tiled; returns (B, Hq, Tq, d).
 
@@ -133,6 +161,32 @@ def flash_attention(
         k = jnp.pad(k, ((0, 0), (0, 0), (0, tk_pad), (0, d_pad)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, tk_pad), (0, d_pad)))
     Dq, TQ, TK = d + d_pad, Tq + tq_pad, Tk + tk_pad
+
+    if single and not causal and TK == block_k:
+        # whole KV in one tile: one-shot softmax, no scratch, 3-dim grid
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel_single, sm_scale=sm_scale,
+                              kv_valid=kv_valid, block_k=block_k),
+            out_shape=jax.ShapeDtypeStruct((B, H, TQ, Dq), q.dtype),
+            grid_spec=pl.GridSpec(
+                grid=(B, H, TQ // block_q),
+                in_specs=[
+                    pl.BlockSpec((1, 1, block_q, Dq),
+                                 lambda b, h, i: (b, h, i, 0)),
+                    pl.BlockSpec((1, 1, block_k, Dq),
+                                 lambda b, h, i: (b, h // kv_group, 0, 0)),
+                    pl.BlockSpec((1, 1, block_k, Dq),
+                                 lambda b, h, i: (b, h // kv_group, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, 1, block_q, Dq),
+                                       lambda b, h, i: (b, h, i, 0)),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+            interpret=_use_interpret(),
+        )(q, k, v)
+        return out[:, :, :Tq, :d]
 
     grid = (B, H, TQ // block_q, TK // block_k)
 
@@ -186,7 +240,24 @@ def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
     # softmax/rescale VPU overhead per block: a short q block with the
     # whole KV in one k block (one online-softmax pass, no rescale chain)
     # measured 1.9x faster than the 256/512 default at seq 1500 on v5e
+    block_k = max(_LANES, T + (-T % _LANES))
     out = flash_attention(split(q), split(k), split(v),
                           sm_scale=float(dh) ** -0.5,
-                          block_q=128, block_k=1536)
+                          block_q=128, block_k=block_k,
+                          single=_single_pass_ok())
     return out.transpose(0, 2, 1, 3).reshape(B, T, D)
+
+
+def _single_pass_ok() -> bool:
+    """The one-shot kernel variant arms on TPU only after the validator
+    proved it on this host (marker fa_single — unvalidated kernel compiles
+    have wedged the remote-compile tunnel, CLAUDE.md); interpret mode (the
+    CPU test mesh) always exercises it so parity stays covered. Env
+    QA_FA_SINGLE=0/1 overrides for A/B runs."""
+    import os
+    ov = os.environ.get("QA_FA_SINGLE")
+    if ov is not None:
+        return ov not in ("0", "false", "off")
+    if _use_interpret():
+        return True
+    return os.path.exists("/tmp/qa_kernel_ok_fa_single")

@@ -86,3 +86,21 @@ def test_encoder_forward_flash_vs_einsum(rng):
     a = np.asarray(encoder_forward(params, jnp.asarray(mel), hp, use_flash=False))
     b = np.asarray(encoder_forward(params, jnp.asarray(mel), hp, use_flash=True))
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+
+def test_single_pass_matches_online_kernel(rng):
+    """The one-shot (single KV block) kernel must match the online-softmax
+    kernel bit-for-bit at f32 on both the padded and unpadded tails."""
+    for T in (256, 300):     # 256: no key padding; 300: padded to 384
+        q = rng.standard_normal((1, 2, T, 64)).astype(np.float32)
+        k = rng.standard_normal((1, 2, T, 64)).astype(np.float32)
+        v = rng.standard_normal((1, 2, T, 64)).astype(np.float32)
+        bk = T + (-T % 128)
+        args = dict(sm_scale=0.125, block_q=128, block_k=bk)
+        one = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                         jnp.asarray(v), single=True, **args))
+        onl = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                         jnp.asarray(v), single=False, **args))
+        np.testing.assert_allclose(one, onl, atol=2e-6, rtol=1e-5)
+        np.testing.assert_allclose(one, ref_attention(q, k, v, 0.125),
+                                   atol=2e-5, rtol=1e-4)

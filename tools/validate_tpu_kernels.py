@@ -55,6 +55,24 @@ def main() -> int:
     assert np.isfinite(o2.astype(np.float32)).all()
     mark("fa")
 
+    # 1b. one-shot single-KV-block variant at the exact encoder shape,
+    # checked against the online kernel (soft-fail: keep later markers)
+    try:
+        qs = jnp.asarray(rng.standard_normal((1, 20, 1500, 64)) * 0.3,
+                         jnp.bfloat16)
+        kw = dict(sm_scale=0.125, block_q=128, block_k=1536)
+        a1 = np.asarray(flash_attention(qs, qs, qs, single=True, **kw)
+                        ).astype(np.float32)
+        a0 = np.asarray(flash_attention(qs, qs, qs, single=False, **kw)
+                        ).astype(np.float32)
+        assert np.isfinite(a1).all()
+        assert np.abs(a1 - a0).max() < 1e-2, np.abs(a1 - a0).max()
+        mark("fa_single")
+    except Exception as e:      # noqa: BLE001
+        print(f"[validate] fa_single REJECTED on this host: {e!r} — "
+              "marker not written, online-softmax kernel remains the "
+              "default", flush=True)
+
     # 2. quant matmul, standalone (q8_0 int8, then q4_0 int4)
     from qwen2_audio_tpu.config import GGMLType
     from qwen2_audio_tpu.ops.quant_matmul import dequantize_weight, quant_matmul
