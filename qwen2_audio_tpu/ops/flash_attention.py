@@ -240,10 +240,12 @@ def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
     # softmax/rescale VPU overhead per block: a short q block with the
     # whole KV in one k block (one online-softmax pass, no rescale chain)
     # measured 1.9x faster than the 256/512 default at seq 1500 on v5e
+    import os
     block_k = max(_LANES, T + (-T % _LANES))
     out = flash_attention(split(q), split(k), split(v),
                           sm_scale=float(dh) ** -0.5,
-                          block_q=128, block_k=block_k,
+                          block_q=int(os.environ.get("QA_FA_BQ", "128")),
+                          block_k=block_k,
                           single=_single_pass_ok())
     return out.transpose(0, 2, 1, 3).reshape(B, T, D)
 
