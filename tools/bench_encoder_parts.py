@@ -176,6 +176,27 @@ def main() -> int:
 
     s = time_chain(ew, (w_ln, b_ln), x_t, args.chain) / args.unroll
     print(f"LN+gelu+residual      {s*1e6:8.1f} us", flush=True)
+
+    # gelu variants at the fc1-output shape (T, 4d) — the big elementwise
+    # surface; decides whether a cheaper activation is worth a mode
+    x_mlp = jnp.asarray(rng.standard_normal(
+        (hp.n_audio_ctx, 4 * hp.n_audio_state)) * 0.1, jnp.bfloat16)
+    variants = [
+        ("gelu_erf", lambda t: jax.nn.gelu(t, approximate=False)),
+        ("gelu_tanh", lambda t: jax.nn.gelu(t, approximate=True)),
+        ("silu1702", lambda t: (t * jax.nn.sigmoid(1.702 * t))),
+    ]
+    for name, fn in variants:
+        @jax.jit
+        def act(_w, c, fn=fn):
+            for _ in range(args.unroll):
+                c = c + fn(c) * jnp.float32(1e-6).astype(c.dtype)
+            return c
+
+        s = time_chain(act, None, x_mlp, args.chain) / args.unroll
+        print(f"  act {name:9s} (T, 4d) {s*1e6:8.1f} us  "
+              f"(x2LN-shapes/layer ~ {s*1e3*hp.n_audio_layer:5.2f} ms "
+              f"over {hp.n_audio_layer} layers)", flush=True)
     print("DONE", flush=True)
     return 0
 
