@@ -90,8 +90,10 @@ def _unfold_time(x: jax.Array, k: int, stride: int) -> jax.Array:
     pad = k // 2
     xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
     T = x.shape[1]
-    u = jnp.concatenate([xp[:, i:i + T] for i in range(k)], axis=-1)
-    return u[:, ::stride] if stride > 1 else u
+    # slice each tap with the stride directly: building the stride-1
+    # unfold and then slicing [::stride] would materialize 2x the rows
+    return jnp.concatenate([xp[:, i:i + T:stride] for i in range(k)],
+                           axis=-1)
 
 
 def _conv1d_mm(x: jax.Array, w: jax.Array, b: jax.Array,
