@@ -40,6 +40,10 @@ def main() -> int:
     ap.add_argument("--only", default="",
                     help="run one config, e.g. 'matmul,1' (stem,use_flash) "
                          "— skips the 2x2 sweep's extra compiles")
+    ap.add_argument("--gelu", default="exact", choices=["exact", "tanh"],
+                    help="gelu flavor: 'exact' erf (HF parity, the repo "
+                         "default) or 'tanh' (the approximation the "
+                         "reference's ggml_vec_gelu_f32 LUT implements)")
     args = ap.parse_args()
     CHAIN = args.chain
 
@@ -77,7 +81,8 @@ def main() -> int:
     @functools.partial(jax.jit, static_argnames=("use_flash", "stem"))
     def step(params, carry, use_flash, stem):
         out = encoder_forward(params, carry, hp, use_flash=use_flash,
-                              compute_dtype=jnp.bfloat16, stem=stem)
+                              compute_dtype=jnp.bfloat16, stem=stem,
+                              gelu_approximate=args.gelu == "tanh")
         return carry + (jnp.sum(out) * 0).astype(carry.dtype)
 
     results = {}
