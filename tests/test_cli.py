@@ -128,3 +128,26 @@ def test_cli_conflicting_diarize_flags(assets):
     r = run_cli(["-m", model, "-f", wav, "-di", "-tdrz"])
     assert r.returncode == 1
     assert "cannot use both" in r.stderr
+
+
+JFK = "/root/reference/samples/jfk.mp3"
+
+
+def test_cli_reference_jfk_sample(assets):
+    """End-to-end on the reference's OWN sample clip (SURVEY §4: the
+    de-facto parity workflow is main.cpp's fingerprint loop on
+    samples/jfk.mp3, examples/main/main.cpp:573-583)."""
+    import os
+    from qwen2_audio_tpu.audio import have_mp3
+    if not have_mp3():
+        pytest.skip("libmpg123 not available")
+    if not os.path.exists(JFK):
+        pytest.skip("reference sample not present")
+    from qwen2_audio_tpu.audio.mp3 import read_mp3
+    audio, rate = read_mp3(JFK)
+    assert rate == 16000
+    assert 10.5 < audio.size / rate < 11.5     # the 11 s JFK clip
+    model, _wav = assets
+    r = run_cli(["-m", model, "-f", JFK, "--bench-iters", "1", "-np"])
+    assert r.returncode == 0, r.stderr
+    assert "Elapsed time" in r.stdout
