@@ -124,6 +124,8 @@ def main() -> int:
         xq, sx = map(np.asarray, quantize_activations(x))
         qsn = np.asarray(qw_i["qs"]).astype(np.int32)
         scn = np.asarray(qw_i["scales"])
+        if scn.dtype == np.uint16:   # qparams u16 storage: raw f16 bits
+            scn = scn.view(np.float16).astype(np.float64)
         M, K = xq.shape
         N = qsn.shape[1]
         G = K // 32
@@ -434,23 +436,29 @@ def main() -> int:
 
     # 8. composed: packed-nibble q4_0 inside the scanned decoder — must
     # match the int8-form weights of the SAME payload bit-for-bit in the
-    # dequantized values (logits tiny-diff from matmul order only)
+    # dequantized values. Run with f32 activations: the contract here is
+    # weight-form equivalence, and at bf16 the two kernels' different
+    # matmul orders compound through 4 layers to ~2% of logit scale —
+    # a marginal threshold that flaked on chip (0.0224 vs 0.02) with no
+    # decoder-path change. f32 shrinks order noise below 1e-3.
     os.environ["QA_PACK4"] = "0"
     dpq4_i8 = quantize_decoder_params(dp, GGMLType.Q4_0)
     os.environ["QA_PACK4"] = "1"
     dpq4_p = quantize_decoder_params(dp, GGMLType.Q4_0)
     os.environ.pop("QA_PACK4")
+    x32 = x.astype(jnp.float32)
+    step32 = step.astype(jnp.float32)
     outs4 = {}
     for name, dq in (("i8", dpq4_i8), ("p4", dpq4_p)):
-        cache = create_cache(dcfg, 1, 512, dtype=jnp.bfloat16)
-        lg, cache = decoder_forward(dq, dcfg, x, cache, 0, block_only=True,
+        cache = create_cache(dcfg, 1, 512, dtype=jnp.float32)
+        lg, cache = decoder_forward(dq, dcfg, x32, cache, 0, block_only=True,
                                     logits_last_only=True)
-        lg2, cache = decoder_forward(dq, dcfg, step, cache, x.shape[1])
+        lg2, cache = decoder_forward(dq, dcfg, step32, cache, x32.shape[1])
         outs4[name] = np.asarray(lg2, np.float32)
         decoder_forward.clear_cache()
     scale4 = np.abs(outs4["i8"]).max() + 1e-6
     diff4 = np.abs(outs4["p4"] - outs4["i8"]).max()
-    assert np.isfinite(outs4["p4"]).all() and diff4 / scale4 < 0.02, \
+    assert np.isfinite(outs4["p4"]).all() and diff4 / scale4 < 5e-3, \
         (diff4, scale4)
     mark("qmm_q4p_decoder")
 
