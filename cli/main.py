@@ -129,6 +129,8 @@ def build_full_params(args):
     from qwen2_audio_tpu.runtime import full_default_params
 
     fp = full_default_params()
+    fp.n_threads = args.threads            # host-side mel/quantize threads
+    fp.print_progress = args.print_progress  # ≙ main.cpp wparams mapping
     fp.offset_ms = args.offset_t
     fp.duration_ms = args.duration
     fp.translate = args.translate
@@ -186,7 +188,12 @@ def main(argv: list[str] | None = None) -> int:
         print("error: cannot use both --diarize and --tinydiarize",
               file=sys.stderr)
         return 1
-    if args.grammar or args.grammar_rule:
+    if args.ov_e_device != "CPU":
+        # ≙ main.cpp's -oved: consumed only by the OpenVINO encoder hook,
+        # which this build (like a non-OPENVINO reference build) lacks
+        print("warning: --ov-e-device is inert (no OpenVINO encoder in "
+              "this build) — flag ignored", file=sys.stderr)
+    if args.grammar or args.grammar_rule or args.grammar_penalty != 100.0:
         # the reference parses --grammar/--grammar-rule/--grammar-penalty
         # but its grammar engine was stripped with the decoder (only the
         # UTF-8 remnant survives, src/qwen2-whisper.cpp:3602-3658) — warn

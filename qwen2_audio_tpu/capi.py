@@ -79,12 +79,13 @@ def whisper_free_context_params(params) -> None:
 # ---- mel / encode (header :208-258) ----
 
 def whisper_pcm_to_mel(ctx, samples, n_samples=None, n_threads=4) -> int:
-    return ctx.pcm_to_mel(np.asarray(samples, np.float32))
+    return ctx.pcm_to_mel(np.asarray(samples, np.float32), n_threads)
 
 
 def whisper_pcm_to_mel_with_state(ctx, state, samples, n_samples=None,
                                   n_threads=4) -> int:
-    return ctx.pcm_to_mel_with_state(state, np.asarray(samples, np.float32))
+    return ctx.pcm_to_mel_with_state(state, np.asarray(samples, np.float32),
+                                     n_threads)
 
 
 def whisper_set_mel(ctx, data, n_len=None, n_mel=None) -> int:

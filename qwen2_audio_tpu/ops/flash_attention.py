@@ -223,6 +223,58 @@ def flash_attention(
     return out[:, :, :Tq, :d]
 
 
+def _flash_attention_nopad(q, k, v, *, sm_scale: float, block_q: int):
+    """One-shot single-KV-block attention with NO XLA-side padding.
+
+    The padded single path (flash_attention single=True) costs three HBM
+    round trips per layer: jnp.pad of Q/K/V to 128 lanes (the d_head-64
+    encoder doubles its own byte volume), plus the output un-pad slice.
+    Here the kernel reads (…, d=64) blocks directly — a block whose last
+    dim equals the array's last dim is legal for Mosaic (it pads the VMEM
+    tile internally, no HBM copy) — and the q sequence tail is handled by
+    Pallas' own out-of-bounds semantics: tail q rows compute garbage rows
+    that the bounds-masked write discards (row-local: softmax is
+    per-row). K/V keep a zero seq-pad (cheap: no lane doubling) because an
+    out-of-bounds V tail could read NaN bit patterns and 0 x NaN poisons
+    the PV dot; the padded keys are additionally kv_valid-masked so they
+    contribute nothing to the softmax. MXU compute per tile is unchanged
+    (the lane padding happens in VMEM either way); what this buys is pure
+    HBM traffic + pad/slice dispatch removal."""
+    B, H, Tq, d = q.shape
+    Tk = k.shape[2]
+    n_kv = k.shape[1]
+    kv_group = H // n_kv
+    block_k = Tk + (-Tk % _LANES)           # whole KV in one tile
+    if block_k != Tk:
+        pad = ((0, 0), (0, 0), (0, block_k - Tk), (0, 0))
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    nq = -(-Tq // block_q)
+
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_single, sm_scale=sm_scale,
+                          kv_valid=Tk, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tq, d), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, H, nq),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda b, h, i: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b, h, i: (b, h // kv_group, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b, h, i: (b, h // kv_group, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                   lambda b, h, i: (b, h, i, 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=_use_interpret(),
+    )(q, k, v)
+
+
 def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
                             n_head: int) -> jax.Array:
     """Encoder-layer entry point over merged-head activations (B, T, D).
@@ -241,13 +293,33 @@ def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
     # whole KV in one k block (one online-softmax pass, no rescale chain)
     # measured 1.9x faster than the 256/512 default at seq 1500 on v5e
     import os
+    block_q = int(os.environ.get("QA_FA_BQ", "128"))
+    if _nopad_ok():
+        out = _flash_attention_nopad(split(q), split(k), split(v),
+                                     sm_scale=float(dh) ** -0.5,
+                                     block_q=block_q)
+        return out.transpose(0, 2, 1, 3).reshape(B, T, D)
     block_k = max(_LANES, T + (-T % _LANES))
     out = flash_attention(split(q), split(k), split(v),
                           sm_scale=float(dh) ** -0.5,
-                          block_q=int(os.environ.get("QA_FA_BQ", "128")),
+                          block_q=block_q,
                           block_k=block_k,
                           single=_single_pass_ok())
     return out.transpose(0, 2, 1, 3).reshape(B, T, D)
+
+
+def _nopad_ok() -> bool:
+    """The unpadded one-shot variant (_flash_attention_nopad) arms on TPU
+    only after the validator proved it on this host (marker fa_nopad);
+    interpret mode (the CPU test mesh) always exercises it so parity
+    stays covered. Env QA_FA_NOPAD=0/1 overrides for A/B runs."""
+    import os
+    ov = os.environ.get("QA_FA_NOPAD")
+    if ov is not None:
+        return ov not in ("0", "false", "off")
+    if _use_interpret():
+        return True
+    return os.path.exists("/tmp/qa_kernel_ok_fa_nopad")
 
 
 def _single_pass_ok() -> bool:

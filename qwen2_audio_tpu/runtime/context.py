@@ -240,7 +240,13 @@ class WhisperContext:
     # ---- mel (header :208-240) ----
 
     def pcm_to_mel_with_state(self, state: WhisperState,
-                              samples: np.ndarray) -> int:
+                              samples: np.ndarray,
+                              n_threads: int = 4) -> int:
+        """≙ whisper_pcm_to_mel_with_state (its n_threads drives the
+        reference's std::thread mel fan-out, src/qwen2-whisper.cpp:2616).
+        Host-side mel here is the threaded native C++ path when the
+        optional lib is built (n_threads honored), else vectorized numpy
+        (BLAS threading; n_threads has no handle)."""
         t0 = time_us()
         import os
         on_tpu = jax.default_backend() in ("tpu", "axon")
@@ -253,16 +259,27 @@ class WhisperContext:
         elif on_tpu and self.params.fused_mel is None:
             # fresh TPU host before the validator writes the mel marker:
             # the XLA-gather mel pays a multi-minute remote compile; the
-            # numpy host mel is exact (C-loop oracle-tested) and free
-            from qwen2_audio_tpu.audio.mel import log_mel_spectrogram_np
-            state.mel = log_mel_spectrogram_np(samples, self.filters)
+            # host mel is exact (C-loop oracle-tested) and free
+            state.mel = self._host_mel(samples, n_threads)
         else:
             state.mel = log_mel_spectrogram(samples, self.filters)
         state.timings.t_mel_us += time_us() - t0
         return 0
 
-    def pcm_to_mel(self, samples: np.ndarray) -> int:
-        return self.pcm_to_mel_with_state(self.state, samples)
+    def _host_mel(self, samples: np.ndarray, n_threads: int):
+        from qwen2_audio_tpu import native
+        if native.available():
+            from qwen2_audio_tpu.audio.mel import LogMelSpectrogram
+            data, n_len_org = native.log_mel(
+                np.asarray(samples, np.float32),
+                np.asarray(self.filters, np.float32),
+                n_threads=max(1, n_threads))
+            return LogMelSpectrogram(data=data, n_len_org=n_len_org)
+        from qwen2_audio_tpu.audio.mel import log_mel_spectrogram_np
+        return log_mel_spectrogram_np(samples, self.filters)
+
+    def pcm_to_mel(self, samples: np.ndarray, n_threads: int = 4) -> int:
+        return self.pcm_to_mel_with_state(self.state, samples, n_threads)
 
     def set_mel_with_state(self, state: WhisperState, data: np.ndarray) -> int:
         """≙ whisper_set_mel_with_state (:3287-3309): n_mel must match."""
@@ -318,7 +335,8 @@ class WhisperContext:
         (src/qwen2-whisper.cpp:2341-2383): mel, seek window, <1 s guard,
         encode; plus decode when a Qwen2 decoder is attached."""
         if samples is not None and len(samples) > 0:
-            if self.pcm_to_mel_with_state(state, samples) != 0:
+            if self.pcm_to_mel_with_state(state, samples,
+                                          params.n_threads) != 0:
                 log_error("full: failed to compute log mel spectrogram\n")
                 return -2
 

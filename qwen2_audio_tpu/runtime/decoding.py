@@ -739,4 +739,12 @@ def run(ctx, state, params) -> int:
             print(s["text"], flush=True)
     if params.new_segment_callback is not None:
         params.new_segment_callback(ctx, state, len(state.segments))
+    if params.print_progress:
+        # ≙ whisper_full's progress print; one window per full() call here
+        # (the fork's whisper_full is single-window too — long-form goes
+        # through runtime/serving.py, which reports fractional progress)
+        from qwen2_audio_tpu.utils.logging import log_info
+        log_info("progress = %3d%%\n", 100)
+    if params.progress_callback is not None:
+        params.progress_callback(ctx, state, 100)
     return 0

@@ -211,9 +211,15 @@ def transcribe_long_form(
             })
             if params.new_segment_callback is not None:
                 params.new_segment_callback(ctx, state, 1)
-            if params.progress_callback is not None:
+            if params.progress_callback is not None or params.print_progress:
                 done = min(100, 100 * (i + b + 1) // len(offsets))
-                params.progress_callback(ctx, state, done)
+                if params.progress_callback is not None:
+                    params.progress_callback(ctx, state, done)
+                if params.print_progress:
+                    # ≙ whisper_full's built-in progress print (the
+                    # reference's progress_callback default behavior)
+                    from qwen2_audio_tpu.utils.logging import log_info
+                    log_info("progress = %3d%%\n", done)
             yield seg
 
 

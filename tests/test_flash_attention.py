@@ -104,3 +104,45 @@ def test_single_pass_matches_online_kernel(rng):
         np.testing.assert_allclose(one, onl, atol=2e-6, rtol=1e-5)
         np.testing.assert_allclose(one, ref_attention(q, k, v, 0.125),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_nopad_matches_reference(rng):
+    """The unpadded one-shot variant (d=64 lane blocks, OOB q tail rows,
+    zero-padded K/V tail) must match the plain softmax reference at the
+    encoder regime, including a non-block-multiple sequence and GQA."""
+    from qwen2_audio_tpu.ops.flash_attention import _flash_attention_nopad
+    for T, H, Hkv in ((256, 2, 2), (300, 4, 2), (1500 // 4, 5, 5)):
+        q = rng.standard_normal((1, H, T, 64)).astype(np.float32)
+        k = rng.standard_normal((1, Hkv, T, 64)).astype(np.float32)
+        v = rng.standard_normal((1, Hkv, T, 64)).astype(np.float32)
+        got = np.asarray(_flash_attention_nopad(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            sm_scale=0.125, block_q=128))
+        assert got.shape == (1, H, T, 64)
+        rep = H // Hkv
+        want = ref_attention(q, np.repeat(k, rep, axis=1),
+                             np.repeat(v, rep, axis=1), 0.125)
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_encoder_entry_nopad_vs_padded(rng):
+    """flash_attention_encoder must produce the same values whichever
+    attention lowering the env picks (nopad / padded-single / online)."""
+    import os
+    B, T, D, H = 1, 300, 256, 4
+    q = rng.standard_normal((B, T, D)).astype(np.float32)
+    k = rng.standard_normal((B, T, D)).astype(np.float32)
+    v = rng.standard_normal((B, T, D)).astype(np.float32)
+    outs = {}
+    for nopad, single in (("1", "0"), ("0", "1"), ("0", "0")):
+        os.environ["QA_FA_NOPAD"] = nopad
+        os.environ["QA_FA_SINGLE"] = single
+        try:
+            outs[(nopad, single)] = np.asarray(flash_attention_encoder(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), H))
+        finally:
+            del os.environ["QA_FA_NOPAD"], os.environ["QA_FA_SINGLE"]
+    base = outs[("0", "0")]
+    for key, val in outs.items():
+        np.testing.assert_allclose(val, base, atol=2e-5, rtol=1e-4,
+                                   err_msg=str(key))

@@ -73,6 +73,28 @@ def main() -> int:
               "marker not written, online-softmax kernel remains the "
               "default", flush=True)
 
+    # 1c. unpadded one-shot variant (d=64 lane blocks, OOB q tail):
+    # checked against the padded online kernel at the exact encoder shape
+    # (soft-fail: keep later markers)
+    try:
+        from qwen2_audio_tpu.ops.flash_attention import _flash_attention_nopad
+        qs = jnp.asarray(rng.standard_normal((1, 20, 1500, 64)) * 0.3,
+                         jnp.bfloat16)
+        a1 = np.asarray(_flash_attention_nopad(qs, qs, qs, sm_scale=0.125,
+                                               block_q=128)
+                        ).astype(np.float32)
+        a0 = np.asarray(flash_attention(qs, qs, qs, sm_scale=0.125,
+                                        block_q=128, block_k=1536,
+                                        single=False)).astype(np.float32)
+        assert a1.shape == (1, 20, 1500, 64), a1.shape
+        assert np.isfinite(a1).all()
+        assert np.abs(a1 - a0).max() < 1e-2, np.abs(a1 - a0).max()
+        mark("fa_nopad")
+    except Exception as e:      # noqa: BLE001
+        print(f"[validate] fa_nopad REJECTED on this host: {e!r} — "
+              "marker not written, the padded one-shot kernel remains "
+              "the default", flush=True)
+
     # 2. quant matmul, standalone (q8_0 int8, then q4_0 int4)
     from qwen2_audio_tpu.config import GGMLType
     from qwen2_audio_tpu.ops.quant_matmul import dequantize_weight, quant_matmul
@@ -449,6 +471,11 @@ def main() -> int:
     x32 = x.astype(jnp.float32)
     step32 = step.astype(jnp.float32)
     outs4 = {}
+    # pin "dequant" (f32-exact) mode: on TPU the auto mode is "bf16",
+    # whose per-kernel rounding differs between the packed and int8
+    # forms — the on-chip bf16 comparison measured 1.3e-2 where the
+    # f32 contract measures 1.3e-6
+    set_group_matmul_mode("dequant")
     for name, dq in (("i8", dpq4_i8), ("p4", dpq4_p)):
         cache = create_cache(dcfg, 1, 512, dtype=jnp.float32)
         lg, cache = decoder_forward(dq, dcfg, x32, cache, 0, block_only=True,
@@ -456,6 +483,7 @@ def main() -> int:
         lg2, cache = decoder_forward(dq, dcfg, step32, cache, x32.shape[1])
         outs4[name] = np.asarray(lg2, np.float32)
         decoder_forward.clear_cache()
+    set_group_matmul_mode(None)
     scale4 = np.abs(outs4["i8"]).max() + 1e-6
     diff4 = np.abs(outs4["p4"] - outs4["i8"]).max()
     assert np.isfinite(outs4["p4"]).all() and diff4 / scale4 < 5e-3, \
