@@ -54,7 +54,14 @@ class ContextParams:
     dtw_token_timestamps: bool = False
     dtw_n_top: int = -1
     compute_dtype: Any = jnp.float32
-    gelu_approximate: bool = False   # True matches ggml's tanh-LUT gelu
+    gelu_approximate: bool | None = None  # None = auto by checkpoint
+    # provenance: a WhisperContext always holds a ggml checkpoint, whose
+    # reference runtime computes GELU as the tanh approximation through an
+    # f16 LUT (ggml/src/ggml.c ggml_vec_gelu_f32) — so ggml contexts
+    # default to the tanh flavor (reference-faithful AND ~7% faster on
+    # VPU); HF-loaded encoders (io/hf.py -> encoder_forward directly)
+    # keep exact erf, matching torch Qwen2AudioEncoder. Set True/False to
+    # pin either flavor.
     fused_mel: bool | None = None    # None = auto (Pallas kernel on TPU)
     keep_quantized: bool | None = None  # None = auto: quant kernels on TPU
 
@@ -159,6 +166,12 @@ class WhisperContext:
     def __init__(self, model_file: GGMLModelFile, cparams: ContextParams,
                  with_state: bool = True) -> None:
         t0 = time_us()
+        if cparams.gelu_approximate is None:
+            # ggml provenance -> the reference's tanh-LUT gelu flavor
+            # (see the ContextParams field comment); copy so a shared
+            # ContextParams object isn't mutated
+            import dataclasses
+            cparams = dataclasses.replace(cparams, gelu_approximate=True)
         self.params = cparams
         self.hparams = model_file.hparams
         self.filters = model_file.filters

@@ -215,3 +215,42 @@ def test_get_logits_populated_by_decode(rng):
     assert c.full(p, (0.1 * rng.standard_normal(32000)).astype(np.float32)) == 0
     logits = c.get_logits()
     assert logits is not None and logits.shape == (1, 96)
+
+
+def test_gelu_flavor_auto_by_provenance(tmp_path):
+    """A ggml-loaded context defaults to the reference's tanh-LUT gelu
+    flavor (ggml/src/ggml.c ggml_vec_gelu_f32); explicit False pins exact
+    erf (the HF torch flavor) and changes the encoder output."""
+    import numpy as np
+    from qwen2_audio_tpu.audio import mel_filterbank, write_wav
+    from qwen2_audio_tpu.config import WhisperHParams
+    from qwen2_audio_tpu.io.export import write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.runtime import ContextParams, WhisperContext
+
+    hp = WhisperHParams(n_vocab=16, n_audio_state=64, n_audio_head=4,
+                        n_audio_layer=1, n_mels=16)
+    model = str(tmp_path / "m.bin")
+    write_encoder_checkpoint(model,
+                             random_encoder_params(np.random.default_rng(3),
+                                                   hp),
+                             hp, mel_filterbank(hp.n_mels),
+                             [b"t%d" % i for i in range(16)])
+    t = np.arange(24000) / 16000.0
+    pcm = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+
+    from qwen2_audio_tpu.runtime import full_default_params
+
+    cp = ContextParams()
+    ctx = WhisperContext.init_from_file_with_params(model, cp)
+    assert cp.gelu_approximate is None          # caller's object untouched
+    assert ctx.params.gelu_approximate is True  # ggml provenance -> tanh
+    assert ctx.full(full_default_params(), pcm) == 0
+    enc_tanh = ctx.state.embd_enc.copy()
+
+    ctx2 = WhisperContext.init_from_file_with_params(
+        model, ContextParams(gelu_approximate=False))
+    assert ctx2.full(full_default_params(), pcm) == 0
+    enc_erf = ctx2.state.embd_enc
+    diff = np.abs(enc_tanh - enc_erf).max()
+    assert 0 < diff < 5e-2                      # flavors differ, boundedly
