@@ -106,6 +106,43 @@ def test_single_pass_matches_online_kernel(rng):
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_lite_matches_online_kernel(rng):
+    """The MXU-bookkeeping one-shot kernel (scale baked into Q, mask bias
+    and softmax denominator riding the pad lanes) must match the online
+    kernel and the plain reference, including a padded key tail."""
+    for T in (256, 300):     # 256: no key padding; 300: padded to 384
+        q = rng.standard_normal((1, 2, T, 64)).astype(np.float32)
+        k = rng.standard_normal((1, 2, T, 64)).astype(np.float32)
+        v = rng.standard_normal((1, 2, T, 64)).astype(np.float32)
+        bk = T + (-T % 128)
+        args = dict(sm_scale=0.125, block_q=128, block_k=bk)
+        lite = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                          jnp.asarray(v), single=True,
+                                          lite=True, **args))
+        onl = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                         jnp.asarray(v), single=False,
+                                         **args))
+        np.testing.assert_allclose(lite, onl, atol=2e-6, rtol=1e-5)
+        np.testing.assert_allclose(lite, ref_attention(q, k, v, 0.125),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_lite_poisoned_tail(rng):
+    """Padded keys must not leak through the lane-bias masking, even when
+    the tail is poisoned with huge values."""
+    q = rng.standard_normal((1, 1, 128, 64)).astype(np.float32)
+    k = rng.standard_normal((1, 1, 200, 64)).astype(np.float32)
+    v = rng.standard_normal((1, 1, 200, 64)).astype(np.float32)
+    k[:, :, 150:] = 100.0
+    v[:, :, 150:] = 100.0
+    got = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), sm_scale=0.125,
+                                     kv_valid=150, block_q=128, block_k=256,
+                                     single=True, lite=True))
+    want = ref_attention(q[:, :, :, :], k[:, :, :150], v[:, :, :150], 0.125)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
 def test_nopad_matches_reference(rng):
     """The unpadded one-shot variant (d=64 lane blocks, OOB q tail rows,
     zero-padded K/V tail) must match the plain softmax reference at the

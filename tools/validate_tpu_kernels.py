@@ -73,6 +73,25 @@ def main() -> int:
               "marker not written, online-softmax kernel remains the "
               "default", flush=True)
 
+    # 1b2. lite one-shot variant (scale in Q, mask bias + softmax
+    # denominator on the pad lanes) at the exact encoder shape, checked
+    # against the online kernel (soft-fail: keep later markers)
+    try:
+        qs = jnp.asarray(rng.standard_normal((1, 20, 1500, 64)) * 0.3,
+                         jnp.bfloat16)
+        kw = dict(sm_scale=0.125, block_q=128, block_k=1536)
+        a1 = np.asarray(flash_attention(qs, qs, qs, single=True, lite=True,
+                                        **kw)).astype(np.float32)
+        a0 = np.asarray(flash_attention(qs, qs, qs, single=False, **kw)
+                        ).astype(np.float32)
+        assert np.isfinite(a1).all()
+        assert np.abs(a1 - a0).max() < 1e-2, np.abs(a1 - a0).max()
+        mark("fa_lite")
+    except Exception as e:      # noqa: BLE001
+        print(f"[validate] fa_lite REJECTED on this host: {e!r} — "
+              "marker not written, the plain one-shot kernel remains the "
+              "default", flush=True)
+
     # 1c. unpadded one-shot variant (d=64 lane blocks, OOB q tail):
     # checked against the padded online kernel at the exact encoder shape
     # (soft-fail: keep later markers)
