@@ -2,6 +2,8 @@
 einsum reference paths in models/qwen2_decoder.py — interpret mode on the
 CPU test mesh; hardware validation lives in tools/validate_tpu_kernels.py."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -215,3 +217,50 @@ def test_decode_chunk_slots_flash_matches(monkeypatch):
     np.testing.assert_array_equal(out["1"][2], out["0"][2])
     np.testing.assert_allclose(out["1"][1], out["0"][1],
                                rtol=2e-4, atol=2e-4)
+
+
+class TestDecodeFlashGate:
+    """_decode_flash selection logic (models/qwen2_decoder.py): the env
+    override wins outright; otherwise TPU backend + hardware marker +
+    the measured FLASH_DECODE_MIN_CTX capacity crossover must all hold
+    (≙ ggml's size-based fattn dispatch, ggml/src/ggml-cuda/fattn.cu:298)."""
+
+    def _arm(self, monkeypatch, tmp_path, backend="tpu", marker=True):
+        import qwen2_audio_tpu.models.qwen2_decoder as qd
+        monkeypatch.delenv("QA_FLASH_DECODE", raising=False)
+        monkeypatch.setattr(qd.jax, "default_backend", lambda: backend)
+        mark = tmp_path / "qa_kernel_ok_fd_loop"
+        if marker:
+            mark.write_text("ok")
+        real_exists = os.path.exists
+        # _decode_flash does `import os` locally, so patch the global module
+        monkeypatch.setattr(
+            os.path, "exists",
+            lambda p: (mark.exists() if p == "/tmp/qa_kernel_ok_fd_loop"
+                       else real_exists(p)))
+        return qd
+
+    def test_env_override_wins(self, monkeypatch, tmp_path):
+        qd = self._arm(monkeypatch, tmp_path, backend="cpu", marker=False)
+        monkeypatch.setenv("QA_FLASH_DECODE", "1")
+        assert qd._decode_flash(1, 128, cache_len=64)
+        monkeypatch.setenv("QA_FLASH_DECODE", "0")
+        assert not qd._decode_flash(1, 128, cache_len=1 << 20)
+
+    def test_shape_preconditions_beat_override(self, monkeypatch, tmp_path):
+        qd = self._arm(monkeypatch, tmp_path)
+        monkeypatch.setenv("QA_FLASH_DECODE", "1")
+        assert not qd._decode_flash(2, 128, cache_len=1 << 20)   # T != 1
+        assert not qd._decode_flash(1, 64, cache_len=1 << 20)    # d % 128
+
+    def test_auto_needs_marker_and_crossover(self, monkeypatch, tmp_path):
+        qd = self._arm(monkeypatch, tmp_path)
+        mc = qd.FLASH_DECODE_MIN_CTX
+        assert qd._decode_flash(1, 128, cache_len=mc)
+        assert not qd._decode_flash(1, 128, cache_len=mc - 1)
+
+    def test_auto_off_without_marker_or_tpu(self, monkeypatch, tmp_path):
+        qd = self._arm(monkeypatch, tmp_path, marker=False)
+        assert not qd._decode_flash(1, 128, cache_len=1 << 20)
+        qd = self._arm(monkeypatch, tmp_path, backend="cpu", marker=True)
+        assert not qd._decode_flash(1, 128, cache_len=1 << 20)
