@@ -114,6 +114,51 @@ def main() -> int:
           f"({sec_l*1e3/hp.n_audio_layer:6.3f} ms/layer; conv+pos+pool "
           f"overhead {1e3*(sec-sec_l):5.2f} ms)", flush=True)
 
+    # stem decomposition: the full-vs-layers gap is conv1 + conv2 + pos add
+    # + stride-2 pool + ln_post; measure each piece unrolled-in-jit so the
+    # sub-ms sections don't drown in dispatch variance (CLAUDE.md)
+    stem_params = {k: params[k] for k in ("conv1", "conv2", "pos",
+                                          "ln_post")}
+
+    def _unrolled(fn):
+        @jax.jit
+        def run(p, c):
+            for _ in range(args.unroll):
+                y = fn(p, c)
+                c = c + (jnp.sum(y) * 0).astype(c.dtype)
+            return c
+        return run
+
+    def stem_fn(p, c):
+        x = jnp.swapaxes(c, 1, 2)
+        x = enc_mod._gelu(enc_mod._conv1d_mm(
+            x, p["conv1"]["w"], p["conv1"]["b"], 1), True)
+        x = enc_mod._gelu(enc_mod._conv1d_mm(
+            x, p["conv2"]["w"], p["conv2"]["b"], 2), True)
+        return x + p["pos"].astype(x.dtype)[None]
+
+    s = time_chain(_unrolled(stem_fn), stem_params, mel, args.chain) \
+        / args.unroll
+    print(f"stem (conv+pos)       {s*1e6:8.1f} us", flush=True)
+
+    x3000 = jnp.asarray(rng.standard_normal(
+        (1, 2 * hp.n_audio_ctx, hp.n_audio_state)) * 0.1, dtype)
+    pieces = [
+        ("conv1 (T=3000)", lambda p, c: enc_mod._gelu(enc_mod._conv1d_mm(
+            jnp.swapaxes(c, 1, 2), p["conv1"]["w"], p["conv1"]["b"], 1),
+            True), mel),
+        ("conv2 (3000->1500)", lambda p, c: enc_mod._gelu(
+            enc_mod._conv1d_mm(c, p["conv2"]["w"], p["conv2"]["b"], 2),
+            True), x3000),
+        ("pool+ln_post", lambda p, c: enc_mod._layer_norm(
+            c.reshape(c.shape[0], c.shape[1] // 2, 2, c.shape[2]).mean(2),
+            p["ln_post"]["w"], p["ln_post"]["b"], hp.eps), x_t),
+    ]
+    for name, fn, x0 in pieces:
+        s = time_chain(_unrolled(fn), stem_params, x0, args.chain) \
+            / args.unroll
+        print(f"  {name:18s} {s*1e6:8.1f} us", flush=True)
+
     # bare attention op (the flash kernel exactly as the layer calls it)
     from qwen2_audio_tpu.ops.flash_attention import flash_attention_encoder
 
