@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("-owts", "--output-words", action="store_true")
     a("-ocsv", "--output-csv", action="store_true")
     a("-oj", "--output-json", action="store_true")
+    a("-ojf", "--output-json-full", action="store_true",
+      help="JSON output with per-token detail (implies -oj, ≙ reference "
+           "main.cpp:151)")
     a("-of", "--output-file", default=None)
     a("-fp", "--font-path", default="/System/Library/Fonts/Supplemental/"
       "Courier New Bold.ttf",
@@ -88,6 +91,8 @@ def build_parser() -> argparse.ArgumentParser:
            "(greedy only; exact output — TPU extension). -1 auto "
            "(on for TPU), 0 off")
     a("--temperature", type=float, default=0.0)
+    a("-tpi", "--temperature-inc", type=float, default=0.2,
+      help="temperature increment for fallback retries (≙ main.cpp:136)")
     a("--debug-mode", action="store_true")
     a("--rpc", default=None, metavar="HOST:PORT",
       help="offload to a remote qwen2_audio_tpu.runtime.rpc server "
@@ -150,8 +155,8 @@ def build_full_params(args):
     fp.entropy_thold = args.entropy_thold
     fp.logprob_thold = args.logprob_thold
     fp.temperature = args.temperature
-    if args.no_fallback:                   # ≙ main.cpp:534
-        fp.temperature_inc = 0.0
+    # ≙ main.cpp:534 — -nf zeroes the increment, else -tpi sets it
+    fp.temperature_inc = 0.0 if args.no_fallback else args.temperature_inc
     fp.max_new_tokens = args.max_new_tokens
     fp.speculative_k = args.spec_k
     fp.print_special = args.print_special
@@ -159,9 +164,10 @@ def build_full_params(args):
     fp.suppress_regex = args.suppress_regex
     fp.initial_prompt = args.prompt
     fp.debug_mode = args.debug_mode
-    # ≙ reference main.cpp:520-522: -owts implies token timestamps and
-    # a 60-char default wrap
-    fp.token_timestamps = args.output_words or args.max_len > 0
+    # ≙ reference main.cpp:520-522: -owts or -ojf implies token
+    # timestamps, -owts a 60-char default wrap
+    fp.token_timestamps = (args.output_words or args.output_json_full
+                           or args.max_len > 0)
     fp.max_len = (60 if args.output_words and args.max_len == 0
                   else args.max_len)
     fp.split_on_word = args.split_on_word

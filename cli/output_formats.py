@@ -182,14 +182,19 @@ def write_outputs(base_path: str, segments: list[dict], args) -> list[str]:
     base = args.output_file or base_path
     if base.endswith((".wav", ".mp3")):
         base = base[:-4]
+    json_full = getattr(args, "output_json_full", False)
     for fmt, flag in (("txt", args.output_txt), ("vtt", args.output_vtt),
                       ("srt", args.output_srt), ("lrc", args.output_lrc),
-                      ("csv", args.output_csv), ("json", args.output_json)):
+                      ("csv", args.output_csv),
+                      ("json", args.output_json or json_full)):
         if flag:
             path = f"{base}.{fmt}"
             if fmt == "srt":
                 write_srt(path, segments,
                           start=1 + getattr(args, "offset_n", 0))
+            elif fmt == "json":
+                # -ojf implies -oj with per-token detail (main.cpp:151)
+                write_json(path, segments, full=json_full)
             else:
                 WRITERS[fmt](path, segments)
             written.append(path)

@@ -94,3 +94,37 @@ def test_srt_offset_n(tmp_path):
     lines = open(p).read().splitlines()
     assert lines[0] == "5"
     assert "6" in lines
+
+
+def test_json_full_via_ojf(tmp_path):
+    """-ojf implies the json writer with per-token detail (≙ reference
+    main.cpp:151 output_jsn_full -> output_jsn, :520 token_timestamps)."""
+    class A:
+        output_txt = False
+        output_vtt = False
+        output_srt = False
+        output_lrc = False
+        output_csv = False
+        output_json = False          # -ojf alone must still write json
+        output_json_full = True
+        output_file = None
+    base = str(tmp_path / "clip.wav")
+    written = write_outputs(base, SEGS, A())
+    assert [w.rsplit(".", 1)[1] for w in written] == ["json"]
+    doc = json.load(open(written[0]))
+    toks = doc["transcription"][0]["tokens"]
+    assert [t["id"] for t in toks] == [1, 2]
+    assert toks[0]["p"] == pytest.approx(0.9)
+
+
+def test_cli_tpi_and_ojf_mapping():
+    """-tpi feeds temperature_inc (zeroed by -nf, main.cpp:534); -ojf
+    turns on token timestamps (main.cpp:520)."""
+    from cli.main import build_parser, build_full_params
+    args = build_parser().parse_args(["-f", "x.wav", "-tpi", "0.35", "-ojf"])
+    fp = build_full_params(args)
+    assert fp.temperature_inc == pytest.approx(0.35)
+    assert fp.token_timestamps
+    args = build_parser().parse_args(["-f", "x.wav", "-tpi", "0.35", "-nf"])
+    fp = build_full_params(args)
+    assert fp.temperature_inc == 0.0
