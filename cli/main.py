@@ -90,10 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
       help="n-gram speculative decoding: drafts verified per forward "
            "(greedy only; exact output — TPU extension). -1 auto "
            "(on for TPU), 0 off")
-    a("--temperature", type=float, default=0.0)
+    a("-tp", "--temperature", type=float, default=0.0)
     a("-tpi", "--temperature-inc", type=float, default=0.2,
       help="temperature increment for fallback retries (≙ main.cpp:136)")
-    a("--debug-mode", action="store_true")
+    a("-debug", "--debug-mode", action="store_true")
     a("--rpc", default=None, metavar="HOST:PORT",
       help="offload to a remote qwen2_audio_tpu.runtime.rpc server "
            "(≙ ggml's RPC backend, ggml-rpc.cpp)")
