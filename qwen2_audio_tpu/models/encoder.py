@@ -198,9 +198,13 @@ def encoder_forward(
         h = _gelu(linear(h, layer["fc1"]), gelu_approximate)
         x = x + linear(h, layer["fc2"])
 
-    # Qwen2-Audio stride-2 average pooler over time (:2160-2171)
-    B, T, D = x.shape
-    x = x.reshape(B, T // 2, 2, D).mean(axis=2)
+    # Qwen2-Audio stride-2 average pooler over time (:2160-2171), lowered
+    # as strided slices + add: the reshape-mean form makes XLA's layout
+    # assignment split the time dim (750, 2) and the cost propagates back
+    # through the whole layer stack — measured +1.6 ms/clip on chip vs
+    # +0.4 ms for this form (same math; bit-exact in f32, where mean ==
+    # (a + b) * 0.5 exactly).
+    x = (x[:, 0::2] + x[:, 1::2]) * jnp.asarray(0.5, x.dtype)
 
     return _layer_norm(x, params["ln_post"]["w"], params["ln_post"]["b"], eps)
 

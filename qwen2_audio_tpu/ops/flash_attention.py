@@ -392,19 +392,20 @@ def _nopad_ok() -> bool:
 
 
 def _lite_ok() -> bool:
-    """The lite one-shot variant (_attn_kernel_single_lite) arms on TPU
-    only after the validator proved it on this host (marker fa_lite);
-    interpret mode (the CPU test mesh) always exercises it so parity
-    stays covered.  Env QA_FA_LITE=0/1 overrides for A/B runs.  Only
-    consulted when the single path is active (lite is a refinement of
-    single; flash_attention ignores it otherwise)."""
+    """The lite one-shot variant (_attn_kernel_single_lite) is OFF by
+    default on TPU: hardware-validated (marker fa_lite) but measured a
+    42% e2e LOSS at the encoder config (29.16 vs 20.49 ms/clip, full
+    forward A/B) — the three .at[..., d].set() column writes on Q/K/V do
+    NOT fuse into the pad copies in the composed program, so the
+    VPU-work saving is swamped by three extra full-array HBM round
+    trips per layer.  Interpret mode (the CPU test mesh) still always
+    exercises it so parity stays covered; env QA_FA_LITE=1 is the A/B
+    escape hatch.  Only consulted when the single path is active."""
     import os
     ov = os.environ.get("QA_FA_LITE")
     if ov is not None:
         return ov not in ("0", "false", "off")
-    if _use_interpret():
-        return True
-    return os.path.exists("/tmp/qa_kernel_ok_fa_lite")
+    return _use_interpret()
 
 
 def _single_pass_ok() -> bool:

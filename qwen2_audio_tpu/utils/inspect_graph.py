@@ -72,8 +72,8 @@ def encoder_intermediates(
         x = x + linear(h, layer["fc2"])
         emit(f"layer{i}.out", x)
 
-    B, T, D = x.shape
-    x = x.reshape(B, T // 2, 2, D).mean(axis=2)
+    # same strided-slice lowering as encoder_forward (bit-parity of probes)
+    x = (x[:, 0::2] + x[:, 1::2]) * jnp.asarray(0.5, x.dtype)
     emit("avg_pool", x)
     x = _layer_norm(x, params["ln_post"]["w"], params["ln_post"]["b"], eps)
     emit("ln_post", x)

@@ -116,8 +116,7 @@ def main() -> int:
                 h = ln(x, layer["ln2"])
                 h = _gelu(linear(h, layer["fc1"]), False)
                 x = x + linear(h, layer["fc2"])
-        Bx, T, D = x.shape
-        x = x.reshape(Bx, T // 2, 2, D).mean(axis=2)
+        x = (x[:, 0::2] + x[:, 1::2]) * jnp.asarray(0.5, x.dtype)
         return _layer_norm(x, params["ln_post"]["w"], params["ln_post"]["b"],
                            eps)
 

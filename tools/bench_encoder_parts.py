@@ -151,7 +151,7 @@ def main() -> int:
             enc_mod._conv1d_mm(c, p["conv2"]["w"], p["conv2"]["b"], 2),
             True), x3000),
         ("pool+ln_post", lambda p, c: enc_mod._layer_norm(
-            c.reshape(c.shape[0], c.shape[1] // 2, 2, c.shape[2]).mean(2),
+            (c[:, 0::2] + c[:, 1::2]) * jnp.asarray(0.5, c.dtype),
             p["ln_post"]["w"], p["ln_post"]["b"], hp.eps), x_t),
     ]
     for name, fn, x0 in pieces:
