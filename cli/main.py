@@ -19,7 +19,11 @@ import numpy as np
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         "qwen2-audio-tpu", description=__doc__,
-        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        # exact-match flags only, like the reference's strcmp parser —
+        # prefix abbreviation would make --temp ambiguous vs -tpi's long
+        # form and silently couple unrelated flags as the surface grows
+        allow_abbrev=False)
     a = p.add_argument
     a("-t", "--threads", type=int, default=4,
       help="number of threads (mel/host-side work; XLA owns device compute)")
@@ -347,9 +351,9 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"saved karaoke script to {base}.wts",
                       file=sys.stderr)
 
-        if ctx.state.segments and any((args.output_txt, args.output_vtt,
-                                       args.output_srt, args.output_lrc,
-                                       args.output_csv, args.output_json)):
+        if ctx.state.segments:
+            # write_outputs gates per flag itself — keeping a second flag
+            # list here is how -ojf silently wrote nothing once
             from cli.output_formats import write_outputs
             for path in write_outputs(fname, ctx.state.segments, args):
                 if not args.no_prints:

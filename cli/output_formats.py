@@ -70,6 +70,28 @@ def write_csv(path: str, segments: list[dict]) -> None:
             f.write(f'{s["t0"] * 10},{s["t1"] * 10},"{text}"\n')
 
 
+def _token_objs(s: dict) -> list[dict]:
+    """Per-token objects for the full JSON format (-ojf): id + surface
+    text, probability when the decode recorded it, and DTW token
+    timestamps when token_timestamps produced them — every token is
+    emitted even if a side-channel list is missing."""
+    ids = s.get("tokens", [])
+    texts = s.get("token_texts") or []
+    probs = s.get("probs") or []
+    times = s.get("token_times")
+    out = []
+    for i, tid in enumerate(ids):
+        tok = {"text": texts[i] if i < len(texts) else "", "id": tid}
+        if i < len(probs):
+            tok["p"] = probs[i]
+        if times is not None and i < len(times):
+            tok["timestamps"] = {"from": format_timestamp(times[i],
+                                                          comma=True)}
+            tok["offsets"] = {"from": times[i] * 10}
+        out.append(tok)
+    return out
+
+
 def write_json(path: str, segments: list[dict], *, model: str = "",
                language: str = "en", full: bool = False) -> None:
     doc = {
@@ -85,10 +107,7 @@ def write_json(path: str, segments: list[dict], *, model: str = "",
                 },
                 "offsets": {"from": s["t0"] * 10, "to": s["t1"] * 10},
                 "text": s["text"],
-                **({"tokens": [
-                    {"text": "", "id": t, "p": p}
-                    for t, p in zip(s["tokens"], s.get("probs", []))
-                ]} if full else {}),
+                **({"tokens": _token_objs(s)} if full else {}),
             }
             for s in segments
         ],

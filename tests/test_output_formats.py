@@ -109,12 +109,22 @@ def test_json_full_via_ojf(tmp_path):
         output_json_full = True
         output_file = None
     base = str(tmp_path / "clip.wav")
-    written = write_outputs(base, SEGS, A())
+    segs = [dict(SEGS[0], token_texts=["He", "llo"],
+                 token_times=[0, 250]),
+            {"t0": 500, "t1": 600, "text": " x", "tokens": [7],
+             "speaker_turn_next": False}]      # no probs/texts recorded
+    written = write_outputs(base, segs, A())
     assert [w.rsplit(".", 1)[1] for w in written] == ["json"]
     doc = json.load(open(written[0]))
     toks = doc["transcription"][0]["tokens"]
     assert [t["id"] for t in toks] == [1, 2]
     assert toks[0]["p"] == pytest.approx(0.9)
+    assert [t["text"] for t in toks] == ["He", "llo"]
+    assert toks[1]["offsets"] == {"from": 2500}
+    # a segment without probs/texts still emits every token id
+    toks2 = doc["transcription"][1]["tokens"]
+    assert [t["id"] for t in toks2] == [7]
+    assert "p" not in toks2[0]
 
 
 def test_cli_tpi_and_ojf_mapping():

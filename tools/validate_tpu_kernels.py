@@ -75,7 +75,10 @@ def main() -> int:
 
     # 1b2. lite one-shot variant (scale in Q, mask bias + softmax
     # denominator on the pad lanes) at the exact encoder shape, checked
-    # against the online kernel (soft-fail: keep later markers)
+    # against the online kernel (soft-fail: keep later markers).
+    # CORRECTNESS-ONLY: production no longer reads the fa_lite marker —
+    # the variant measured a 42% e2e loss (docs/BENCH_NOTES.md) and is
+    # the QA_FA_LITE=1 escape hatch; this stage keeps that hatch proven.
     try:
         qs = jnp.asarray(rng.standard_normal((1, 20, 1500, 64)) * 0.3,
                          jnp.bfloat16)
