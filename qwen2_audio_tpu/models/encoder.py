@@ -199,12 +199,18 @@ def encoder_forward(
         x = x + linear(h, layer["fc2"])
 
     # Qwen2-Audio stride-2 average pooler over time (:2160-2171), lowered
-    # as strided slices + add: the reshape-mean form makes XLA's layout
-    # assignment split the time dim (750, 2) and the cost propagates back
-    # through the whole layer stack — measured +1.6 ms/clip on chip vs
-    # +0.4 ms for this form (same math; bit-exact in f32, where mean ==
-    # (a + b) * 0.5 exactly).
-    x = (x[:, 0::2] + x[:, 1::2]) * jnp.asarray(0.5, x.dtype)
+    # as an MXU matmul against a constant (T, T//2) half-sum operand: the
+    # reshape-mean form makes XLA's layout assignment split the time dim
+    # and the cost propagates back through the whole layer stack
+    # (measured +1.6 ms/clip on chip; strided slices +0.4 ms; this form
+    # +0.1 ms). Bit-exact vs mean in f32: x0*0.5 + x1*0.5 and
+    # (x0 + x1)*0.5 each round exactly once to the same value.
+    B, T, D = x.shape
+    pool = jnp.where(jnp.arange(T)[:, None] // 2
+                     == jnp.arange(T // 2)[None, :],
+                     jnp.asarray(0.5, x.dtype), jnp.asarray(0.0, x.dtype))
+    x = jnp.einsum("btd,tu->bud", x, pool,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
 
     return _layer_norm(x, params["ln_post"]["w"], params["ln_post"]["b"], eps)
 

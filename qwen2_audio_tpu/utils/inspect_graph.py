@@ -72,8 +72,13 @@ def encoder_intermediates(
         x = x + linear(h, layer["fc2"])
         emit(f"layer{i}.out", x)
 
-    # same strided-slice lowering as encoder_forward (bit-parity of probes)
-    x = (x[:, 0::2] + x[:, 1::2]) * jnp.asarray(0.5, x.dtype)
+    # same matmul-pool lowering as encoder_forward (bit-parity of probes)
+    _B, _T, _D = x.shape
+    _pool = jnp.where(jnp.arange(_T)[:, None] // 2
+                      == jnp.arange(_T // 2)[None, :],
+                      jnp.asarray(0.5, x.dtype), jnp.asarray(0.0, x.dtype))
+    x = jnp.einsum("btd,tu->bud", x, _pool,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
     emit("avg_pool", x)
     x = _layer_norm(x, params["ln_post"]["w"], params["ln_post"]["b"], eps)
     emit("ln_post", x)

@@ -116,7 +116,13 @@ def main() -> int:
                 h = ln(x, layer["ln2"])
                 h = _gelu(linear(h, layer["fc1"]), False)
                 x = x + linear(h, layer["fc2"])
-        x = (x[:, 0::2] + x[:, 1::2]) * jnp.asarray(0.5, x.dtype)
+        _T = x.shape[1]
+        _pool = jnp.where(jnp.arange(_T)[:, None] // 2
+                          == jnp.arange(_T // 2)[None, :],
+                          jnp.asarray(0.5, x.dtype),
+                          jnp.asarray(0.0, x.dtype))
+        x = jnp.einsum("btd,tu->bud", x, _pool,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
         return _layer_norm(x, params["ln_post"]["w"], params["ln_post"]["b"],
                            eps)
 

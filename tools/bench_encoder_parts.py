@@ -151,7 +151,12 @@ def main() -> int:
             enc_mod._conv1d_mm(c, p["conv2"]["w"], p["conv2"]["b"], 2),
             True), x3000),
         ("pool+ln_post", lambda p, c: enc_mod._layer_norm(
-            (c[:, 0::2] + c[:, 1::2]) * jnp.asarray(0.5, c.dtype),
+            jnp.einsum("btd,tu->bud", c,
+                       jnp.where(jnp.arange(c.shape[1])[:, None] // 2
+                                 == jnp.arange(c.shape[1] // 2)[None, :],
+                                 jnp.asarray(0.5, c.dtype),
+                                 jnp.asarray(0.0, c.dtype)),
+                       preferred_element_type=jnp.float32).astype(c.dtype),
             p["ln_post"]["w"], p["ln_post"]["b"], hp.eps), x_t),
     ]
     for name, fn, x0 in pieces:
