@@ -60,7 +60,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # (block_q, block_k)
-        s *= sm_scale
+        if sm_scale != 1.0:                 # trace-time constant
+            s *= sm_scale
 
         # mask padded keys (and the upper triangle when causal)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
@@ -105,7 +106,8 @@ def _attn_kernel_single(q_ref, k_ref, v_ref, o_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # (block_q, block_k)
-    s *= sm_scale
+    if sm_scale != 1.0:                     # trace-time constant
+        s *= sm_scale
     if kv_valid < block_k:                  # mask padded keys
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
@@ -351,6 +353,12 @@ def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     B, T, D = q.shape
     dh = D // n_head
+    # pre-scale Q at the XLA level (≙ the reference's own Q pre-scale,
+    # src/qwen2-whisper.cpp:2030): the multiply fuses into the existing
+    # elementwise chain for free, and the kernels then skip their f32
+    # score-scaling pass over the (block_q, block_k) tile (sm_scale=1.0
+    # is a trace-time constant the kernel bodies branch on).
+    q = q * jnp.asarray(float(dh) ** -0.5, q.dtype)
 
     def split(x):
         return x.reshape(B, T, n_head, dh).transpose(0, 2, 1, 3)
@@ -363,12 +371,12 @@ def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
     block_q = int(os.environ.get("QA_FA_BQ", "128"))
     if _nopad_ok():
         out = _flash_attention_nopad(split(q), split(k), split(v),
-                                     sm_scale=float(dh) ** -0.5,
+                                     sm_scale=1.0,
                                      block_q=block_q)
         return out.transpose(0, 2, 1, 3).reshape(B, T, D)
     block_k = max(_LANES, T + (-T % _LANES))
     out = flash_attention(split(q), split(k), split(v),
-                          sm_scale=float(dh) ** -0.5,
+                          sm_scale=1.0,
                           block_q=block_q,
                           block_k=block_k,
                           single=_single_pass_ok(),
