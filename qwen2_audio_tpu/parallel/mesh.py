@@ -81,7 +81,10 @@ def decoder_param_spec(params: dict) -> Any:
         (r"layers/(o|down)/(w|qs|qs8|qs4)$", P("tp", None)),
         (r"layers/(o|down)/(scales|mins)$", P("tp", None)),
         (r"layers/(o|down)/scale_n$", P(None)),  # per-out-channel: replicated
-        (r"lm_head/(w|qs|qs8|qs4|scales|scale_n|mins)$", P(None, "tp")),
+        # lm_head leaves are UNSTACKED (no leading L): scale_n is rank-1
+        # (V,) and column-splits directly; the 2-D leaves split on axis 1
+        (r"lm_head/scale_n$", P("tp")),
+        (r"lm_head/(w|qs|qs8|qs4|scales|mins)$", P(None, "tp")),
     ])
 
 

@@ -69,10 +69,21 @@ def _cache_spec(cache, batch_axis: str | None):
                    v=P(None, b, None, "tp", None), pos=P())
 
 
+# one-entry memo for shard_decoder_for_tp: serving calls re-shard the
+# same pytree every _serve_pool invocation, and a 7B transfer costs
+# seconds before the first token. Strong refs keep the ids valid.
+_SHARD_MEMO: dict = {}
+
+
 def shard_decoder_for_tp(params, mesh: Mesh):
     """Place an (unfused) decoder pytree onto the mesh with the Megatron
     specs. Works for every weight form the runtime supports (dense,
-    ggml-block strided/packed, w8a8)."""
+    ggml-block strided/packed, w8a8). Memoized on (params, mesh) identity
+    so repeated serving calls reuse the sharded copy."""
+    key = (id(params), id(mesh))
+    hit = _SHARD_MEMO.get(key)
+    if hit is not None and hit[0] is params and hit[1] is mesh:
+        return hit[2]
     if "qkv" in params["layers"] or "gate_up" in params["layers"]:
         raise ValueError(
             "TP requires the canonical unfused schema: the fused "
@@ -83,7 +94,10 @@ def shard_decoder_for_tp(params, mesh: Mesh):
         raise ValueError("panelized layouts are single-chip; panelize "
                          "after sharding is not supported")
     from qwen2_audio_tpu.parallel.mesh import shard_params
-    return shard_params(params, decoder_param_spec(params), mesh)
+    sharded = shard_params(params, decoder_param_spec(params), mesh)
+    _SHARD_MEMO.clear()          # one entry: serving reuses one model
+    _SHARD_MEMO[key] = (params, mesh, sharded)
+    return sharded
 
 
 @functools.partial(jax.jit,

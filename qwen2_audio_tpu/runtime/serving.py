@@ -57,6 +57,37 @@ def _append_hist(hist: jax.Array, hlen: jax.Array, toks: jax.Array,
     return hist, jnp.minimum(hlen + n_new, H)
 
 
+def _base_prompt_tokens(bundle, params: FullParams) -> list[int]:
+    """prompt_tokens with FullParams.initial_prompt tokenized and
+    prepended — the same semantics decoding.run applies for whisper_full
+    (≙ header :412-417, capped at n_max_text_ctx/2); without this the
+    serving paths silently dropped initial_prompt."""
+    prompt = list(params.prompt_tokens or [])
+    if params.initial_prompt:
+        if bundle.tokenize is not None:
+            extra = list(bundle.tokenize(params.initial_prompt))
+            prompt = extra[: params.n_max_text_ctx // 2] + prompt
+        else:
+            from qwen2_audio_tpu.runtime.decoding import _warn_once
+            _warn_once("serving_initial_prompt",
+                       "initial_prompt ignored: decoder bundle has no "
+                       "tokenizer")
+    return prompt
+
+
+def _segment_dict(bundle, seg: Segment, lps) -> dict:
+    """The state.segments entry schema shared by every serving path
+    (one definition — the whisper_full accessors read these fields)."""
+    from qwen2_audio_tpu.runtime.decoding import _token_surfaces
+    return {
+        "t0": seg.t0_cs, "t1": seg.t1_cs, "text": seg.text,
+        "tokens": seg.tokens,
+        "token_texts": _token_surfaces(bundle, seg.tokens),
+        "probs": [float(np.exp(min(l, 0.0))) for l in lps],
+        "speaker_turn_next": False,
+    }
+
+
 def _chunk_offsets(n_len_org: int, n_ctx: int) -> list[int]:
     """Window starts: one 2*n_ctx-frame window per 30 s of content."""
     step = 2 * n_ctx
@@ -116,12 +147,16 @@ def transcribe_long_form(
     if ctx.pcm_to_mel_with_state(state, samples) != 0:
         raise RuntimeError("mel computation failed")
     mel = state.mel
+    # fresh transcript per call, like decoding.run's per-call assignment
+    # (whisper_full clears result_all each call); windows APPEND below
+    state.segments = []
 
     offsets = _chunk_offsets(mel.n_len_org, hp.n_audio_ctx)
     if not offsets:
         return
 
     bundle = ctx.decoder
+    base_prompt = _base_prompt_tokens(bundle, params)
     window_cs = 2 * hp.n_audio_ctx  # frames == centiseconds (10 ms hop)
 
     # no_context=False (≙ whisper_full_params.no_context, header :377-379):
@@ -150,7 +185,7 @@ def transcribe_long_form(
         prefills = []
         for b in range(len(group)):
             audio = bundle.project_audio(enc[b])
-            prompt = list(carried) + list(params.prompt_tokens or [])
+            prompt = list(carried) + base_prompt
             prefills.append(_prefill_embeds(bundle, audio, prompt)[0])
         prefill = jnp.stack(prefills)
 
@@ -201,14 +236,7 @@ def transcribe_long_form(
                 tokens=tokens[b],
                 avg_logprob=avglp[b],
             )
-            from qwen2_audio_tpu.runtime.decoding import _token_surfaces
-            state.segments.append({
-                "t0": seg.t0_cs, "t1": seg.t1_cs, "text": seg.text,
-                "tokens": seg.tokens,
-                "token_texts": _token_surfaces(bundle, seg.tokens),
-                "probs": [float(np.exp(min(l, 0.0))) for l in lps[b]],
-                "speaker_turn_next": False,
-            })
+            state.segments.append(_segment_dict(bundle, seg, lps[b]))
             if params.new_segment_callback is not None:
                 params.new_segment_callback(ctx, state, 1)
             if params.progress_callback is not None or params.print_progress:
@@ -257,6 +285,23 @@ def _serve_pool(ctx, params, jobs, n_slots, chunk_tokens, mesh):
     state = ctx.state or ctx.init_state()
     bundle = ctx.decoder
 
+    # the slot pool is greedy-only by design (speculative verification and
+    # the frozen-slot chunk semantics are exact-greedy contracts): warn
+    # loudly on sampling knobs it cannot honor instead of silently
+    # diverging from transcribe_long_form (same FullParams struct)
+    from qwen2_audio_tpu.runtime.decoding import _warn_once
+    if params.strategy == "beam":
+        _warn_once("pool_beam", "slot-pool serving is greedy-only: "
+                   "strategy='beam' ignored (use transcribe_long_form / "
+                   "whisper_full for beam search)")
+    if params.temperature:
+        _warn_once("pool_temperature", "slot-pool serving is greedy-only: "
+                   "temperature ignored")
+    if params.repetition_penalty not in (None, 0.0, 1.0):
+        _warn_once("pool_rep_penalty", "slot-pool serving is greedy-only: "
+                   "repetition_penalty ignored")
+
+    base_prompt = _base_prompt_tokens(bundle, params)
     sup_np = build_suppress_mask(bundle, params)
     sup_mask = None if sup_np is None else jnp.asarray(sup_np)
     # FullParams.suppress_blank: a step-0-only mask. Each slot's "step 0"
@@ -342,8 +387,7 @@ def _serve_pool(ctx, params, jobs, n_slots, chunk_tokens, mesh):
             if job is None:
                 break
             audio = bundle.project_audio(job.enc)
-            pre = _prefill_embeds(bundle, audio,
-                                  params.prompt_tokens or [])[0][None]
+            pre = _prefill_embeds(bundle, audio, base_prompt)[0][None]
             cache, slot_pos, slot_logits, slot_active = _prefill(
                 cache, slot_pos, slot_logits,
                 slot_active, jnp.int32(s), jnp.asarray(pre))
@@ -357,9 +401,14 @@ def _serve_pool(ctx, params, jobs, n_slots, chunk_tokens, mesh):
 
     refill(range(B))
     t0 = time_us()
+    t_refill_us = 0     # lazy-job encode time inside the decode window
+    #                     (transcribe_many) — excluded from t_decode_us,
+    #                     encode_windows already booked it as encode time
     n_decoded = 0
     import time as _time
     rates = {True: [], False: []}      # mode -> recent tok/s samples
+    warmed = {True: False, False: False}   # first chunk per mode carries
+    #                                        XLA compile time: discard it
     LAST_POOL_STATS.clear()
     LAST_POOL_STATS.update({"spec_chunks": 0, "plain_chunks": 0})
     stats = LAST_POOL_STATS
@@ -390,6 +439,8 @@ def _serve_pool(ctx, params, jobs, n_slots, chunk_tokens, mesh):
         return spec_wins
 
     while any(j is not None for j in slot_job):
+        if params.abort_callback is not None and params.abort_callback():
+            break               # ≙ whisper_full's abort_callback contract
         use_spec = spec_k > 0 and _pick_spec()
         t_chunk = _time.perf_counter()
         if use_spec:
@@ -423,8 +474,15 @@ def _serve_pool(ctx, params, jobs, n_slots, chunk_tokens, mesh):
             # np.asarray(n_new) above already forced the readback, so this
             # wall time covers the device work, not just dispatch
             dt = max(_time.perf_counter() - t_chunk, 1e-6)
-            rates[use_spec].append(float(n_new.sum()) / dt)
-            del rates[use_spec][:-8]
+            if warmed[use_spec]:
+                rates[use_spec].append(float(n_new.sum()) / dt)
+                del rates[use_spec][:-8]
+            else:
+                # each mode's first chunk pays its XLA compile (minutes on
+                # a fresh program shape) — feeding it into the adaptive
+                # rates would pick the winner by compile latency and keep
+                # the tainted sample in the mean across probe intervals
+                warmed[use_spec] = True
             stats["spec_chunks" if use_spec else "plain_chunks"] += 1
             chunk_i += 1
         toks = np.asarray(toks)
@@ -456,18 +514,15 @@ def _serve_pool(ctx, params, jobs, n_slots, chunk_tokens, mesh):
                 t0_cs=job.t0_cs, t1_cs=job.t1_cs,
                 text=bundle.text(row), tokens=row,
                 avg_logprob=float(np.mean(lrow)) if lrow else 0.0)
-            from qwen2_audio_tpu.runtime.decoding import _token_surfaces
-            state.segments.append({
-                "t0": seg.t0_cs, "t1": seg.t1_cs, "text": seg.text,
-                "tokens": seg.tokens,
-                "token_texts": _token_surfaces(bundle, seg.tokens),
-                "probs": [float(np.exp(min(l, 0.0))) for l in lrow],
-                "speaker_turn_next": False,
-            })
+            state.segments.append(_segment_dict(bundle, seg, lrow))
+            if params.new_segment_callback is not None:
+                params.new_segment_callback(ctx, state, 1)
             yield job, seg
         if finished:
+            tr = time_us()
             refill(finished)
-    state.timings.t_decode_us += time_us() - t0
+            t_refill_us += time_us() - tr
+    state.timings.t_decode_us += time_us() - t0 - t_refill_us
     state.timings.n_decode += n_decoded
 
 
@@ -507,18 +562,29 @@ def transcribe_continuous(
     if ctx.pcm_to_mel_with_state(state, samples) != 0:
         raise RuntimeError("mel computation failed")
     mel = state.mel
+    state.segments = []     # fresh transcript per call (≙ whisper_full)
     offsets = _chunk_offsets(mel.n_len_org, hp.n_audio_ctx)
     if not offsets:
         return
     window_cs = 2 * hp.n_audio_ctx
+    bucket = min(max_streams, len(offsets))
 
-    # encode all windows up front (batched; cheap next to decode)
-    enc = encode_windows(ctx, mel, offsets,
-                         batch_size=min(max_streams, len(offsets)))
-    jobs = [_Job(w, enc[w], off, min(off + window_cs, mel.n_len_org))
-            for w, off in enumerate(offsets)]
-    for _job, seg in _serve_pool(ctx, params, jobs,
-                                 min(max_streams, len(jobs)),
+    def jobs():
+        # LAZY bucketed encode: held encoder output is bounded by one
+        # bucket beyond the pool instead of the whole audio (a 2 h input
+        # is ~0.9 GB of encoder output if materialized up front), and the
+        # first token doesn't wait for every window to encode
+        for i in range(0, len(offsets), bucket):
+            group = offsets[i:i + bucket]
+            # batch_size=bucket: a short tail group pads to the SAME
+            # bucket so XLA keeps exactly one encode executable
+            enc = encode_windows(ctx, mel, group, batch_size=bucket)
+            for w, off in enumerate(group):
+                yield _Job(i + w, enc[w], off,
+                           min(off + window_cs, mel.n_len_org))
+
+    for _job, seg in _serve_pool(ctx, params, jobs(),
+                                 min(max_streams, len(offsets)),
                                  chunk_tokens, mesh):
         yield seg
 
@@ -545,6 +611,7 @@ def transcribe_many(
     params = params or FullParams()
     hp = ctx.hparams
     state = ctx.state or ctx.init_state()
+    state.segments = []     # fresh transcript per call (≙ whisper_full)
     window_cs = 2 * hp.n_audio_ctx
 
     def jobs():

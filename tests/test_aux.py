@@ -340,3 +340,81 @@ def test_long_form_no_context_carries_transcript(rng, monkeypatch):
     # window 2's prompt is window 1's transcript (EOS stripped)
     expect = [t for t in segs[0].tokens if t != ctx.decoder.eos_token_id]
     assert seen_prompts[1] == expect
+
+
+def _mini_serving_ctx(rng):
+    import io
+    from qwen2_audio_tpu.audio import mel_filterbank
+    from qwen2_audio_tpu.config import Qwen2DecoderConfig, WhisperHParams
+    from qwen2_audio_tpu.io.export import write_encoder_checkpoint
+    from qwen2_audio_tpu.models.encoder import random_encoder_params
+    from qwen2_audio_tpu.models.qwen2_audio import random_bundle
+    from qwen2_audio_tpu.runtime import WhisperContext
+
+    hp = WhisperHParams(n_vocab=64, n_audio_ctx=64, n_audio_state=64,
+                        n_audio_head=4, n_audio_layer=2, n_mels=16)
+    buf = io.BytesIO()
+    write_encoder_checkpoint(buf, random_encoder_params(rng, hp), hp,
+                             mel_filterbank(hp.n_mels), [b"x"] * 60)
+    ctx = WhisperContext.init_from_buffer_with_params(buf.getvalue())
+    cfg = Qwen2DecoderConfig(vocab_size=96, hidden_size=64,
+                             intermediate_size=128, num_hidden_layers=2,
+                             num_attention_heads=4, num_key_value_heads=2,
+                             head_dim=16, tie_word_embeddings=False)
+    ctx.decoder = random_bundle(rng, cfg, enc_state=64, max_ctx=1024)
+    return ctx
+
+
+def test_serving_segments_reset_per_call(rng):
+    """Serving entry points start a FRESH state.segments each call (like
+    decoding.run / whisper_full's per-call result_all clear) — round-3
+    review: they used to accumulate across runs on one context."""
+    from qwen2_audio_tpu.runtime import FullParams
+    from qwen2_audio_tpu.runtime.serving import (transcribe_continuous,
+                                                 transcribe_long_form)
+    ctx = _mini_serving_ctx(rng)
+    samples = (0.1 * rng.standard_normal(16000 * 3)).astype(np.float32)
+    p = FullParams(max_new_tokens=3, temperature_inc=0.0)
+    n1 = len(list(transcribe_long_form(ctx, samples, p, batch_size=2)))
+    list(transcribe_long_form(ctx, samples, p, batch_size=2))
+    assert ctx.full_n_segments() == n1          # not 2 * n1
+    list(transcribe_continuous(ctx, samples, p, max_streams=2,
+                               chunk_tokens=3))
+    assert ctx.full_n_segments() == n1
+
+
+def test_serving_initial_prompt_conditions_decode(rng):
+    """FullParams.initial_prompt reaches the serving prefill (tokenized +
+    capped like decoding.run, header :412-417)."""
+    from qwen2_audio_tpu.runtime import FullParams
+    from qwen2_audio_tpu.runtime.serving import (_base_prompt_tokens,
+                                                 transcribe_long_form)
+    ctx = _mini_serving_ctx(rng)
+    ctx.decoder.tokenize = lambda s: [5, 6, 7]
+    p = FullParams(max_new_tokens=3, temperature_inc=0.0,
+                   initial_prompt="glossary", prompt_tokens=[9])
+    assert _base_prompt_tokens(ctx.decoder, p) == [5, 6, 7, 9]
+    # capped at n_max_text_ctx // 2
+    p2 = FullParams(initial_prompt="x", n_max_text_ctx=4)
+    ctx.decoder.tokenize = lambda s: list(range(10))
+    assert _base_prompt_tokens(ctx.decoder, p2) == [0, 1]
+    # and the decode path runs end-to-end with a prompt installed
+    ctx.decoder.tokenize = lambda s: [5, 6, 7]
+    samples = (0.1 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    segs = list(transcribe_long_form(ctx, samples, p, batch_size=2))
+    assert segs and all(s.tokens for s in segs)
+
+
+def test_pool_warns_on_greedy_only_knobs(rng):
+    """The slot pool cannot honor beam/temperature/repetition_penalty —
+    it must warn (once), not silently diverge from transcribe_long_form."""
+    from qwen2_audio_tpu.runtime import FullParams
+    from qwen2_audio_tpu.runtime import decoding as dec
+    from qwen2_audio_tpu.runtime.serving import transcribe_continuous
+    ctx = _mini_serving_ctx(rng)
+    samples = (0.1 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    dec._WARNED_FLAGS.discard("pool_beam")
+    p = FullParams(max_new_tokens=3, temperature_inc=0.0, strategy="beam")
+    list(transcribe_continuous(ctx, samples, p, max_streams=2,
+                               chunk_tokens=3))
+    assert "pool_beam" in dec._WARNED_FLAGS

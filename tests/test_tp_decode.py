@@ -25,12 +25,15 @@ CFG = Qwen2DecoderConfig(
 
 def _params(rng, quant=None):
     p = random_decoder_params(rng, CFG)
-    if quant is not None:
+    if quant == "fast":                  # per-channel w8a8 (scale_n leaves)
+        p = quantize_decoder_params(p, GGMLType.Q8_0, mode="fast")
+    elif quant is not None:
         p = quantize_decoder_params(p, quant)
     return p
 
 
-@pytest.mark.parametrize("quant", [None, GGMLType.Q8_0, GGMLType.Q4_0])
+@pytest.mark.parametrize("quant", [None, GGMLType.Q8_0, GGMLType.Q4_0,
+                                   "fast"])
 def test_tp_matches_single_device(quant, rng):
     params = _params(np.random.default_rng(31), quant)
     toks = jnp.asarray(np.random.default_rng(32).integers(0, 128, (2, 5)))
@@ -46,11 +49,30 @@ def test_tp_matches_single_device(quant, rng):
     cache2 = create_cache(CFG, 2, 16, dtype=jnp.float32)
     got, gcache = tp_decoder_forward(sp, CFG, mesh, x, cache2, 0,
                                      block_only=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-4, rtol=2e-4)
-    # the sharded cache must hold the same K/V (gather and compare)
-    np.testing.assert_allclose(np.asarray(gcache.k), np.asarray(wcache.k),
-                               atol=1e-4, rtol=1e-4)
+    if quant == "fast":
+        # w8a8 TP is NOT bit-matched to single-chip w8a8: row-parallel
+        # o/down quantize their LOCAL activation half, so the per-token
+        # activation scales differ by shard (a finer grouping, standard
+        # TP-w8a8 semantics). Contract: the TP output's error vs the
+        # DENSE reference stays within ~the single-chip w8a8 error.
+        ref, _ = decoder_forward(dense, CFG, x,
+                                 create_cache(CFG, 2, 16,
+                                              dtype=jnp.float32),
+                                 0, block_only=True)
+        e_single = float(np.abs(np.asarray(want) - np.asarray(ref)).max())
+        e_tp = float(np.abs(np.asarray(got) - np.asarray(ref)).max())
+        assert e_tp <= 2.0 * e_single + 1e-4, (e_tp, e_single)
+    else:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-4)
+    # the sharded cache must hold the same K/V (gather and compare).
+    # For w8a8 only layer 0 is comparable: deeper layers see the slightly
+    # different residual stream from the per-shard activation scales.
+    gk, wk = np.asarray(gcache.k), np.asarray(wcache.k)
+    if quant == "fast":
+        np.testing.assert_allclose(gk[0], wk[0], atol=1e-4, rtol=1e-4)
+    else:
+        np.testing.assert_allclose(gk, wk, atol=1e-4, rtol=1e-4)
 
 
 def test_tp_decode_step_vec_pos(rng):
