@@ -44,11 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from qwen2_audio_tpu.ops.quant_matmul import scales_f32
-
-
-def _use_interpret() -> bool:
-    return jax.default_backend() not in ("tpu", "axon")
+from qwen2_audio_tpu.ops.quant_matmul import _use_interpret, scales_f32
 
 
 # --- dequant flavors (operate on one weight's block refs) ------------------
@@ -142,6 +138,15 @@ def _swiglu_call(x, gu_leaves, dn_leaves, li, *, I, group, packed,
     gu arrays via block-offset index maps."""
     M, K = x.shape
     D = dn_leaves[0].shape[2]
+    if M > 64:
+        # decode-shaped kernels: block_m is the whole (padded) M and the
+        # (block_m, D) f32 accumulator lives in VMEM scratch — prefill
+        # M would blow the VMEM budget (and a failed Mosaic compile can
+        # wedge the remote-compile tunnel, CLAUDE.md). Callers route
+        # large-M through the two-launch linear path (ops/linear.py).
+        raise ValueError(
+            f"fused MLP kernels are decode-shaped (M <= 64, got {M}); "
+            "use the per-projection linear path for prefill-scale M")
 
     # block_i must divide I and be a multiple of the scale group x 8
     bi = block_i

@@ -371,6 +371,7 @@ def quant_matmul_stacked(
     block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
     block_n = _pick_block(N, block_n, 128)
     block_k = _pick_block(K, block_k or _auto_block_k(K, block_n), 8 * group)
+    assert K % block_k == 0 and N % block_n == 0 and block_k % group == 0
 
     m_pad = -M % block_m
     if m_pad:

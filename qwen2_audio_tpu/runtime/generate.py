@@ -39,9 +39,12 @@ class GenState(NamedTuple):
 
 @functools.partial(
     jax.jit,
+    # seed is TRACED (PRNGKey(seed) folds it in at run time): a static
+    # seed would compile a fresh while_loop program per seed value —
+    # 5-18 min each on the remote-compile path (CLAUDE.md)
     static_argnames=("cfg", "max_new_tokens", "eos_token_id", "temperature",
                      "repetition_penalty", "top_k", "cache_max_ctx",
-                     "cache_dtype", "seed"))
+                     "cache_dtype"))
 def generate_on_device(
     params,
     cfg,
@@ -335,7 +338,7 @@ def beam_search_on_device(
     cache_dtype=jnp.bfloat16,
     length_penalty: float = -1.0,
     repetition_penalty: float = 1.0,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Beam search entirely under one ``lax.while_loop`` — expand/top-k over
     K·V, KV-cache hypothesis reorder as an in-loop gather (≙ the reference's
     kv_cache seq_cp scaffolding, src/qwen2-whisper.cpp:1048-1064), zero host
@@ -526,12 +529,18 @@ def greedy_decode_device(bundle, prefill, *, max_new_tokens: int,
         if temperature > 0 or repetition_penalty != 1.0 or top_k > 0:
             raise ValueError("speculative path is exact for plain greedy "
                              "only (temperature=0, no penalties)")
+        # capacity parity with the plain path: generate_on_device stops at
+        # T0 + count < max_ctx, so clamp the spec budget to the same bound
+        # — the cache still grows by the spec_k verification slack
+        # (generate_speculative requires it), but a caller-limited
+        # cache_ctx yields IDENTICAL output to spec_k=0
+        eff_new = min(max_new_tokens, max(max_ctx - T0, 0))
         tokens, logprobs, count, last_logits, first_logits, iters = \
             generate_speculative(
                 bundle.params, bundle.cfg, prefill, sup, sup0,
-                max_new_tokens=max_new_tokens,
+                max_new_tokens=eff_new,
                 eos_token_id=bundle.eos_token_id,
-                cache_max_ctx=max(max_ctx, T0 + max_new_tokens + spec_k),
+                cache_max_ctx=max(max_ctx, T0 + eff_new + spec_k),
                 cache_dtype=bundle.cache_dtype,
                 spec_k=spec_k, ngram=ngram)
     else:

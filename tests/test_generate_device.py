@@ -169,3 +169,18 @@ def test_suppress_first_parity_all_paths(bundle, rng):
     dbeam = beam_search_device(bundle, prefill, beam_size=3,
                                max_new_tokens=8, suppress_first=mask)
     assert dbeam.tokens == hbeam.tokens
+
+
+def test_spec_respects_caller_cache_ctx(bundle, rng):
+    """spec_k>0 with a BINDING cache_ctx must emit exactly what spec_k=0
+    emits (round-3 review: the spec path silently grew the cache past the
+    caller's capacity and kept generating)."""
+    prompt = rng.integers(2, 90, (1, 5))
+    prefill = embed_tokens(bundle.params, jnp.asarray(prompt))
+    cap = prefill.shape[1] + 4          # room for only 4 new tokens
+    plain = greedy_decode_device(bundle, prefill, max_new_tokens=16,
+                                 cache_ctx=cap)
+    spec = greedy_decode_device(bundle, prefill, max_new_tokens=16,
+                                cache_ctx=cap, spec_k=3)
+    assert spec.tokens == plain.tokens
+    assert len(plain.tokens[0]) <= 4
