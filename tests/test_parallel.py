@@ -157,9 +157,16 @@ def test_distributed_single_process_cluster():
     host-local batch pattern. Runs in a subprocess because
     jax.distributed.initialize must precede first backend use (other
     tests in this session have already initialized it)."""
+    import socket
     import subprocess
     import sys
-    code = """
+    # a fixed coordinator port collides with concurrent sessions (this
+    # test once failed under background-job load); bind port 0 to get a
+    # free one — the tiny close-to-reuse race window is fine for a test
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    code = f"""
 import jax, numpy as np
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
@@ -167,7 +174,7 @@ from jax.sharding import PartitionSpec as P
 from qwen2_audio_tpu.parallel import distributed as dist
 
 assert dist.initialize() is False          # nothing configured: no-op
-assert dist.initialize(coordinator_address="127.0.0.1:23417",
+assert dist.initialize(coordinator_address="127.0.0.1:{port}",
                        num_processes=1, process_id=0)
 assert jax.process_count() == 1
 mesh = dist.global_mesh(tp=2)
