@@ -26,6 +26,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LANES = 128
+# exp2-domain softmax: softmax_e(z) == softmax_2(z * log2(e)) exactly, so a
+# caller that folds LOG2E into its existing Q pre-scale (a free trace-time
+# constant) lets the kernel exponentiate with exp2 directly — TPU lowers
+# jnp.exp as exp2(x * log2e), i.e. one extra VPU multiply pass over every
+# (block_q, block_k) f32 score tile that exp2 skips.
+_LOG2E = 1.4426950408889634
 
 
 def _use_interpret() -> bool:
@@ -37,7 +43,8 @@ def _use_interpret() -> bool:
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref,
                  m_ref, l_ref, acc_ref,
                  *, sm_scale: float, causal: bool, kv_valid: int,
-                 block_q: int, block_k: int):
+                 block_q: int, block_k: int, exp2: bool = False):
+    _exp = jnp.exp2 if exp2 else jnp.exp
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -75,8 +82,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref,
         l_prev = l_ref[...]
         m_curr = jnp.max(s, axis=1, keepdims=True)       # (block_q, 1)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
+        alpha = _exp(m_prev - m_next)
+        p = _exp(s - m_next[:, :1])
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
         m_ref[...] = m_next
@@ -95,7 +102,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref,
 
 
 def _attn_kernel_single(q_ref, k_ref, v_ref, o_ref,
-                        *, sm_scale: float, kv_valid: int, block_k: int):
+                        *, sm_scale: float, kv_valid: int, block_k: int,
+                        exp2: bool = False):
     """One-shot softmax-attention tile: the whole KV fits in a single
     k block (the encoder regime — T=1500 rides one 1536 tile), so the
     online-softmax machinery of _attn_kernel (m/l scratch, alpha
@@ -112,7 +120,7 @@ def _attn_kernel_single(q_ref, k_ref, v_ref, o_ref,
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = (jnp.exp2 if exp2 else jnp.exp)(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     v = v_ref[0, 0]                         # (block_k, d)
     acc = jax.lax.dot(p.astype(v.dtype), v,
@@ -121,7 +129,8 @@ def _attn_kernel_single(q_ref, k_ref, v_ref, o_ref,
     o_ref[0, 0] = (acc * l_inv).astype(o_ref.dtype)
 
 
-def _attn_kernel_single_lite(q_ref, k_ref, v_ref, o_ref, *, d_l: int):
+def _attn_kernel_single_lite(q_ref, k_ref, v_ref, o_ref, *, d_l: int,
+                             exp2: bool = False):
     """One-shot attention with the softmax bookkeeping moved onto the MXU.
 
     The plain single-pass kernel (_attn_kernel_single) still pays four VPU
@@ -147,7 +156,7 @@ def _attn_kernel_single_lite(q_ref, k_ref, v_ref, o_ref, *, d_l: int):
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # scaled + masked
     m = jnp.max(t, axis=1, keepdims=True)
-    p = jnp.exp(t - m).astype(v_ref.dtype)
+    p = (jnp.exp2 if exp2 else jnp.exp)(t - m).astype(v_ref.dtype)
     acc = jax.lax.dot(p, v_ref[0, 0], preferred_element_type=jnp.float32)
     l = acc[:, d_l:d_l + 1]                 # sum(p) via V's ones column
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -157,7 +166,7 @@ def _attn_kernel_single_lite(q_ref, k_ref, v_ref, o_ref, *, d_l: int):
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "causal", "kv_valid", "block_q", "block_k",
-                     "single", "lite"))
+                     "single", "lite", "exp2"))
 def flash_attention(
     q: jax.Array,       # (B, Hq, Tq, d)
     k: jax.Array,       # (B, Hkv, Tk, d) — Hkv may divide Hq (GQA)
@@ -170,8 +179,14 @@ def flash_attention(
     block_k: int = 512,
     single: bool = False,
     lite: bool = False,
+    exp2: bool = False,
 ) -> jax.Array:
     """O = softmax(sm_scale * Q K^T) V, tiled; returns (B, Hq, Tq, d).
+
+    ``exp2=True`` treats the scaled scores as log2-domain logits (softmax
+    base 2): the caller folds LOG2E into ``sm_scale`` (or its Q pre-scale)
+    and the kernels exponentiate with exp2, skipping the ln->log2 multiply
+    TPU's exp lowering performs on every f32 score element.
 
     Tq/Tk may be arbitrary; they are padded internally. ``kv_valid`` is the
     number of real key positions (defaults to Tk). GQA is handled in the
@@ -209,7 +224,7 @@ def flash_attention(
         k = k.at[..., d].set(key_bias[None, None, :])
         v = v.at[..., d].set(1.0)
         out = pl.pallas_call(
-            functools.partial(_attn_kernel_single_lite, d_l=d),
+            functools.partial(_attn_kernel_single_lite, d_l=d, exp2=exp2),
             out_shape=jax.ShapeDtypeStruct((B, H, TQ, Dq), q.dtype),
             grid_spec=pl.GridSpec(
                 grid=(B, H, TQ // block_q),
@@ -235,7 +250,7 @@ def flash_attention(
         # whole KV in one tile: one-shot softmax, no scratch, 3-dim grid
         out = pl.pallas_call(
             functools.partial(_attn_kernel_single, sm_scale=sm_scale,
-                              kv_valid=kv_valid, block_k=block_k),
+                              kv_valid=kv_valid, block_k=block_k, exp2=exp2),
             out_shape=jax.ShapeDtypeStruct((B, H, TQ, Dq), q.dtype),
             grid_spec=pl.GridSpec(
                 grid=(B, H, TQ // block_q),
@@ -262,7 +277,7 @@ def flash_attention(
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel, sm_scale=sm_scale, causal=causal,
-            kv_valid=kv_valid, block_q=block_q, block_k=block_k),
+            kv_valid=kv_valid, block_q=block_q, block_k=block_k, exp2=exp2),
         out_shape=jax.ShapeDtypeStruct((B, H, TQ, Dq), q.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -292,7 +307,8 @@ def flash_attention(
     return out[:, :, :Tq, :d]
 
 
-def _flash_attention_nopad(q, k, v, *, sm_scale: float, block_q: int):
+def _flash_attention_nopad(q, k, v, *, sm_scale: float, block_q: int,
+                           exp2: bool = False):
     """One-shot single-KV-block attention with NO XLA-side padding.
 
     The padded single path (flash_attention single=True) costs three HBM
@@ -322,7 +338,7 @@ def _flash_attention_nopad(q, k, v, *, sm_scale: float, block_q: int):
 
     return pl.pallas_call(
         functools.partial(_attn_kernel_single, sm_scale=sm_scale,
-                          kv_valid=Tk, block_k=block_k),
+                          kv_valid=Tk, block_k=block_k, exp2=exp2),
         out_shape=jax.ShapeDtypeStruct((B, H, Tq, d), q.dtype),
         grid_spec=pl.GridSpec(
             grid=(B, H, nq),
@@ -358,7 +374,9 @@ def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
     # elementwise chain for free, and the kernels then skip their f32
     # score-scaling pass over the (block_q, block_k) tile (sm_scale=1.0
     # is a trace-time constant the kernel bodies branch on).
-    q = q * jnp.asarray(float(dh) ** -0.5, q.dtype)
+    use_exp2 = _exp2_ok()
+    scale = float(dh) ** -0.5 * (_LOG2E if use_exp2 else 1.0)
+    q = q * jnp.asarray(scale, q.dtype)
 
     def split(x):
         return x.reshape(B, T, n_head, dh).transpose(0, 2, 1, 3)
@@ -372,7 +390,7 @@ def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
     if _nopad_ok():
         out = _flash_attention_nopad(split(q), split(k), split(v),
                                      sm_scale=1.0,
-                                     block_q=block_q)
+                                     block_q=block_q, exp2=use_exp2)
         return out.transpose(0, 2, 1, 3).reshape(B, T, D)
     block_k = max(_LANES, T + (-T % _LANES))
     out = flash_attention(split(q), split(k), split(v),
@@ -380,7 +398,8 @@ def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
                           block_q=block_q,
                           block_k=block_k,
                           single=_single_pass_ok(),
-                          lite=_lite_ok())
+                          lite=_lite_ok(),
+                          exp2=use_exp2)
     return out.transpose(0, 2, 1, 3).reshape(B, T, D)
 
 
@@ -414,6 +433,19 @@ def _lite_ok() -> bool:
     if ov is not None:
         return ov not in ("0", "false", "off")
     return _use_interpret()
+
+
+def _exp2_ok() -> bool:
+    """exp2-domain softmax (LOG2E folded into the free Q pre-scale, kernels
+    exponentiate with exp2 — see _LOG2E).  OFF by default until it wins an
+    e2e A/B on chip (the closeout rule: validators prove correctness, only
+    a full-forward A/B may flip a production default).  Env QA_FA_EXP2=0/1
+    is the A/B escape hatch; parity is covered by explicit exp2 tests."""
+    import os
+    ov = os.environ.get("QA_FA_EXP2")
+    if ov is not None:
+        return ov not in ("0", "false", "off")
+    return False
 
 
 def _single_pass_ok() -> bool:

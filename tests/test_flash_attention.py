@@ -162,6 +162,48 @@ def test_nopad_matches_reference(rng):
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+def test_exp2_matches_reference(rng):
+    """exp2-domain softmax (scores pre-scaled by log2(e), kernels using
+    exp2) must reproduce base-e attention on every kernel path: online,
+    one-shot, lite, and the unpadded one-shot."""
+    from qwen2_audio_tpu.ops.flash_attention import (_LOG2E,
+                                                     _flash_attention_nopad)
+    T, d = 300, 64
+    q = rng.standard_normal((1, 2, T, d)).astype(np.float32)
+    k = rng.standard_normal((1, 2, T, d)).astype(np.float32)
+    v = rng.standard_normal((1, 2, T, d)).astype(np.float32)
+    sm = d ** -0.5
+    want = ref_attention(q, k, v, sm)
+    bk = T + (-T % 128)
+    for kwargs in (dict(),                                   # online kernel
+                   dict(single=True, block_q=128, block_k=bk),
+                   dict(single=True, lite=True, block_q=128, block_k=bk)):
+        got = np.asarray(flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            sm_scale=sm * _LOG2E, exp2=True, **kwargs))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4,
+                                   err_msg=str(kwargs))
+    got = np.asarray(_flash_attention_nopad(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        sm_scale=sm * _LOG2E, block_q=128, exp2=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_encoder_entry_exp2_env(rng, monkeypatch):
+    """QA_FA_EXP2=1 must leave flash_attention_encoder's values unchanged
+    (the LOG2E fold rides the Q pre-scale; the kernel swaps exp->exp2)."""
+    B, T, D, H = 1, 300, 128, 2
+    q = rng.standard_normal((B, T, D)).astype(np.float32)
+    k = rng.standard_normal((B, T, D)).astype(np.float32)
+    v = rng.standard_normal((B, T, D)).astype(np.float32)
+    base = np.asarray(flash_attention_encoder(jnp.asarray(q), jnp.asarray(k),
+                                              jnp.asarray(v), H))
+    monkeypatch.setenv("QA_FA_EXP2", "1")
+    got = np.asarray(flash_attention_encoder(jnp.asarray(q), jnp.asarray(k),
+                                             jnp.asarray(v), H))
+    np.testing.assert_allclose(got, base, atol=2e-5, rtol=1e-4)
+
+
 def test_encoder_entry_nopad_vs_padded(rng):
     """flash_attention_encoder must produce the same values whichever
     attention lowering the env picks (nopad / padded-single / online)."""
