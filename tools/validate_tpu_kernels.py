@@ -95,6 +95,26 @@ def main() -> int:
               "marker not written, the plain one-shot kernel remains the "
               "default", flush=True)
 
+    # 1b3. exp2-domain softmax (LOG2E folded into sm_scale, kernels
+    # exponentiate with exp2) at the exact encoder shape, checked against
+    # the base-e one-shot kernel (soft-fail: keep later markers).
+    try:
+        from qwen2_audio_tpu.ops.flash_attention import _LOG2E
+        qs = jnp.asarray(rng.standard_normal((1, 20, 1500, 64)) * 0.3,
+                         jnp.bfloat16)
+        kw = dict(block_q=128, block_k=1536, single=True)
+        a1 = np.asarray(flash_attention(qs, qs, qs, sm_scale=0.125 * _LOG2E,
+                                        exp2=True, **kw)).astype(np.float32)
+        a0 = np.asarray(flash_attention(qs, qs, qs, sm_scale=0.125, **kw)
+                        ).astype(np.float32)
+        assert np.isfinite(a1).all()
+        assert np.abs(a1 - a0).max() < 1e-2, np.abs(a1 - a0).max()
+        mark("fa_exp2")
+    except Exception as e:      # noqa: BLE001
+        print(f"[validate] fa_exp2 REJECTED on this host: {e!r} — "
+              "marker not written, base-e exp remains the default",
+              flush=True)
+
     # 1c. unpadded one-shot variant (d=64 lane blocks, OOB q tail):
     # checked against the padded online kernel at the exact encoder shape
     # (soft-fail: keep later markers)
