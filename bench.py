@@ -46,14 +46,10 @@ def main() -> int:
                                                 watchdog)
     watchdog(WATCHDOG_S, "bench", on_timeout=_report_failure)
     import jax
-    # persistent compilation cache: first compile of the large encoder is
-    # 20-40 s; subsequent bench runs hit the cache
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/qa_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # persistent compilation cache (survives host resets; seeds from the
+    # in-repo prewarm_cache/ so even a fresh clone skips the big compile)
+    from qwen2_audio_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from qwen2_audio_tpu.audio import mel_filterbank
     from qwen2_audio_tpu.audio.mel import log_mel_spectrogram, mel_input_window

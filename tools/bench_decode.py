@@ -47,8 +47,9 @@ def main() -> int:
                          "cost (run V and V/16, extrapolate)")
     ap.add_argument("--new", type=int, default=128)
     ap.add_argument("--prefill", type=int, default=64)
-    ap.add_argument("--cache-dir", default="/tmp/qa_param_cache",
-                    help="device-layout param cache; '' disables "
+    ap.add_argument("--cache-dir", default=None,
+                    help="device-layout param cache; '' disables; default "
+                         "~/.cache/qwen2_audio_tpu/param_cache "
                          "(io/param_cache.py — skips re-quantization on "
                          "repeat runs, the 7B setup-time fix)")
     ap.add_argument("--kv", default="bf16", choices=["bf16", "q8"],
@@ -97,8 +98,8 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/qa_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from qwen2_audio_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
     except Exception:
         pass
     from qwen2_audio_tpu.utils.watchdog import (ensure_kernel_validation,
@@ -158,6 +159,9 @@ def main() -> int:
             p = quantize_decoder_params(p, ttype, to_device=False)
         return p
 
+    if args.cache_dir is None:
+        from qwen2_audio_tpu.utils.cache import param_cache_dir
+        args.cache_dir = param_cache_dir()
     if args.quant != "none" and args.cache_dir:
         from qwen2_audio_tpu.io.param_cache import cached_build
         from qwen2_audio_tpu.quant.qparams import (_scale16_enabled,

@@ -54,8 +54,8 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/qa_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from qwen2_audio_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
     except Exception:
         pass
     from qwen2_audio_tpu.utils.watchdog import watchdog

@@ -14,29 +14,40 @@ HF-oracle detour, in two parts:
    quantize/dequantize bit-exactness against the reference's own
    ggml-quants.c (see build_codec_oracle below).
 
-Why the end-to-end part is f32-only — a DOCUMENTED REFERENCE-SIDE
-BLOCKER: the fork's loader forces conv weights to F16 for ANY non-f32
-ftype (`vtype = wtype == F32 ? F32 : F16`,
+Quantized END-TO-END runs need a ONE-LINE PATCH to the reference — a
+DOCUMENTED REFERENCE-SIDE BUG: the fork's loader forces conv weights to
+F16 for ANY non-f32 ftype (`vtype = wtype == F32 ? F32 : F16`,
 /root/reference/src/qwen2-whisper.cpp:1543), and the fork changed
 ggml_conv_1d's im2col dst type to F32 (ggml/src/ggml.c:6642; upstream
 whisper.cpp uses F16), so the conv lowers to mul_mat(f32 im2col, f16
 kernel) — an op the CPU backend rejects (ggml-backend.cpp:1156 requires
 src1 f32 or the vec_dot type) and the scheduler aborts
 (`node_backend_id != -1`). Quantized and f16 models therefore cannot run
-CPU-only in the reference AT ALL; they only ever ran under CUDA (which
-this container cannot execute). The quantized payload path is instead
-proven bit-exact at the codec level, which composes with our own
-quant-matmul parity tests (tests/test_quant_matmul.py) to cover the gap.
+CPU-only in the PRISTINE reference AT ALL; they only ever ran under CUDA
+(which this container cannot execute). `build_reference_cpu_patched`
+below copies the tree to /tmp, pins `vtype = GGML_TYPE_F32` (the
+checkpoint writer keeps conv weights f32 in quantized files anyway,
+exactly like ggml_common_quantize_0's 2-D-only rule), rebuilds CPU-only
+Debug, and the quantized fingerprints diff end to end.
+
+Expected quantized deltas are NOT zero even with bit-exact payloads
+(proven separately by --codec-oracle): ggml's CPU mul_mat quantizes the
+ACTIVATIONS to q8_0 blocks and runs an integer dot
+(ggml-quants.c::ggml_vec_dot_q4_0_q8_0:3921), while our device path
+dequantizes weights and keeps activations in float. Same information
+budget, different rounding — measured max|Δ| on the 20-float fingerprint
+is 0.010-0.018 across formats on the 2-layer synthetic tower; per-format
+tolerances below bound that noise while still catching real layout bugs
+(a swapped nibble order shows up as O(1) deltas).
 
 Also documented here: the reference's -O2 CPU build segfaults on load
 (fork UB exposed by optimization); the Debug build (the fork's own
 hardcoded CMAKE_BUILD_TYPE, CMakeLists.txt:6) is the working oracle.
 
 Usage:
-    cmake -S /root/reference -B /tmp/ggml_cpu_build -DGGML_CUDA=OFF -G Ninja
-    ninja -C /tmp/ggml_cpu_build main
-    python tools/crosscheck_ggml.py [--ref-bin /tmp/ggml_cpu_build/bin/main]
-                                    [--tol 0.01] [--formats f32]
+    python tools/crosscheck_ggml.py --auto          # everything, writes
+                                                    # docs/CROSSCHECK_GGML.json
+    python tools/crosscheck_ggml.py --patched --formats q8_0,q4_0
     python tools/crosscheck_ggml.py --codec-oracle
 
 Exit 0 iff every requested format's max |Δ| over the 20 fingerprint
@@ -179,6 +190,45 @@ def build_reference_cpu(build_dir: str = "/tmp/ggml_cpu_debug") -> str:
     return main_bin
 
 
+def build_reference_cpu_patched(src_dir: str = "/tmp/ref_patched",
+                                build_dir: str = "/tmp/ref_patched_build"
+                                ) -> str:
+    """Copy the reference to /tmp, apply the one-line vtype fix (see
+    module docstring), build CPU-only Debug. Idempotent."""
+    import shutil
+    main_bin = f"{build_dir}/bin/main"
+    if os.path.exists(main_bin):
+        return main_bin
+    if not os.path.exists(os.path.join(src_dir, "CMakeLists.txt")):
+        shutil.copytree("/root/reference", src_dir, dirs_exist_ok=True)
+    p = os.path.join(src_dir, "src/qwen2-whisper.cpp")
+    with open(p) as f:
+        s = f.read()
+    old = ("const ggml_type vtype = wctx.wtype == GGML_TYPE_F32 ? "
+           "GGML_TYPE_F32 : GGML_TYPE_F16; // conv type")
+    if old in s:
+        s = s.replace(old, "const ggml_type vtype = GGML_TYPE_F32; "
+                           "// conv type (patched: see crosscheck_ggml.py)")
+        with open(p, "w") as f:
+            f.write(s)
+    subprocess.run(
+        ["cmake", "-S", src_dir, "-B", build_dir, "-G", "Ninja",
+         "-DGGML_CUDA=OFF", "-DGGML_NATIVE=OFF",
+         "-DWHISPER_BUILD_EXAMPLES=ON", "-DCMAKE_BUILD_TYPE=Debug"],
+        check=True, capture_output=True)
+    subprocess.run(["ninja", "-C", build_dir, "bin/main"], check=True,
+                   capture_output=True)
+    return main_bin
+
+
+# Per-format e2e fingerprint tolerances. f32 bounds pure op-order noise;
+# quantized formats additionally absorb the reference's activation
+# re-quantization (module docstring). Measured values: f32 0.001,
+# q8_0 0.010, q5_0 0.012, q4_0 0.014, q5_1 0.016, q4_1 0.018.
+E2E_TOL = {"f32": 0.005, "q8_0": 0.03, "q4_0": 0.05, "q4_1": 0.05,
+           "q5_0": 0.05, "q5_1": 0.05, "q4_k": 0.05, "q6_k": 0.05}
+
+
 def run_auto(out_path: str, tol: float) -> int:
     """Build the reference, run BOTH checks, and write a committed-able
     JSON artifact (VERDICT r2 missing #4: the parity evidence must be
@@ -206,11 +256,29 @@ def run_auto(out_path: str, tol: float) -> int:
         "bit_exact": rc_codec == 0,
     }
 
-    # end-to-end f32 fingerprint (see module docstring for why f32-only)
+    # end-to-end f32 fingerprint against the PRISTINE reference build
     rc_e2e, worst = run_end_to_end(f"{build_dir}/bin/main", "f32", tol)
     record["end_to_end_f32"] = {"max_abs_delta": worst.get("f32"),
-                                "tol": tol, "ok": rc_e2e == 0}
-    record["ok"] = rc_codec == 0 and rc_e2e == 0
+                                "tol": E2E_TOL["f32"], "ok": rc_e2e == 0}
+
+    # quantized end-to-end against the one-line-patched reference build
+    # (BASELINE config #3: logits parity per quant format; the pristine
+    # fork cannot run quantized CPU-only — module docstring)
+    print("[auto] building PATCHED reference (vtype fix) ...", flush=True)
+    patched_bin = build_reference_cpu_patched()
+    qformats = "q8_0,q4_0,q4_1,q5_0,q5_1,q4_k,q6_k"
+    rc_q, worst_q = run_end_to_end(patched_bin, qformats, tol)
+    record["end_to_end_quantized"] = {
+        "reference_patch": "src/qwen2-whisper.cpp:1543 vtype->F32 "
+                           "(one-line fork-bug fix; see tool docstring)",
+        "note": "deltas are activation-requant noise: ggml CPU "
+                "quantizes activations to q8_0 for the integer dot; "
+                "payloads are bit-exact (codec_oracle)",
+        "per_format": {k: {"max_abs_delta": v, "tol": E2E_TOL[k]}
+                       for k, v in worst_q.items()},
+        "ok": rc_q == 0,
+    }
+    record["ok"] = rc_codec == 0 and rc_e2e == 0 and rc_q == 0
     if os.path.dirname(out_path):
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
@@ -227,9 +295,12 @@ def main() -> int:
                          "build dirs, Debug builds first)")
     ap.add_argument("--tol", type=float, default=0.01)
     ap.add_argument("--formats", default="f32",
-                    help="end-to-end formats; quantized ones cannot run "
-                         "CPU-only in the reference (see module "
-                         "docstring) — use --codec-oracle for those")
+                    help="end-to-end formats; quantized ones need the "
+                         "PATCHED reference build (--patched or --auto; "
+                         "see module docstring)")
+    ap.add_argument("--patched", action="store_true",
+                    help="build/use the one-line-patched reference copy "
+                         "(enables quantized end-to-end runs)")
     ap.add_argument("--codec-oracle", action="store_true",
                     help="byte-level quantizer/dequantizer cross-check "
                          "against the reference's own ggml-quants.c "
@@ -251,6 +322,9 @@ def main() -> int:
         print("no libggml.so found; build the reference CPU-only first",
               file=sys.stderr)
         return 2
+
+    if args.patched and args.ref_bin is None:
+        args.ref_bin = build_reference_cpu_patched()
 
     # prefer a Debug build: the fork's -O2 CPU build segfaults on load
     # (UB exposed by optimization; see module docstring)
@@ -291,21 +365,33 @@ def run_end_to_end(ref_bin: str, formats: str, tol: float
         "q6_k": GGMLFType.MOSTLY_Q6_K,
     }
 
-    # small but real tower: enough layers for quant noise to accumulate
-    hp = WhisperHParams(n_vocab=64, n_audio_ctx=1500, n_audio_state=128,
-                        n_audio_head=4, n_audio_layer=2, n_mels=80,
-                        n_text_state=128)   # loader asserts text==audio dim
-    rng = np.random.default_rng(42)
-    params = random_encoder_params(rng, hp)
-
     tmp = tempfile.mkdtemp(prefix="qa_crosscheck_")
-    base = os.path.join(tmp, "model-f32.bin")
-    # f32 base: the fork's conv graph cannot run f16 kernels on CPU (see
-    # module docstring); conv weights stay f32 in quantized files too,
-    # exactly like ggml_common_quantize_0 (2-D-only quantization)
-    write_encoder_checkpoint(base, params, hp, mel_filterbank(hp.n_mels),
-                             [b"tok%d" % i for i in range(60)],
-                             use_f16=False)
+    rng = np.random.default_rng(42)
+
+    # small but real towers: enough layers for quant noise to accumulate.
+    # k-quants need 256-elem super-blocks per row, so they get a d=256
+    # tower (the reference asserts ne % blck_size == 0, ggml.c:3468);
+    # legacy 32-elem formats use the faster d=128 one.
+    bases = {}
+
+    def base_for(name: str) -> str:
+        d = 256 if name.endswith("_k") else 128
+        if d not in bases:
+            hp = WhisperHParams(
+                n_vocab=64, n_audio_ctx=1500, n_audio_state=d,
+                n_audio_head=4, n_audio_layer=2, n_mels=80,
+                n_text_state=d)   # loader asserts text==audio dim
+            params = random_encoder_params(np.random.default_rng(42), hp)
+            path = os.path.join(tmp, f"model-f32-d{d}.bin")
+            # f32 base: the fork's conv graph cannot run f16 kernels on
+            # CPU (module docstring); conv weights stay f32 in quantized
+            # files too, like ggml_common_quantize_0 (2-D-only rule)
+            write_encoder_checkpoint(path, params, hp,
+                                     mel_filterbank(hp.n_mels),
+                                     [b"tok%d" % i for i in range(60)],
+                                     use_f16=False)
+            bases[d] = path
+        return bases[d]
 
     wav = os.path.join(tmp, "tone.wav")
     t = np.arange(16000 * 4) / 16000.0
@@ -317,6 +403,8 @@ def run_end_to_end(ref_bin: str, formats: str, tol: float
     worst = {}
     failed = False
     for name in formats.split(","):
+        base = base_for(name)
+        ftol = E2E_TOL.get(name, tol)
         model = base
         if ftypes[name] is not None:
             model = os.path.join(tmp, f"model-{name}.bin")
@@ -337,17 +425,16 @@ def run_end_to_end(ref_bin: str, formats: str, tol: float
 
         d = float(np.abs(ref - ours).max())
         worst[name] = d
-        status = "OK" if d <= tol else "FAIL"
-        if d > tol:
+        status = "OK" if d <= ftol else "FAIL"
+        if d > ftol:
             failed = True
         print(f"[crosscheck] {name:5s} max|Δfingerprint| = {d:.4f}  "
-              f"{status}", flush=True)
-        if d > tol:
+              f"(tol {ftol})  {status}", flush=True)
+        if d > ftol:
             print(f"  ref : {' '.join(f'{v:.3f}' for v in ref)}")
             print(f"  ours: {' '.join(f'{v:.3f}' for v in ours)}")
 
-    print(f"[crosscheck] {'FAIL' if failed else 'ALL OK'} "
-          f"(tol {tol}): {worst}")
+    print(f"[crosscheck] {'FAIL' if failed else 'ALL OK'}: {worst}")
     return (1 if failed else 0), worst
 
 
