@@ -7,6 +7,14 @@ out :2057-2078, and ggml's CUDA fattn kernels ggml/src/ggml-cuda/fattn*.cu are
 the GPU analog).  Here the scores tile never leaves VMEM: online softmax over
 KV tiles with running (m, l, acc) statistics in f32 scratch.
 
+This module carries exactly the SHIPPING kernel paths: the one-shot
+single-KV-block kernel (the encoder winner — whole 1500-seq KV rides one
+tile) and the blockwise online-softmax kernel (the general fallback).
+Experimental variants that lost or tied their e2e A/Bs (lite / nopad /
+exp2 gating) are quarantined in ops/fa_variants.py with their measured
+negative results; `flash_attention(lite=True)` delegates there for
+parity tests.
+
 Layout notes (TPU tiling):
 - head_dim is zero-padded to a multiple of 128 lanes (zeros change nothing:
   QK^T gains 0-terms, V gains zero output columns that are sliced off);
@@ -30,7 +38,8 @@ _LANES = 128
 # caller that folds LOG2E into its existing Q pre-scale (a free trace-time
 # constant) lets the kernel exponentiate with exp2 directly — TPU lowers
 # jnp.exp as exp2(x * log2e), i.e. one extra VPU multiply pass over every
-# (block_q, block_k) f32 score tile that exp2 skips.
+# (block_q, block_k) f32 score tile that exp2 skips.  Measured NEUTRAL e2e
+# (fa_variants header), so the gate lives in fa_variants.exp2_ok.
 _LOG2E = 1.4426950408889634
 
 
@@ -129,40 +138,6 @@ def _attn_kernel_single(q_ref, k_ref, v_ref, o_ref,
     o_ref[0, 0] = (acc * l_inv).astype(o_ref.dtype)
 
 
-def _attn_kernel_single_lite(q_ref, k_ref, v_ref, o_ref, *, d_l: int,
-                             exp2: bool = False):
-    """One-shot attention with the softmax bookkeeping moved onto the MXU.
-
-    The plain single-pass kernel (_attn_kernel_single) still pays four VPU
-    sweeps over the (block_q, block_k) score tile — iota/compare/select for
-    the key mask, the scale multiply, and a full sum reduction for the
-    softmax denominator — which at the encoder's d_head-64 shapes costs as
-    much as the two MXU dots themselves.  This variant eliminates all of
-    them using the lane padding that d_head 64 forces anyway:
-
-    - Q is pre-scaled by sm_scale and carries 1.0 in pad column ``d_l``;
-      K carries the key-validity bias (0 valid / -1e30 padded) in the same
-      column — so QK^T lands ALREADY scaled and masked, no VPU pass.
-    - V carries 1.0 in pad column ``d_l``, so column ``d_l`` of the PV dot
-      IS sum(p): the denominator comes out of the MXU for free.
-
-    What remains on the VPU: one max reduction and one exp (fused with the
-    m-subtract and the bf16 cast).  The kernel divides by acc[:, d_l]; the
-    caller slices columns [:d_l] so the ones column never escapes.
-    """
-    q = q_ref[0, 0]                         # (block_q, d) — pre-scaled
-    k = k_ref[0, 0]                         # (block_k, d) — bias in col d_l
-    t = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # scaled + masked
-    m = jnp.max(t, axis=1, keepdims=True)
-    p = (jnp.exp2 if exp2 else jnp.exp)(t - m).astype(v_ref.dtype)
-    acc = jax.lax.dot(p, v_ref[0, 0], preferred_element_type=jnp.float32)
-    l = acc[:, d_l:d_l + 1]                 # sum(p) via V's ones column
-    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    o_ref[0, 0] = (acc * l_inv).astype(o_ref.dtype)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "causal", "kv_valid", "block_q", "block_k",
@@ -187,6 +162,10 @@ def flash_attention(
     base 2): the caller folds LOG2E into ``sm_scale`` (or its Q pre-scale)
     and the kernels exponentiate with exp2, skipping the ln->log2 multiply
     TPU's exp lowering performs on every f32 score element.
+
+    ``lite=True`` (with single) delegates to the quarantined
+    MXU-bookkeeping variant in ops/fa_variants.py (measured e2e loser;
+    kept parity-tested there).
 
     Tq/Tk may be arbitrary; they are padded internally. ``kv_valid`` is the
     number of real key positions (defaults to Tk). GQA is handled in the
@@ -214,37 +193,10 @@ def flash_attention(
     Dq, TQ, TK = d + d_pad, Tq + tq_pad, Tk + tk_pad
 
     if single and lite and not causal and TK == block_k and d_pad >= 1:
-        # lite one-shot: scale/mask/denominator all ride the MXU via the
-        # pad lanes (see _attn_kernel_single_lite).  The column writes
-        # fuse into the pads XLA already materializes for this path.
-        q = (q * jnp.asarray(sm_scale, q.dtype)).at[..., d].set(1.0)
-        key_bias = jnp.where(
-            jax.lax.iota(jnp.float32, TK) < kv_valid, 0.0, -1e30
-        ).astype(k.dtype)
-        k = k.at[..., d].set(key_bias[None, None, :])
-        v = v.at[..., d].set(1.0)
-        out = pl.pallas_call(
-            functools.partial(_attn_kernel_single_lite, d_l=d, exp2=exp2),
-            out_shape=jax.ShapeDtypeStruct((B, H, TQ, Dq), q.dtype),
-            grid_spec=pl.GridSpec(
-                grid=(B, H, TQ // block_q),
-                in_specs=[
-                    pl.BlockSpec((1, 1, block_q, Dq),
-                                 lambda b, h, i: (b, h, i, 0)),
-                    pl.BlockSpec((1, 1, block_k, Dq),
-                                 lambda b, h, i: (b, h // kv_group, 0, 0)),
-                    pl.BlockSpec((1, 1, block_k, Dq),
-                                 lambda b, h, i: (b, h // kv_group, 0, 0)),
-                ],
-                out_specs=pl.BlockSpec((1, 1, block_q, Dq),
-                                       lambda b, h, i: (b, h, i, 0)),
-            ),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "parallel"),
-            ),
-            interpret=_use_interpret(),
-        )(q, k, v)
-        return out[:, :, :Tq, :d]
+        from qwen2_audio_tpu.ops.fa_variants import lite_call
+        return lite_call(q, k, v, d=d, Tq=Tq, sm_scale=sm_scale,
+                         kv_valid=kv_valid, block_q=block_q,
+                         block_k=block_k, kv_group=kv_group, exp2=exp2)
 
     if single and not causal and TK == block_k:
         # whole KV in one tile: one-shot softmax, no scratch, 3-dim grid
@@ -307,59 +259,6 @@ def flash_attention(
     return out[:, :, :Tq, :d]
 
 
-def _flash_attention_nopad(q, k, v, *, sm_scale: float, block_q: int,
-                           exp2: bool = False):
-    """One-shot single-KV-block attention with NO XLA-side padding.
-
-    The padded single path (flash_attention single=True) costs three HBM
-    round trips per layer: jnp.pad of Q/K/V to 128 lanes (the d_head-64
-    encoder doubles its own byte volume), plus the output un-pad slice.
-    Here the kernel reads (…, d=64) blocks directly — a block whose last
-    dim equals the array's last dim is legal for Mosaic (it pads the VMEM
-    tile internally, no HBM copy) — and the q sequence tail is handled by
-    Pallas' own out-of-bounds semantics: tail q rows compute garbage rows
-    that the bounds-masked write discards (row-local: softmax is
-    per-row). K/V keep a zero seq-pad (cheap: no lane doubling) because an
-    out-of-bounds V tail could read NaN bit patterns and 0 x NaN poisons
-    the PV dot; the padded keys are additionally kv_valid-masked so they
-    contribute nothing to the softmax. MXU compute per tile is unchanged
-    (the lane padding happens in VMEM either way); what this buys is pure
-    HBM traffic + pad/slice dispatch removal."""
-    B, H, Tq, d = q.shape
-    Tk = k.shape[2]
-    n_kv = k.shape[1]
-    kv_group = H // n_kv
-    block_k = Tk + (-Tk % _LANES)           # whole KV in one tile
-    if block_k != Tk:
-        pad = ((0, 0), (0, 0), (0, block_k - Tk), (0, 0))
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-    nq = -(-Tq // block_q)
-
-    return pl.pallas_call(
-        functools.partial(_attn_kernel_single, sm_scale=sm_scale,
-                          kv_valid=Tk, block_k=block_k, exp2=exp2),
-        out_shape=jax.ShapeDtypeStruct((B, H, Tq, d), q.dtype),
-        grid_spec=pl.GridSpec(
-            grid=(B, H, nq),
-            in_specs=[
-                pl.BlockSpec((1, 1, block_q, d),
-                             lambda b, h, i: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, block_k, d),
-                             lambda b, h, i: (b, h // kv_group, 0, 0)),
-                pl.BlockSpec((1, 1, block_k, d),
-                             lambda b, h, i: (b, h // kv_group, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, 1, block_q, d),
-                                   lambda b, h, i: (b, h, i, 0)),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
-        ),
-        interpret=_use_interpret(),
-    )(q, k, v)
-
-
 def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
                             n_head: int) -> jax.Array:
     """Encoder-layer entry point over merged-head activations (B, T, D).
@@ -367,6 +266,7 @@ def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
     Applies the reference's d_head^-0.5 scaling (src/qwen2-whisper.cpp:2030,
     applied there as a Q pre-scale — mathematically identical on the logits).
     """
+    from qwen2_audio_tpu.ops import fa_variants
     B, T, D = q.shape
     dh = D // n_head
     # pre-scale Q at the XLA level (≙ the reference's own Q pre-scale,
@@ -374,7 +274,7 @@ def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
     # elementwise chain for free, and the kernels then skip their f32
     # score-scaling pass over the (block_q, block_k) tile (sm_scale=1.0
     # is a trace-time constant the kernel bodies branch on).
-    use_exp2 = _exp2_ok()
+    use_exp2 = fa_variants.exp2_ok()
     scale = float(dh) ** -0.5 * (_LOG2E if use_exp2 else 1.0)
     q = q * jnp.asarray(scale, q.dtype)
 
@@ -387,10 +287,10 @@ def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
     # measured 1.9x faster than the 256/512 default at seq 1500 on v5e
     import os
     block_q = int(os.environ.get("QA_FA_BQ", "128"))
-    if _nopad_ok():
-        out = _flash_attention_nopad(split(q), split(k), split(v),
-                                     sm_scale=1.0,
-                                     block_q=block_q, exp2=use_exp2)
+    if fa_variants.nopad_ok():
+        out = fa_variants.flash_attention_nopad(
+            split(q), split(k), split(v), sm_scale=1.0,
+            block_q=block_q, exp2=use_exp2)
         return out.transpose(0, 2, 1, 3).reshape(B, T, D)
     block_k = max(_LANES, T + (-T % _LANES))
     out = flash_attention(split(q), split(k), split(v),
@@ -398,54 +298,9 @@ def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
                           block_q=block_q,
                           block_k=block_k,
                           single=_single_pass_ok(),
-                          lite=_lite_ok(),
+                          lite=fa_variants.lite_ok(),
                           exp2=use_exp2)
     return out.transpose(0, 2, 1, 3).reshape(B, T, D)
-
-
-def _nopad_ok() -> bool:
-    """The unpadded one-shot variant (_flash_attention_nopad) is OFF by
-    default everywhere: hardware-validated (marker fa_nopad) but measured
-    a 2% e2e LOSS at the encoder config (22.66 vs 22.21 ms/clip) — the
-    d=64 lane blocks DMA at half tile efficiency, which eats the
-    pad-removal saving. Kept as the env escape hatch (QA_FA_NOPAD=1) for
-    future shapes where the padded copies dominate; the validator stage
-    and parity tests keep it correct."""
-    import os
-    ov = os.environ.get("QA_FA_NOPAD")
-    if ov is not None:
-        return ov not in ("0", "false", "off")
-    return False
-
-
-def _lite_ok() -> bool:
-    """The lite one-shot variant (_attn_kernel_single_lite) is OFF by
-    default on TPU: hardware-validated (marker fa_lite) but measured a
-    42% e2e LOSS at the encoder config (29.16 vs 20.49 ms/clip, full
-    forward A/B) — the three .at[..., d].set() column writes on Q/K/V do
-    NOT fuse into the pad copies in the composed program, so the
-    VPU-work saving is swamped by three extra full-array HBM round
-    trips per layer.  Interpret mode (the CPU test mesh) still always
-    exercises it so parity stays covered; env QA_FA_LITE=1 is the A/B
-    escape hatch.  Only consulted when the single path is active."""
-    import os
-    ov = os.environ.get("QA_FA_LITE")
-    if ov is not None:
-        return ov not in ("0", "false", "off")
-    return _use_interpret()
-
-
-def _exp2_ok() -> bool:
-    """exp2-domain softmax (LOG2E folded into the free Q pre-scale, kernels
-    exponentiate with exp2 — see _LOG2E).  OFF by default until it wins an
-    e2e A/B on chip (the closeout rule: validators prove correctness, only
-    a full-forward A/B may flip a production default).  Env QA_FA_EXP2=0/1
-    is the A/B escape hatch; parity is covered by explicit exp2 tests."""
-    import os
-    ov = os.environ.get("QA_FA_EXP2")
-    if ov is not None:
-        return ov not in ("0", "false", "off")
-    return False
 
 
 def _single_pass_ok() -> bool:

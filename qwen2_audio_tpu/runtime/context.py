@@ -112,6 +112,11 @@ class FullParams:
 
     temperature_inc: float = 0.2
     entropy_thold: float = 2.4
+    # zlib compression ratio of the decoded text above which the decode is
+    # considered degenerate and the temperature fallback fires (OpenAI
+    # whisper's compression_ratio_threshold semantics, default 2.4; the
+    # primary repetition detector — _token_entropy is the secondary guard)
+    compression_ratio_thold: float = 2.4
     logprob_thold: float = -1.0
     no_speech_thold: float = 0.6
 

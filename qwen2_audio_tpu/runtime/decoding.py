@@ -100,15 +100,32 @@ def _token_entropy(ids: list[int], window: int = 32) -> float:
     temperature fallback fires on entropy < entropy_thold. The fork
     stripped the function with the decoder but kept the threshold default
     (2.4, src/qwen2-whisper.cpp:4276) and its failure counter (n_fail_h,
-    :809), so the carried-over 2.4 applies to the same statistic here —
-    not a proxy. (OpenAI's Python whisper uses a gzip compression ratio
-    instead; whisper.cpp never did.)"""
+    :809), so the carried-over 2.4 applies to the same statistic here.
+    The PRIMARY degenerate-transcript detector is _compression_ratio
+    below (OpenAI whisper's zlib test, which catches multi-token loops
+    the 32-token unigram entropy is blind to); this stays as the
+    secondary guard with whisper.cpp's own semantics."""
     tail = ids[-window:]
     if not tail:
         return float("inf")
     _, counts = np.unique(np.asarray(tail), return_counts=True)
     p = counts / counts.sum()
     return float(-(p * np.log(p)).sum())
+
+
+def _compression_ratio(text: str) -> float:
+    """len(utf8) / len(zlib(utf8)) of the decoded text — OpenAI whisper's
+    degenerate-output statistic (decoding.py compression_ratio; threshold
+    compression_ratio_threshold=2.4). Repetitive transcripts compress far
+    better than natural language, so ratio > 2.4 marks a failed decode.
+    Runs host-side after the jitted decode loop; cost is nil.  Short
+    texts cannot exceed the threshold (zlib's ~8-byte overhead), which is
+    the natural minimum-length guard."""
+    import zlib
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
 
 
 def _prefill_flash() -> bool:
@@ -660,14 +677,19 @@ def run(ctx, state, params) -> int:
             state.timings.n_decode += sum(len(t) for t in result.tokens)
         # temperature fallback (whisper_full_params :413-418 semantics):
         # retry hotter when the decode is low-confidence (avg logprob below
-        # logprob_thold) OR degenerate/repetitive (token entropy of the
-        # trailing window below entropy_thold — whisper's compression proxy)
+        # logprob_thold) OR degenerate/repetitive. Degeneracy is detected
+        # primarily by OpenAI whisper's zlib compression ratio of the
+        # decoded TEXT (> compression_ratio_thold — catches multi-token
+        # loops), with whisper.cpp's trailing-window token entropy
+        # (< entropy_thold) as the secondary guard.
         avg_lp = result.avg_logprob[0]
         ent = _token_entropy(result.tokens[0])
+        ratio = _compression_ratio(bundle.text(result.tokens[0]))
         # entropy is capped at log(len): for sequences shorter than the
         # 32-token window even a perfect decode cannot reach a 2.4 nat
-        # threshold, so the repetition check only applies at >= 32 tokens
+        # threshold, so the entropy check only applies at >= 32 tokens
         needs_fallback = (avg_lp < params.logprob_thold
+                          or ratio > params.compression_ratio_thold
                           or (len(result.tokens[0]) >= 32
                               and ent < params.entropy_thold))
         if not needs_fallback or ti == len(temperatures) - 1:

@@ -97,10 +97,16 @@ def _chunk_offsets(n_len_org: int, n_ctx: int) -> list[int]:
 
 
 def encode_windows(ctx: WhisperContext, mel: LogMelSpectrogram,
-                   offsets: list[int], batch_size: int = 8) -> np.ndarray:
+                   offsets: list[int], batch_size: int = 1) -> np.ndarray:
     """Encode mel windows in buckets of `batch_size` (padded to the bucket
     so XLA compiles exactly one executable per bucket size).
-    Returns (n_windows, n_ctx//2, n_state)."""
+    Returns (n_windows, n_ctx//2, n_state).
+
+    Default bucket is 1: batched encode LOSES on this chip — B=8
+    measured 24.3 ms/clip amortized vs B=1's 18.85 (docs/BENCH_NOTES.md
+    "B=8 batched encode"; the B=8 program schedules worse, it is not a
+    dispatch-amortization win). batch_size stays as the A/B option for
+    serving regimes where encode/decode overlap could flip the answer."""
     hp = ctx.hparams
     outs = []
     for i in range(0, len(offsets), batch_size):
@@ -179,8 +185,9 @@ def transcribe_long_form(
 
     for i in range(0, len(offsets), batch_size):
         group = offsets[i:i + batch_size]
-        enc = encode_windows(ctx, mel, group, batch_size=min(batch_size,
-                                                             len(group)))
+        # encode bucket stays at the measured-best default (B=1, see
+        # encode_windows); `batch_size` here batches the DECODE stream
+        enc = encode_windows(ctx, mel, group)
         # build one prefill per window (same token skeleton -> same length)
         prefills = []
         for b in range(len(group)):
@@ -576,9 +583,11 @@ def transcribe_continuous(
         # first token doesn't wait for every window to encode
         for i in range(0, len(offsets), bucket):
             group = offsets[i:i + bucket]
-            # batch_size=bucket: a short tail group pads to the SAME
-            # bucket so XLA keeps exactly one encode executable
-            enc = encode_windows(ctx, mel, group, batch_size=bucket)
+            # encode bucket = the measured-best default (B=1): one
+            # executable trivially, and 22% faster per clip than B=8
+            # (encode_windows docstring); `bucket` only sizes how many
+            # encoder outputs are held ahead of the decode pool
+            enc = encode_windows(ctx, mel, group)
             for w, off in enumerate(group):
                 yield _Job(i + w, enc[w], off,
                            min(off + window_cs, mel.n_len_org))
@@ -625,8 +634,7 @@ def transcribe_many(
             offsets = _chunk_offsets(mel.n_len_org, hp.n_audio_ctx)
             if not offsets:
                 continue
-            enc = encode_windows(ctx, mel, offsets,
-                                 batch_size=min(max_streams, len(offsets)))
+            enc = encode_windows(ctx, mel, offsets)
             for w, off in enumerate(offsets):
                 yield _Job(a, enc[w], off,
                            min(off + window_cs, mel.n_len_org))

@@ -147,7 +147,8 @@ def test_nopad_matches_reference(rng):
     """The unpadded one-shot variant (d=64 lane blocks, OOB q tail rows,
     zero-padded K/V tail) must match the plain softmax reference at the
     encoder regime, including a non-block-multiple sequence and GQA."""
-    from qwen2_audio_tpu.ops.flash_attention import _flash_attention_nopad
+    from qwen2_audio_tpu.ops.fa_variants import \
+        flash_attention_nopad as _flash_attention_nopad
     for T, H, Hkv in ((256, 2, 2), (300, 4, 2), (1500 // 4, 5, 5)):
         q = rng.standard_normal((1, H, T, 64)).astype(np.float32)
         k = rng.standard_normal((1, Hkv, T, 64)).astype(np.float32)
@@ -166,8 +167,9 @@ def test_exp2_matches_reference(rng):
     """exp2-domain softmax (scores pre-scaled by log2(e), kernels using
     exp2) must reproduce base-e attention on every kernel path: online,
     one-shot, lite, and the unpadded one-shot."""
-    from qwen2_audio_tpu.ops.flash_attention import (_LOG2E,
-                                                     _flash_attention_nopad)
+    from qwen2_audio_tpu.ops.fa_variants import \
+        flash_attention_nopad as _flash_attention_nopad
+    from qwen2_audio_tpu.ops.flash_attention import _LOG2E
     T, d = 300, 64
     q = rng.standard_normal((1, 2, T, d)).astype(np.float32)
     k = rng.standard_normal((1, 2, T, d)).astype(np.float32)
@@ -196,6 +198,9 @@ def test_encoder_entry_exp2_env(rng, monkeypatch):
     q = rng.standard_normal((B, T, D)).astype(np.float32)
     k = rng.standard_normal((B, T, D)).astype(np.float32)
     v = rng.standard_normal((B, T, D)).astype(np.float32)
+    # ADVICE r3: clear any inherited QA_FA_EXP2 so the baseline really
+    # runs base-e (otherwise both calls run exp2 and parity is vacuous)
+    monkeypatch.delenv("QA_FA_EXP2", raising=False)
     base = np.asarray(flash_attention_encoder(jnp.asarray(q), jnp.asarray(k),
                                               jnp.asarray(v), H))
     monkeypatch.setenv("QA_FA_EXP2", "1")

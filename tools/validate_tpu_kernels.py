@@ -119,7 +119,8 @@ def main() -> int:
     # checked against the padded online kernel at the exact encoder shape
     # (soft-fail: keep later markers)
     try:
-        from qwen2_audio_tpu.ops.flash_attention import _flash_attention_nopad
+        from qwen2_audio_tpu.ops.fa_variants import \
+            flash_attention_nopad as _flash_attention_nopad
         qs = jnp.asarray(rng.standard_normal((1, 20, 1500, 64)) * 0.3,
                          jnp.bfloat16)
         a1 = np.asarray(_flash_attention_nopad(qs, qs, qs, sm_scale=0.125,
