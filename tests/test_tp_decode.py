@@ -22,9 +22,16 @@ CFG = Qwen2DecoderConfig(
     num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
     head_dim=32, tie_word_embeddings=False)
 
+# tp=4-divisible geometry (kv heads % 4 == 0, like the 7B's 28q/4kv);
+# the dryrun exercises the literal 28/4 ratio, tests keep shapes small
+CFG4 = Qwen2DecoderConfig(
+    vocab_size=128, hidden_size=128, intermediate_size=256,
+    num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+    head_dim=16, tie_word_embeddings=False)
 
-def _params(rng, quant=None):
-    p = random_decoder_params(rng, CFG)
+
+def _params(rng, quant=None, cfg=CFG):
+    p = random_decoder_params(rng, cfg)
     if quant == "fast":                  # per-channel w8a8 (scale_n leaves)
         p = quantize_decoder_params(p, GGMLType.Q8_0, mode="fast")
     elif quant is not None:
@@ -32,22 +39,24 @@ def _params(rng, quant=None):
     return p
 
 
+@pytest.mark.parametrize("tp", [2, 4])
 @pytest.mark.parametrize("quant", [None, GGMLType.Q8_0, GGMLType.Q4_0,
                                    "fast"])
-def test_tp_matches_single_device(quant, rng):
-    params = _params(np.random.default_rng(31), quant)
+def test_tp_matches_single_device(quant, tp, rng):
+    cfg = CFG if tp == 2 else CFG4
+    params = _params(np.random.default_rng(31), quant, cfg)
     toks = jnp.asarray(np.random.default_rng(32).integers(0, 128, (2, 5)))
-    dense = random_decoder_params(np.random.default_rng(31), CFG)
+    dense = random_decoder_params(np.random.default_rng(31), cfg)
     x = embed_tokens(dense, toks)
 
-    cache = create_cache(CFG, 2, 16, dtype=jnp.float32)
-    want, wcache = decoder_forward(params, CFG, x, cache, 0,
+    cache = create_cache(cfg, 2, 16, dtype=jnp.float32)
+    want, wcache = decoder_forward(params, cfg, x, cache, 0,
                                    block_only=True)
 
-    mesh = make_mesh(dp=1, tp=2)
+    mesh = make_mesh(dp=1, tp=tp)
     sp = shard_decoder_for_tp(params, mesh)
-    cache2 = create_cache(CFG, 2, 16, dtype=jnp.float32)
-    got, gcache = tp_decoder_forward(sp, CFG, mesh, x, cache2, 0,
+    cache2 = create_cache(cfg, 2, 16, dtype=jnp.float32)
+    got, gcache = tp_decoder_forward(sp, cfg, mesh, x, cache2, 0,
                                      block_only=True)
     if quant == "fast":
         # w8a8 TP is NOT bit-matched to single-chip w8a8: row-parallel
@@ -55,8 +64,8 @@ def test_tp_matches_single_device(quant, rng):
         # activation scales differ by shard (a finer grouping, standard
         # TP-w8a8 semantics). Contract: the TP output's error vs the
         # DENSE reference stays within ~the single-chip w8a8 error.
-        ref, _ = decoder_forward(dense, CFG, x,
-                                 create_cache(CFG, 2, 16,
+        ref, _ = decoder_forward(dense, cfg, x,
+                                 create_cache(cfg, 2, 16,
                                               dtype=jnp.float32),
                                  0, block_only=True)
         e_single = float(np.abs(np.asarray(want) - np.asarray(ref)).max())
@@ -100,20 +109,22 @@ def test_tp_decode_step_vec_pos(rng):
                                atol=2e-4, rtol=2e-4)
 
 
-def test_tp_quant_cache(rng):
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_quant_cache(tp, rng):
     """int8 KV cache sharded on the kv-head axis under TP."""
-    params = _params(np.random.default_rng(51), GGMLType.Q8_0)
-    dense = random_decoder_params(np.random.default_rng(51), CFG)
+    cfg = CFG if tp == 2 else CFG4
+    params = _params(np.random.default_rng(51), GGMLType.Q8_0, cfg)
+    dense = random_decoder_params(np.random.default_rng(51), cfg)
     toks = jnp.asarray(np.random.default_rng(52).integers(0, 128, (2, 5)))
     x = embed_tokens(dense, toks)
 
-    cache = create_cache(CFG, 2, 16, dtype="q8")
-    want, _ = decoder_forward(params, CFG, x, cache, 0, block_only=True)
+    cache = create_cache(cfg, 2, 16, dtype="q8")
+    want, _ = decoder_forward(params, cfg, x, cache, 0, block_only=True)
 
-    mesh = make_mesh(dp=1, tp=2)
+    mesh = make_mesh(dp=1, tp=tp)
     sp = shard_decoder_for_tp(params, mesh)
-    cache2 = create_cache(CFG, 2, 16, dtype="q8")
-    got, _ = tp_decoder_forward(sp, CFG, mesh, x, cache2, 0,
+    cache2 = create_cache(cfg, 2, 16, dtype="q8")
+    got, _ = tp_decoder_forward(sp, cfg, mesh, x, cache2, 0,
                                 block_only=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
@@ -129,10 +140,11 @@ def test_tp_rejects_fused_and_bad_tp():
         tp_local_cfg(CFG, 3)
 
 
-def test_tp_spec_slot_pool_matches_single(rng):
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_spec_slot_pool_matches_single(tp, rng):
     """Multi-chip batched-speculative serving: the TP slot pool (prefill +
     spec chunk decode under shard_map) must emit the same streams as the
-    single-device pool."""
+    single-device pool — at tp=2 and tp=4."""
     from qwen2_audio_tpu.runtime.generate import (decode_chunk_slots_spec,
                                                   prefill_slot)
     from qwen2_audio_tpu.parallel.tp import (tp_decode_chunk_slots_spec,
@@ -140,8 +152,10 @@ def test_tp_spec_slot_pool_matches_single(rng):
 
     cfg = Qwen2DecoderConfig(
         vocab_size=64, hidden_size=128, intermediate_size=256,
-        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
-        head_dim=32, tie_word_embeddings=False)
+        num_hidden_layers=2,
+        num_attention_heads=4 if tp == 2 else 8,
+        num_key_value_heads=2 if tp == 2 else 4,
+        head_dim=32 if tp == 2 else 16, tie_word_embeddings=False)
     params = quantize_decoder_params(
         random_decoder_params(np.random.default_rng(71), cfg), GGMLType.Q8_0)
     prefills = [
@@ -185,7 +199,7 @@ def test_tp_spec_slot_pool_matches_single(rng):
         return streams
 
     want = run()
-    mesh = make_mesh(dp=1, tp=2)
+    mesh = make_mesh(dp=1, tp=tp)
     run.sp = shard_decoder_for_tp(params, mesh)
     got = run(mesh)
     assert got == want

@@ -102,6 +102,11 @@ def main() -> int:
                     help="include the packed-nibble kernel (quant_matmul4) "
                          "and its u16-scale form — quantifies the in-kernel "
                          "unpack cost vs the int8 kernel's halved bytes")
+    ap.add_argument("--q4x", action="store_true",
+                    help="q4 dequant-flavor sweep (round-4 VPU-bound "
+                         "hypothesis): production contract w/ mins stream, "
+                         "in-kernel -8 (no mins), bf16 dequant arithmetic, "
+                         "two-dot no-concat unpack, wide block_n")
     ap.add_argument("--bk-sweep", action="store_true",
                     help="strided kernel at block_k 512/896/1792 "
                          "(VMEM-pressure probe)")
@@ -190,6 +195,146 @@ def main() -> int:
                 return carry(x, quant_matmul(x, qs, sc_u16, fast=True), K)
             variants.append(("strided-scu16", q8u, (qs, sc_u16),
                              (qs.size + sc.size * 2) / 1e9))
+
+        if args.q4x:
+            # ------------------------------------------------------------
+            # q4 dequant-flavor sweep. Working hypothesis (round 4): the
+            # packed-q4 kernels are VPU-DEQUANT-bound, not DMA-bound —
+            # q4 halves q8's bytes yet decodes at the same speed, and the
+            # dequant chain (mask/shift, int->f32 casts, concat shuffle,
+            # scale broadcast, m_full broadcast+add, bf16 cast) is ~7 VPU
+            # passes over every (bk, bn) weight block vs q8's ~4. Each
+            # variant below removes specific passes; values are synthetic
+            # (timing only), parity is proven separately for whichever
+            # variant ships (tests + validator).
+            # ------------------------------------------------------------
+            import functools as _ft
+
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+            from qwen2_audio_tpu.ops.quant_matmul import (_auto_block_k,
+                                                          _pick_block,
+                                                          _use_interpret,
+                                                          group_min_term,
+                                                          quant_matmul4)
+            from qwen2_audio_tpu.ops.quant_matmul import \
+                scales_f32 as _scf32
+
+            qs4 = jnp.asarray(rng.integers(0, 256, (K // 2, N),
+                                           dtype=np.uint8))
+            sc_u16 = jnp.asarray(np.asarray(sc).astype(np.float16)
+                                 .view(np.uint16))
+            mins = jnp.asarray((np.asarray(sc) * -8.0).astype(np.float32))
+            gb4 = (qs4.size + sc.size * 2) / 1e9          # no-mins stream
+            gb4m = (qs4.size + sc.size * 2 + mins.size * 4) / 1e9
+
+            # 1. production contract today: packed kernel + external
+            # gsum(x) @ mins dot (quant_linear4 path) — mins stream + dot
+            def q4prod(x, qs4, sc_u16, mins, K=K):
+                y = quant_matmul4(x, qs4, sc_u16, fast=True)
+                y = y + group_min_term(x, mins).astype(y.dtype)
+                return carry(x, y, K)
+            variants.append(("q4-prod(mins)", q4prod, (qs4, sc_u16, mins),
+                             gb4m))
+
+            def _mk_q4(kind: str, bn_pref: int = 512):
+                """Build a packed-q4 matmul with the given dequant flavor:
+                o8      — (q - 8) in-kernel, scale broadcast fused into
+                          the multiply ((n_g,32,bn) * (n_g,1,bn)), no mins
+                o8bf16  — same but dequant arithmetic entirely in bf16
+                          (nibbles exact in bf16; one 16-bit VPU chain)
+                twodot  — no concat: two half-K dots straight off the
+                          lo/hi nibble planes (x would be pre-permuted in
+                          production; timing is permutation-invariant)
+                """
+                def kern(x_ref, qp_ref, sc_ref, o_ref, acc_ref):
+                    @pl.when(pl.program_id(2) == 0)
+                    def _init():
+                        acc_ref[...] = jnp.zeros_like(acc_ref)
+                    p = qp_ref[...].astype(jnp.int32)       # (bk2, bn)
+                    bk2, bn = p.shape
+                    n_g = bk2 // 16
+                    s = _scf32(sc_ref[...])                 # (n_g, bn)
+                    xb = x_ref[...].astype(jnp.bfloat16)
+                    if kind == "o8":
+                        lo = (p & 0xF).reshape(n_g, 16, bn)
+                        hi = (p >> 4).reshape(n_g, 16, bn)
+                        q = jnp.concatenate([lo, hi], axis=1)
+                        w = ((q.astype(jnp.float32) - 8.0)
+                             * s[:, None, :]).reshape(2 * bk2, bn)
+                        acc_ref[...] += jnp.dot(
+                            xb, w.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                    elif kind == "o8bf16":
+                        lo = (p & 0xF).reshape(n_g, 16, bn)
+                        hi = (p >> 4).reshape(n_g, 16, bn)
+                        q = jnp.concatenate([lo, hi], axis=1)
+                        sb = s.astype(jnp.bfloat16)
+                        w = ((q.astype(jnp.bfloat16) - jnp.bfloat16(8))
+                             * sb[:, None, :]).reshape(2 * bk2, bn)
+                        acc_ref[...] += jnp.dot(
+                            xb, w, preferred_element_type=jnp.float32)
+                    else:                                    # twodot
+                        sb = s.astype(jnp.bfloat16)
+                        s16 = jnp.broadcast_to(
+                            sb[:, None, :], (n_g, 16, bn)).reshape(bk2, bn)
+                        wl = ((p & 0xF).astype(jnp.bfloat16)
+                              - jnp.bfloat16(8)) * s16
+                        wh = ((p >> 4).astype(jnp.bfloat16)
+                              - jnp.bfloat16(8)) * s16
+                        acc_ref[...] += jnp.dot(
+                            xb[:, :bk2], wl,
+                            preferred_element_type=jnp.float32)
+                        acc_ref[...] += jnp.dot(
+                            xb[:, bk2:], wh,
+                            preferred_element_type=jnp.float32)
+
+                    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+                    def _store():
+                        o_ref[...] = acc_ref[...].astype(jnp.bfloat16)
+
+                @_ft.partial(jax.jit, static_argnames=("bn_p",))
+                def run(x, qs4, scu, bn_p=bn_pref):
+                    Mx, Kx = x.shape
+                    Nx = qs4.shape[1]
+                    bm = max(8, 1 << (Mx - 1).bit_length())
+                    bn_ = _pick_block(Nx, bn_p, 128)
+                    bk_ = _pick_block(Kx, _auto_block_k(Kx, bn_, 1), 256)
+                    return pl.pallas_call(
+                        kern,
+                        out_shape=jax.ShapeDtypeStruct((Mx, Nx), x.dtype),
+                        grid_spec=pl.GridSpec(
+                            grid=(1, Nx // bn_, Kx // bk_),
+                            in_specs=[
+                                pl.BlockSpec((bm, bk_),
+                                             lambda i, j, k: (i, k)),
+                                pl.BlockSpec((bk_ // 2, bn_),
+                                             lambda i, j, k: (k, j)),
+                                pl.BlockSpec((bk_ // 32, bn_),
+                                             lambda i, j, k: (k, j)),
+                            ],
+                            out_specs=pl.BlockSpec(
+                                (bm, bn_), lambda i, j, k: (i, j)),
+                            scratch_shapes=[
+                                pltpu.VMEM((bm, bn_), jnp.float32)],
+                        ),
+                        compiler_params=pltpu.CompilerParams(
+                            dimension_semantics=("parallel", "parallel",
+                                                 "arbitrary")),
+                        interpret=_use_interpret(),
+                    )(x, qs4, scu)
+                return run
+
+            for tag, kind, bnp in (("q4-o8", "o8", 512),
+                                   ("q4-o8-bf16", "o8bf16", 512),
+                                   ("q4-twodot", "twodot", 512),
+                                   ("q4-o8-bn1024", "o8", 1024),
+                                   ("q4-twodot-bn1024", "twodot", 1024)):
+                runner = _mk_q4(kind, bnp)
+
+                def q4v(x, qs4, sc_u16, K=K, runner=runner):
+                    return carry(x, runner(x, qs4, sc_u16), K)
+                variants.append((tag, q4v, (qs4, sc_u16), gb4))
 
         if args.bk_sweep:
             # VMEM-pressure probe: the f32 dequant temporaries scale with
