@@ -145,12 +145,58 @@ def main() -> int:
           f"encoder chain compile+warm {compile_s:.1f} s | "
           f"encode {best*1e3:.2f} ms/clip | RTF {rtf:.1f}x", file=sys.stderr)
 
-    print(json.dumps({
+    # Whole-pipeline figure (VERDICT r3): wav -> embedding with the mel
+    # stage ON DEVICE (fused Pallas mel + clamp/normalize + encoder in ONE
+    # jit, single readback) — ≙ the reference's mel+encode phase total
+    # (whisper_print_timings, src/qwen2-whisper.cpp:3516-3538). Gated on
+    # the composed-pipeline validator marker (composition compiles have
+    # wedged the remote-compile tunnel before).
+    pipeline_ms = None
+    if (not on_tpu) or os.path.exists("/tmp/qa_kernel_ok_pipeline"):
+        from qwen2_audio_tpu.ops.mel_kernel import (frame_rows, mel_tables,
+                                                    mel_window_device)
+        rows_np, _nl, _norg, n_content = frame_rows(audio)
+        bc, bs, filt, n_mel = mel_tables(mel_filterbank(hp.n_mels))
+        rows = jnp.asarray(rows_np)
+
+        @jax.jit
+        def pipe_step(params, rows):
+            win = mel_window_device(rows, bc, bs, filt,
+                                    n_frames=2 * hp.n_audio_ctx,
+                                    n_content=n_content, n_mels=n_mel)
+            out = encoder_forward(params, win[None].astype(dtype), hp,
+                                  use_flash=use_flash,
+                                  gelu_approximate=True,
+                                  compute_dtype=dtype)
+            return rows + (jnp.sum(out) * 0).astype(rows.dtype)
+
+        t0 = time.perf_counter()
+        _ = np.asarray(pipe_step(params, rows))
+        pipe_compile_s = time.perf_counter() - t0
+        bestp = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            carry = rows
+            for _i in range(CHAIN):
+                carry = pipe_step(params, carry)
+            _ = np.asarray(jnp.sum(carry[:1, :1]))
+            total = time.perf_counter() - t0
+            bestp = min(bestp, max(total - RTT_S, 1e-9) / CHAIN)
+        pipeline_ms = bestp * 1e3
+        print(f"bench: pipeline wav->emb {pipeline_ms:.2f} ms/clip "
+              f"(device mel + encode, one jit; compile+warm "
+              f"{pipe_compile_s:.1f} s; RTF {CLIP_SECONDS*1e3/pipeline_ms:.1f}x)",
+              file=sys.stderr)
+
+    out = {
         "metric": "encoder_rtf_30s",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 100.0, 3),
-    }))
+    }
+    if pipeline_ms is not None:
+        out["pipeline_ms_clip"] = round(pipeline_ms, 2)
+    print(json.dumps(out))
     return 0
 
 

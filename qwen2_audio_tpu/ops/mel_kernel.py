@@ -135,11 +135,10 @@ def _tables(n_mel_key: int, filters_bytes: bytes) -> tuple:
             jnp.asarray(filt), n_mel)
 
 
-def log_mel_spectrogram_fused(samples: np.ndarray, filters: np.ndarray):
-    """Drop-in replacement for audio.mel.log_mel_spectrogram running the
-    fused Pallas kernel; identical output layout and semantics."""
-    from qwen2_audio_tpu.audio.mel import LogMelSpectrogram
-
+def frame_rows(samples: np.ndarray) -> tuple[np.ndarray, int, int, int]:
+    """Host framing prep shared by the fused mel and the device pipeline:
+    reflect-pad the front, lay samples out as lane-padded hop rows.
+    Returns (rows (R, 256) f32, n_len, n_len_org, n_content)."""
     samples = np.asarray(samples, dtype=np.float32).reshape(-1)
     n = samples.size
     pad_front = WHISPER_N_FFT // 2
@@ -148,9 +147,7 @@ def log_mel_spectrogram_fused(samples: np.ndarray, filters: np.ndarray):
 
     n_len, n_len_org, n_content = frame_counts(n)
     if n_content <= 0:
-        data = np.full((filters.shape[0], n_len),
-                       np.float32((-10.0 + 4.0) / 4.0), np.float32)
-        return LogMelSpectrogram(data=data, n_len_org=n_len_org)
+        return np.zeros((0, _ROW), np.float32), n_len, n_len_org, 0
 
     n_blocks = -(-n_content // _BF)
     rows_needed = n_blocks * _BF + 8
@@ -161,7 +158,54 @@ def log_mel_spectrogram_fused(samples: np.ndarray, filters: np.ndarray):
     padded[pad_front:pad_front + m] = samples[:m]
     rows = np.zeros((rows_needed, _ROW), np.float32)
     rows[:, :_HOP] = padded.reshape(-1, _HOP)   # lane-pad 160 -> 256
-    rows = jnp.asarray(rows)
+    return rows, n_len, n_len_org, n_content
+
+
+@functools.partial(jax.jit, static_argnames=("n_frames", "n_content",
+                                             "n_mels"))
+def mel_window_device(rows: jax.Array, bc, bs, filt, *, n_frames: int,
+                      n_content: int, n_mels: int) -> jax.Array:
+    """DEVICE-RESIDENT encoder mel window: fused mel kernel + the global
+    max-8 clamp + (x+4)/4 normalization + transpose, all in one jittable
+    graph — no host round trip between mel and encoder (the composed
+    wav->embedding pipeline; ≙ the reference's mel + encode phases,
+    src/qwen2-whisper.cpp:2341-2383, minus its host staging copies).
+
+    Returns (n_mels, n_frames) for window offset 0. Frames past
+    ``n_content`` take the log10(1e-10) fill, exactly like the host path
+    (audio/mel.py), so the clamp/normalize semantics match."""
+    out = _mel_pallas(rows, bc, bs, filt, n_content)     # (R, n_mel_pad)
+    if out.shape[0] < n_frames:
+        out = jnp.pad(out, ((0, n_frames - out.shape[0]), (0, 0)),
+                      constant_values=-10.0)
+    m = out[:n_frames, :n_mels]
+    k = min(n_content, n_frames)
+    if k < n_frames:
+        row = jax.lax.broadcasted_iota(jnp.int32, m.shape, 0)
+        m = jnp.where(row < k, m, jnp.float32(-10.0))
+    mmax = jnp.max(m) - 8.0
+    m = (jnp.maximum(m, mmax) + 4.0) / 4.0
+    return m.T                                           # (n_mels, n_frames)
+
+
+def mel_tables(filters: np.ndarray):
+    """Public access to the precomputed DFT/filterbank device tables
+    (memoized): (wcos, wsin, filt, n_mel)."""
+    return _tables(filters.shape[0],
+                   np.ascontiguousarray(filters, np.float32).tobytes())
+
+
+def log_mel_spectrogram_fused(samples: np.ndarray, filters: np.ndarray):
+    """Drop-in replacement for audio.mel.log_mel_spectrogram running the
+    fused Pallas kernel; identical output layout and semantics."""
+    from qwen2_audio_tpu.audio.mel import LogMelSpectrogram
+
+    rows_np, n_len, n_len_org, n_content = frame_rows(samples)
+    if n_content <= 0:
+        data = np.full((filters.shape[0], n_len),
+                       np.float32((-10.0 + 4.0) / 4.0), np.float32)
+        return LogMelSpectrogram(data=data, n_len_org=n_len_org)
+    rows = jnp.asarray(rows_np)
 
     bc, bs, filt, n_mel = _tables(filters.shape[0],
                                   np.ascontiguousarray(

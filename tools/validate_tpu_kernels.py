@@ -444,6 +444,51 @@ def main() -> int:
     assert np.isfinite(o.astype(np.float32)).all()
     mark("fa_encoder")
 
+    # 4b. composed: the whole wav->embedding pipeline in ONE jit — device
+    # mel window (fused kernel + clamp/normalize) feeding the full flash
+    # encoder, no host round trip between the phases (soft-fail: the
+    # split mel/encode path remains the default without the marker)
+    try:
+        import jax as _jx
+        from qwen2_audio_tpu.ops.mel_kernel import (frame_rows, mel_tables,
+                                                    mel_window_device)
+        fme = mel_filterbank(hp.n_mels)
+        t30 = np.arange(16000 * 30) / 16000
+        aud30 = (0.3 * np.sin(2 * np.pi * 220 * t30)
+                 + 0.05 * rng.standard_normal(t30.size)).astype(np.float32)
+        rows_np, _nl, _no, n_content = frame_rows(aud30)
+        bc, bs, filt, n_mel = mel_tables(fme)
+        rows = jnp.asarray(rows_np)
+
+        @_jx.jit
+        def pipe(params, rows):
+            win = mel_window_device(rows, bc, bs, filt,
+                                    n_frames=2 * hp.n_audio_ctx,
+                                    n_content=n_content, n_mels=n_mel)
+            return encoder_forward(params, win[None].astype(jnp.bfloat16),
+                                   hp, use_flash=True,
+                                   compute_dtype=jnp.bfloat16)
+
+        t0 = time.time()
+        emb = np.asarray(pipe(params, rows)).astype(np.float32)
+        # reference: host mel + the already-validated encoder jit
+        host_win = log_mel_spectrogram(aud30, fme)
+        from qwen2_audio_tpu.audio.mel import mel_input_window
+        hw = jnp.asarray(mel_input_window(host_win, 0, hp.n_audio_ctx)[None],
+                         jnp.bfloat16)
+        ref = np.asarray(encoder_forward(params, hw, hp, use_flash=True,
+                                         compute_dtype=jnp.bfloat16)
+                         ).astype(np.float32)
+        err = np.abs(emb - ref).max() / (np.abs(ref).max() + 1e-6)
+        print(f"[validate] pipeline compile+run {time.time()-t0:.1f}s "
+              f"rel_err={err:.2e}", flush=True)
+        assert np.isfinite(emb).all() and err < 0.02, err
+        mark("pipeline")
+    except Exception as e:  # noqa: BLE001
+        print(f"[validate] pipeline: FAILED ({type(e).__name__}: {e}) — "
+              "marker not written, split mel/encode remains the default",
+              flush=True)
+
     # 5. composed: quantized encoder layer path
     from qwen2_audio_tpu.quant.qparams import quantize_encoder_params
     hp_small = WHISPER_PRESETS["base"]
