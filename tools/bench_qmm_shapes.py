@@ -107,6 +107,10 @@ def main() -> int:
                          "hypothesis): production contract w/ mins stream, "
                          "in-kernel -8 (no mins), bf16 dequant arithmetic, "
                          "two-dot no-concat unpack, wide block_n")
+    ap.add_argument("--q4y", action="store_true",
+                    help="q4 sweep round 2: 8-bit-domain mask/shift, "
+                         "unpack-only and int8-floor ablations, "
+                         "contiguous-panel q4")
     ap.add_argument("--bk-sweep", action="store_true",
                     help="strided kernel at block_k 512/896/1792 "
                          "(VMEM-pressure probe)")
@@ -335,6 +339,198 @@ def main() -> int:
                 def q4v(x, qs4, sc_u16, K=K, runner=runner):
                     return carry(x, runner(x, qs4, sc_u16), K)
                 variants.append((tag, q4v, (qs4, sc_u16), gb4))
+
+        if args.q4y:
+            # ------------------------------------------------------------
+            # q4 sweep round 2 (sharper ablations after --q4x found all
+            # round-1 variants LOSING to the shipping kernel):
+            #   u8ops      mask/shift in the 8-bit domain BEFORE widening
+            #              (the shipping kernel widens u8->i32 first, 4x
+            #              the vreg traffic for the mask/shift passes)
+            #   u8ops-o8   + in-kernel -8 with the shipping broadcast form
+            #   unpack0    unpack + dot, NO scale multiply (ablation: what
+            #              does the scale handling cost on top of unpack?)
+            #   int80      int8 dot, NO unpack NO scales (the byte-stream
+            #              floor of any (bk/2, bn) u8 operand)
+            #   panel      contiguous-panel q4 (one HBM range per block;
+            #              the strided-vs-panel lesson from q8, applied)
+            # ------------------------------------------------------------
+            import functools as _ft
+
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+            from qwen2_audio_tpu.ops.quant_matmul import (_auto_block_k,
+                                                          _pick_block,
+                                                          _use_interpret)
+            from qwen2_audio_tpu.ops.quant_matmul import \
+                scales_f32 as _scf32
+
+            qs4 = jnp.asarray(rng.integers(0, 256, (K // 2, N),
+                                           dtype=np.uint8))
+            sc_u16 = jnp.asarray(np.asarray(sc).astype(np.float16)
+                                 .view(np.uint16))
+            gb4 = (qs4.size + sc.size * 2) / 1e9
+
+            def _mk_q4y(kind: str, bn_pref: int = 512):
+                def kern(x_ref, qp_ref, sc_ref, o_ref, acc_ref):
+                    @pl.when(pl.program_id(2) == 0)
+                    def _init():
+                        acc_ref[...] = jnp.zeros_like(acc_ref)
+                    p8 = qp_ref[...]                     # (bk2, bn) uint8
+                    bk2, bn = p8.shape
+                    n_g = bk2 // 16
+                    xb = x_ref[...].astype(jnp.bfloat16)
+                    if kind == "int80":
+                        # floor: one i8 cast + dot, no unpack, no scales
+                        w = p8.astype(jnp.int8).astype(jnp.bfloat16)
+                        acc_ref[...] += jnp.dot(
+                            xb[:, :bk2], w,
+                            preferred_element_type=jnp.float32)
+                    else:
+                        # 8-bit-domain mask/shift (quarter the vreg
+                        # traffic of the shipping kernel's i32-domain ops)
+                        lo8 = p8 & jnp.uint8(0xF)
+                        hi8 = (p8 >> 4).astype(jnp.uint8)
+                        lo = lo8.astype(jnp.int32).astype(jnp.float32)
+                        hi = hi8.astype(jnp.int32).astype(jnp.float32)
+                        q = jnp.concatenate(
+                            [lo.reshape(n_g, 16, bn),
+                             hi.reshape(n_g, 16, bn)],
+                            axis=1).reshape(2 * bk2, bn)
+                        if kind == "unpack0":
+                            w = q
+                        else:
+                            s = _scf32(sc_ref[...])      # (n_g, bn)
+                            if kind == "u8ops-o8":
+                                q = q - 8.0
+                            s_full = jnp.broadcast_to(
+                                s[:, None, :],
+                                (n_g, 32, bn)).reshape(2 * bk2, bn)
+                            w = q * s_full
+                        acc_ref[...] += jnp.dot(
+                            xb, w.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+
+                    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+                    def _store():
+                        o_ref[...] = acc_ref[...].astype(jnp.bfloat16)
+
+                @_ft.partial(jax.jit, static_argnames=("bn_p",))
+                def run(x, qs4, scu, bn_p=bn_pref):
+                    Mx, Kx = x.shape
+                    Nx = qs4.shape[1]
+                    bm = max(8, 1 << (Mx - 1).bit_length())
+                    bn_ = _pick_block(Nx, bn_p, 128)
+                    bk_ = _pick_block(Kx, _auto_block_k(Kx, bn_, 1), 256)
+                    return pl.pallas_call(
+                        kern,
+                        out_shape=jax.ShapeDtypeStruct((Mx, Nx), x.dtype),
+                        grid_spec=pl.GridSpec(
+                            grid=(1, Nx // bn_, Kx // bk_),
+                            in_specs=[
+                                pl.BlockSpec((bm, bk_),
+                                             lambda i, j, k: (i, k)),
+                                pl.BlockSpec((bk_ // 2, bn_),
+                                             lambda i, j, k: (k, j)),
+                                pl.BlockSpec((bk_ // 32, bn_),
+                                             lambda i, j, k: (k, j)),
+                            ],
+                            out_specs=pl.BlockSpec(
+                                (bm, bn_), lambda i, j, k: (i, j)),
+                            scratch_shapes=[
+                                pltpu.VMEM((bm, bn_), jnp.float32)],
+                        ),
+                        compiler_params=pltpu.CompilerParams(
+                            dimension_semantics=("parallel", "parallel",
+                                                 "arbitrary")),
+                        interpret=_use_interpret(),
+                    )(x, qs4, scu)
+                return run
+
+            for tag, kind in (("q4y-u8ops", "u8ops"),
+                              ("q4y-u8ops-o8", "u8ops-o8"),
+                              ("q4y-unpack0", "unpack0"),
+                              ("q4y-int80", "int80")):
+                runner = _mk_q4y(kind)
+
+                def q4w(x, qs4, sc_u16, K=K, runner=runner):
+                    return carry(x, runner(x, qs4, sc_u16), K)
+                variants.append((tag, q4w, (qs4, sc_u16),
+                                 qs4.size / 1e9 if kind == "int80" else gb4))
+
+            # panelized q4: contiguous-panel storage, same dequant math
+            def _mk_q4_panel():
+                def kern(x_ref, qp_ref, sc_ref, o_ref, acc_ref):
+                    @pl.when(pl.program_id(2) == 0)
+                    def _init():
+                        acc_ref[...] = jnp.zeros_like(acc_ref)
+                    p = qp_ref[0].astype(jnp.int32)
+                    bk2, bn = p.shape
+                    n_g = bk2 // 16
+                    lo = (p & 0xF).astype(jnp.float32)
+                    hi = (p >> 4).astype(jnp.float32)
+                    q = jnp.concatenate(
+                        [lo.reshape(n_g, 16, bn), hi.reshape(n_g, 16, bn)],
+                        axis=1).reshape(2 * bk2, bn)
+                    s = _scf32(sc_ref[0])
+                    s_full = jnp.broadcast_to(
+                        s[:, None, :], (n_g, 32, bn)).reshape(2 * bk2, bn)
+                    w = q * s_full
+                    acc_ref[...] += jnp.dot(
+                        x_ref[...].astype(jnp.bfloat16),
+                        w.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+
+                    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+                    def _store():
+                        o_ref[0] = acc_ref[...].astype(jnp.bfloat16)
+
+                @jax.jit
+                def run(x, qp_p, sc_p):
+                    Mx, Kx = x.shape
+                    Pp, Kx2, bn_ = qp_p.shape
+                    bm = max(8, 1 << (Mx - 1).bit_length())
+                    # whole-K if the packed block fits ~6MB, else half
+                    bk_ = Kx if Kx2 * bn_ <= 6 * 1024 * 1024 else Kx // 2
+                    return pl.pallas_call(
+                        kern,
+                        out_shape=jax.ShapeDtypeStruct((Pp, Mx, bn_),
+                                                       x.dtype),
+                        grid_spec=pl.GridSpec(
+                            grid=(1, Pp, Kx // bk_),
+                            in_specs=[
+                                pl.BlockSpec((bm, bk_),
+                                             lambda i, j, k: (i, k)),
+                                pl.BlockSpec((1, bk_ // 2, bn_),
+                                             lambda i, j, k: (j, k, 0)),
+                                pl.BlockSpec((1, bk_ // 32, bn_),
+                                             lambda i, j, k: (j, k, 0)),
+                            ],
+                            out_specs=pl.BlockSpec(
+                                (1, bm, bn_), lambda i, j, k: (j, i, 0)),
+                            scratch_shapes=[
+                                pltpu.VMEM((bm, bn_), jnp.float32)],
+                        ),
+                        compiler_params=pltpu.CompilerParams(
+                            dimension_semantics=("parallel", "parallel",
+                                                 "arbitrary")),
+                        interpret=_use_interpret(),
+                    )(x, qp_p, sc_p)
+                return run
+
+            bn_p = _pick_block(N, 1024, 128)
+            Pn = N // bn_p
+            qp_pan = jnp.transpose(qs4.reshape(K // 2, Pn, bn_p), (1, 0, 2))
+            sc_pan = jnp.transpose(sc_u16.reshape(K // 32, Pn, bn_p),
+                                   (1, 0, 2))
+            jax.block_until_ready(qp_pan)
+            pan_run = _mk_q4_panel()
+
+            def q4p(x, qp_pan, sc_pan, K=K):
+                y = pan_run(x, qp_pan, sc_pan)
+                y = jnp.transpose(y, (1, 0, 2)).reshape(x.shape[0], -1)
+                return carry(x, y, K)
+            variants.append(("q4y-panel", q4p, (qp_pan, sc_pan), gb4))
 
         if args.bk_sweep:
             # VMEM-pressure probe: the f32 dequant temporaries scale with
