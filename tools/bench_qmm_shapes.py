@@ -400,7 +400,10 @@ def main() -> int:
                         if kind == "unpack0":
                             w = q
                         else:
-                            s = _scf32(sc_ref[...])      # (n_g, bn)
+                            # f32sc: scales arrive as f32 (no in-kernel
+                            # u16 expansion — the e2e winner's contract)
+                            s = (sc_ref[...] if kind == "u8ops-f32sc"
+                                 else _scf32(sc_ref[...]))   # (n_g, bn)
                             if kind == "u8ops-o8":
                                 q = q - 8.0
                             s_full = jnp.broadcast_to(
@@ -449,14 +452,96 @@ def main() -> int:
 
             for tag, kind in (("q4y-u8ops", "u8ops"),
                               ("q4y-u8ops-o8", "u8ops-o8"),
+                              ("q4y-u8ops-f32sc", "u8ops-f32sc"),
                               ("q4y-unpack0", "unpack0"),
                               ("q4y-int80", "int80")):
                 runner = _mk_q4y(kind)
+                sc_op = sc if kind == "u8ops-f32sc" else sc_u16
+                gbk = (qs4.size / 1e9 if kind == "int80"
+                       else (qs4.size + sc.size * 4) / 1e9
+                       if kind == "u8ops-f32sc" else gb4)
 
-                def q4w(x, qs4, sc_u16, K=K, runner=runner):
-                    return carry(x, runner(x, qs4, sc_u16), K)
-                variants.append((tag, q4w, (qs4, sc_u16),
-                                 qs4.size / 1e9 if kind == "int80" else gb4))
+                def q4w(x, qs4, sc_op, K=K, runner=runner):
+                    return carry(x, runner(x, qs4, sc_op), K)
+                variants.append((tag, q4w, (qs4, sc_op), gbk))
+
+            # w4a8: packed nibbles + EXACT int8 group dots (the mmq
+            # numeric contract at half the weight bytes). Unpack stays in
+            # the 8-bit domain (u8 mask/shift, -8 in i8); no f32 dequant
+            # pass over the (bk, bn) tile at all — scales land as one
+            # (bm, bn) FMA per 32-group after each int8 MXU dot.
+            from qwen2_audio_tpu.ops.quant_matmul_int8 import \
+                quantize_activations as _qact
+
+            def _mk_w4a8():
+                def kern(xq_ref, sxt_ref, qp_ref, sc_ref, o_ref, acc_ref):
+                    @pl.when(pl.program_id(2) == 0)
+                    def _init():
+                        acc_ref[...] = jnp.zeros_like(acc_ref)
+                    p8 = qp_ref[...]                 # (bk2, bn) uint8
+                    bk2, bn = p8.shape
+                    n_g = bk2 // 16
+                    lo = (p8 & jnp.uint8(0xF)).astype(jnp.int8)
+                    hi = (p8 >> 4).astype(jnp.int8)
+                    w = jnp.concatenate(
+                        [lo.reshape(n_g, 16, bn), hi.reshape(n_g, 16, bn)],
+                        axis=1).reshape(2 * bk2, bn) - jnp.int8(8)
+                    for g in range(n_g):             # static unroll
+                        xg = xq_ref[:, g * 32:(g + 1) * 32]
+                        wg = w[g * 32:(g + 1) * 32, :]
+                        pd = jax.lax.dot_general(
+                            xg, wg, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                        scale = (sxt_ref[g, :][:, None]
+                                 * sc_ref[g, :][None, :])
+                        acc_ref[...] += pd.astype(jnp.float32) * scale
+
+                    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+                    def _store():
+                        o_ref[...] = acc_ref[...].astype(jnp.bfloat16)
+
+                @jax.jit
+                def run(x, qs4, scf):
+                    Mx, Kx = x.shape
+                    Nx = qs4.shape[1]
+                    bm = max(8, 1 << (Mx - 1).bit_length())
+                    bn_ = _pick_block(Nx, 512, 128)
+                    bk_ = _pick_block(Kx, 512, 256)
+                    xq, sx = _qact(x)
+                    sx_t = sx.T                      # (K//32, M): lanes=m
+                    return pl.pallas_call(
+                        kern,
+                        out_shape=jax.ShapeDtypeStruct((Mx, Nx), x.dtype),
+                        grid_spec=pl.GridSpec(
+                            grid=(1, Nx // bn_, Kx // bk_),
+                            in_specs=[
+                                pl.BlockSpec((bm, bk_),
+                                             lambda i, j, k: (i, k)),
+                                pl.BlockSpec((bk_ // 32, bm),
+                                             lambda i, j, k: (k, i)),
+                                pl.BlockSpec((bk_ // 2, bn_),
+                                             lambda i, j, k: (k, j)),
+                                pl.BlockSpec((bk_ // 32, bn_),
+                                             lambda i, j, k: (k, j)),
+                            ],
+                            out_specs=pl.BlockSpec(
+                                (bm, bn_), lambda i, j, k: (i, j)),
+                            scratch_shapes=[
+                                pltpu.VMEM((bm, bn_), jnp.float32)],
+                        ),
+                        compiler_params=pltpu.CompilerParams(
+                            dimension_semantics=("parallel", "parallel",
+                                                 "arbitrary")),
+                        interpret=_use_interpret(),
+                    )(xq, sx_t, qs4, scf)
+                return run
+
+            w4a8_run = _mk_w4a8()
+
+            def q4w8(x, qs4, sc, K=K):
+                return carry(x, w4a8_run(x, qs4, sc), K)
+            variants.append(("q4y-w4a8", q4w8, (qs4, sc),
+                             (qs4.size + sc.size * 4) / 1e9))
 
             # panelized q4: contiguous-panel storage, same dequant math
             def _mk_q4_panel():
