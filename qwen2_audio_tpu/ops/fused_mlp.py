@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from qwen2_audio_tpu.ops.quant_matmul import _use_interpret, scales_f32
+from qwen2_audio_tpu.ops.quant_matmul import (_use_interpret, scales_f32,
+                                              unpack4_f32)
 
 
 # --- dequant flavors (operate on one weight's block refs) ------------------
@@ -72,14 +73,10 @@ def _deq_strided_m(q_ref, s_ref, m_ref):
 
 
 def _deq_packed_m(qp_ref, s_ref, m_ref):
-    p = qp_ref[0].astype(jnp.int32)            # (bk//2, bn)
-    bk2, bn = p.shape
+    bk2, bn = qp_ref.shape[1:]                 # (1, bk//2, bn)
     bk = bk2 * 2
     n_g = bk // 32                             # pack4 pairs within 32-groups
-    lo = (p & 0xF).astype(jnp.float32)
-    hi = (p >> 4).astype(jnp.float32)
-    q = jnp.concatenate([lo.reshape(n_g, 16, bn), hi.reshape(n_g, 16, bn)],
-                        axis=1).reshape(bk, bn)
+    q = unpack4_f32(qp_ref[0])
     s = scales_f32(s_ref[0])
     m = m_ref[0].astype(jnp.float32)
     s_full = jnp.broadcast_to(s[:, None, :], (n_g, 32, bn)).reshape(bk, bn)

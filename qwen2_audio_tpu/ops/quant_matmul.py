@@ -15,6 +15,7 @@ bit-exact values):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +27,38 @@ GROUP = 32
 
 def _use_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
+
+
+def _q4_u8ops_enabled() -> bool:
+    """u8-domain nibble unpack (mask/shift BEFORE the i32 widening —
+    quarter the vreg traffic of the i32-domain passes). Bit-identical
+    output either way (nibbles are exact small ints), so this is purely
+    a scheduling knob: QA_Q4_U8=0/1, default off until an e2e A/B win
+    flips it (the round-3 gating rule). Read at TRACE time like
+    linear.group_matmul_mode."""
+    return os.environ.get("QA_Q4_U8", "0") not in ("0", "false", "")
+
+
+def unpack4_f32(qp: jax.Array, u8ops: bool | None = None) -> jax.Array:
+    """(bk//2, bn) uint8 packed nibbles -> (bk, bn) f32 UNSIGNED values
+    0..15 in ggml's group-local pairing order (byte g*16+j holds values
+    g*32+j low, g*32+j+16 high — ggml-common.h block_q4_0); the
+    sublane-dim reshape+concat restores the in-group order. Mosaic can't
+    cast u8->f32 directly, so widening goes via i32."""
+    if u8ops is None:
+        u8ops = _q4_u8ops_enabled()
+    bk2, bn = qp.shape
+    n_g = bk2 * 2 // GROUP
+    if u8ops:
+        lo = (qp & jnp.uint8(0xF)).astype(jnp.int32).astype(jnp.float32)
+        hi = (qp >> 4).astype(jnp.int32).astype(jnp.float32)
+    else:
+        p = qp.astype(jnp.int32)
+        lo = (p & 0xF).astype(jnp.float32)
+        hi = (p >> 4).astype(jnp.float32)
+    return jnp.concatenate([lo.reshape(n_g, 16, bn),
+                            hi.reshape(n_g, 16, bn)], axis=1
+                           ).reshape(bk2 * 2, bn)
 
 
 def scales_f32(s: jax.Array) -> jax.Array:
@@ -488,20 +521,16 @@ def quant_matmul_panel_stacked(
 
 
 def _qmm4_stacked_kernel(li_ref, x_ref, qp_ref, sc_ref, o_ref, acc_ref, *,
-                         out_dtype, fast: bool):
+                         out_dtype, fast: bool, u8ops: bool = False):
     del li_ref
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    p = qp_ref[0].astype(jnp.int32)                # (bk//2, bn)
-    bk2, bn = p.shape
+    bk2, bn = qp_ref.shape[1:]                     # (1, bk//2, bn)
     bk = bk2 * 2
-    lo = (p & 0xF).astype(jnp.float32)
-    hi = (p >> 4).astype(jnp.float32)
     n_g = bk // GROUP
-    q = jnp.concatenate([lo.reshape(n_g, 16, bn), hi.reshape(n_g, 16, bn)],
-                        axis=1).reshape(bk, bn)
+    q = unpack4_f32(qp_ref[0], u8ops)
     s = scales_f32(sc_ref[0])
     s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)).reshape(bk, bn)
     w = q * s_full
@@ -520,7 +549,7 @@ def _qmm4_stacked_kernel(li_ref, x_ref, qp_ref, sc_ref, o_ref, acc_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
-                                              "block_k", "fast"))
+                                              "block_k", "fast", "u8ops"))
 def quant_matmul4_stacked(
     x: jax.Array,           # (M, K)
     qs4_all: jax.Array,     # (L, K // 2, N) uint8 — packed nibbles
@@ -531,10 +560,13 @@ def quant_matmul4_stacked(
     block_n: int = 512,
     block_k: int = 0,
     fast: bool = False,
+    u8ops: bool | None = None,   # None = env QA_Q4_U8 at trace time
 ) -> jax.Array:
     M, K = x.shape
     L, K2, N = qs4_all.shape
     assert K2 * 2 == K and sc_all.shape == (L, K // GROUP, N)
+    if u8ops is None:
+        u8ops = _q4_u8ops_enabled()
 
     block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
     block_n = _pick_block(N, block_n, 128)
@@ -547,7 +579,8 @@ def quant_matmul4_stacked(
 
     grid = (Mp // block_m, N // block_n, K // block_k)
     out = pl.pallas_call(
-        functools.partial(_qmm4_stacked_kernel, out_dtype=x.dtype, fast=fast),
+        functools.partial(_qmm4_stacked_kernel, out_dtype=x.dtype, fast=fast,
+                          u8ops=u8ops),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -667,21 +700,15 @@ def dequantize_weight(qw: dict, dtype=jnp.float32) -> jax.Array:
 # --------------------------------------------------------------------------- #
 
 def _qmm4_kernel(x_ref, qp_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
-                 fast: bool):
+                 fast: bool, u8ops: bool = False):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    p = qp_ref[...].astype(jnp.int32)              # (bk//2, bn); Mosaic
-    bk2, bn = p.shape                              # can't cast u8->f32
-    bk = bk2 * 2                                   # directly
-    lo = (p & 0xF).astype(jnp.float32)
-    hi = (p >> 4).astype(jnp.float32)
-    # packed row g*16+j holds values (g*32+j, g*32+j+16): group-local
-    # unpack via a sublane-dim reshape + concat
+    bk2, bn = qp_ref.shape
+    bk = bk2 * 2
     n_g = bk // GROUP
-    q = jnp.concatenate([lo.reshape(n_g, 16, bn), hi.reshape(n_g, 16, bn)],
-                        axis=1).reshape(bk, bn)
+    q = unpack4_f32(qp_ref[...], u8ops)
     s = scales_f32(sc_ref[...])                    # (bk//32, bn)
     s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)).reshape(bk, bn)
     w = q * s_full
@@ -700,7 +727,7 @@ def _qmm4_kernel(x_ref, qp_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
-                                              "block_k", "fast"))
+                                              "block_k", "fast", "u8ops"))
 def quant_matmul4(
     x: jax.Array,           # (M, K)
     qs4: jax.Array,         # (K // 2, N) uint8 — two nibbles per byte
@@ -710,12 +737,15 @@ def quant_matmul4(
     block_n: int = 512,
     block_k: int = 0,       # 0 = auto (two k-steps, see _auto_block_k)
     fast: bool = False,
+    u8ops: bool | None = None,   # None = env QA_Q4_U8 at trace time
 ) -> jax.Array:
     """x @ (unpack4(qs4) * scales) -> (M, N); min/offset terms are added
     by the caller (quant_linear4)."""
     M, K = x.shape
     assert qs4.shape[0] * 2 == K and scales.shape == (K // GROUP, qs4.shape[1])
     N = qs4.shape[1]
+    if u8ops is None:
+        u8ops = _q4_u8ops_enabled()
 
     block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
     block_n = _pick_block(N, block_n, 128)
@@ -730,7 +760,8 @@ def quant_matmul4(
 
     grid = (Mp // block_m, N // block_n, K // block_k)
     out = pl.pallas_call(
-        functools.partial(_qmm4_kernel, out_dtype=x.dtype, fast=fast),
+        functools.partial(_qmm4_kernel, out_dtype=x.dtype, fast=fast,
+                          u8ops=u8ops),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,

@@ -89,7 +89,7 @@ def _scale16_enabled() -> bool:
 _SCALE_U16_MARKER = "/tmp/qa_kernel_ok_qmm_scu16"
 
 
-def _scale_u16_enabled() -> bool:
+def _scale_u16_enabled(packed4: bool = False) -> bool:
     """f16-scale storage as uint16 BIT PATTERNS, expanded to f32 inside the
     kernels with integer ops (ops/quant_matmul.py::scales_f32). Same
     lossless half-width HBM stream as _scale16_enabled, but it sidesteps
@@ -97,18 +97,28 @@ def _scale_u16_enabled() -> bool:
     type in mosaic dialect: 'f16'"). Env QA_SCALE_U16=0/1 overrides;
     default on when hardware-validated (marker qmm_scu16). On CPU the
     plain-f16 path already defaults on (and is the preferred storage),
-    so u16 stays opt-in there."""
+    so u16 stays opt-in there.
+
+    ``packed4``: the scales feed a packed-nibble kernel, where the u16
+    form is a measured e2e LOSS (7B q4_0 decode 96.6 tok/s u16 vs 101.9
+    f32, r4 A/B; the q4 kernels are VPU-dequant-bound, so the in-kernel
+    integer expansion of a stream 1/8 the nibble payload costs more than
+    the halved scale bytes save). Default f32 there; the env override
+    still wins both ways."""
     import os
     env = os.environ.get("QA_SCALE_U16")
     if env is not None:
         return env not in ("0", "false", "")
+    if packed4:
+        return False
     import jax
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     return os.path.exists(_SCALE_U16_MARKER)
 
 
-def _store_scales_np(s: np.ndarray, f16_exact: bool) -> np.ndarray:
+def _store_scales_np(s: np.ndarray, f16_exact: bool,
+                     packed4: bool = False) -> np.ndarray:
     """Host-side scale storage: f32 by default; where the values are raw
     f16 block payloads (f16_exact), store half-width — as float16 when the
     backend can ingest it, else as the uint16 bit pattern (scales_f32
@@ -117,7 +127,7 @@ def _store_scales_np(s: np.ndarray, f16_exact: bool) -> np.ndarray:
     s = np.ascontiguousarray(s, dtype=np.float32)
     if f16_exact and _scale16_enabled():
         return s.astype(np.float16)
-    if f16_exact and _scale_u16_enabled():
+    if f16_exact and _scale_u16_enabled(packed4=packed4):
         return s.astype(np.float16).view(np.uint16)
     return s
 
@@ -139,7 +149,7 @@ def pack4_device_weight(vals_unsigned: np.ndarray, scales: np.ndarray,
     packed = (g[:, :16] | (g[:, 16:] << 4)).reshape(K // 2, N)
     out = {
         "qs4": np.ascontiguousarray(packed),
-        "scales": _store_scales_np(scales.T, f16_exact),
+        "scales": _store_scales_np(scales.T, f16_exact, packed4=True),
         "mins": np.ascontiguousarray(mins.T, dtype=np.float32),
     }
     if to_device:

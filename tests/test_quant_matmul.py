@@ -464,3 +464,36 @@ def test_panelize_deep_k_env_override(monkeypatch):
     monkeypatch.setenv("QA_PANEL_DEEP_K", "1")
     out = panelize_decoder_params({"layers": {"down": dict(deep)}})
     assert "qs_p" in out["layers"]["down"]
+
+
+def test_q4_u8ops_unpack_bit_identical(rng):
+    """The u8-domain unpack (QA_Q4_U8 / u8ops=True: mask/shift before the
+    i32 widening) must be BIT-identical to the i32-domain form and to a
+    numpy oracle of ggml's nibble pairing — it is purely a VPU-width
+    scheduling knob, never a numerics change."""
+    from qwen2_audio_tpu.ops.quant_matmul import quant_matmul4, unpack4_f32
+
+    K, N = 128, 256
+    packed = rng.integers(0, 256, (K // 2, N), dtype=np.uint8)
+
+    # numpy oracle: byte g*16+j -> values (g*32+j, g*32+j+16)
+    lo, hi = packed & 0xF, packed >> 4
+    want = np.concatenate([lo.reshape(-1, 16, N), hi.reshape(-1, 16, N)],
+                          axis=1).reshape(K, N).astype(np.float32)
+
+    import jax
+
+    p = jnp.asarray(packed)
+    a = np.asarray(jax.jit(lambda q: unpack4_f32(q, False))(p))
+    b = np.asarray(jax.jit(lambda q: unpack4_f32(q, True))(p))
+    np.testing.assert_array_equal(a, want)
+    np.testing.assert_array_equal(b, want)
+
+    # end-to-end through the kernel (interpret mode), both fast modes
+    sc = jnp.asarray(rng.standard_normal((K // 32, N)).astype(np.float32)
+                     * 0.01)
+    x = jnp.asarray(rng.standard_normal((8, K)).astype(np.float32))
+    for fast in (False, True):
+        y0 = quant_matmul4(x, p, sc, fast=fast, u8ops=False)
+        y1 = quant_matmul4(x, p, sc, fast=fast, u8ops=True)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))

@@ -115,3 +115,32 @@ def test_scale_u16_decoder_logits_identical(monkeypatch, rng):
         outs[env] = np.asarray(lg)
         decoder_forward.clear_cache()
     np.testing.assert_array_equal(outs["1"], outs["0"])
+
+
+def test_packed4_scale_default_is_f32(monkeypatch):
+    """Packed-nibble weights default to f32 scales even where u16 is
+    hardware-validated: the u16 form measured an e2e LOSS on the q4
+    kernels (7B q4_0 decode 96.6 tok/s u16 vs 101.9 f32, r4 A/B). The
+    env override must still win both ways, and the strided (q8-byte)
+    form keeps its own default."""
+    from qwen2_audio_tpu.quant.qparams import (_scale_u16_enabled,
+                                               _store_scales_np)
+    monkeypatch.delenv("QA_SCALE_U16", raising=False)
+    assert _scale_u16_enabled(packed4=True) is False
+    monkeypatch.setenv("QA_SCALE_U16", "1")
+    assert _scale_u16_enabled(packed4=True) is True
+    monkeypatch.setenv("QA_SCALE_U16", "0")
+    assert _scale_u16_enabled(packed4=True) is False
+
+    # storage follows: packed4 + no override -> f32 even with QA_SCALE16
+    # off (the f16 CPU default is checked first and stays the CPU form)
+    monkeypatch.delenv("QA_SCALE_U16", raising=False)
+    monkeypatch.setenv("QA_SCALE16", "0")
+    s = np.array([[0.5, 0.25]], dtype=np.float32)
+    assert _store_scales_np(s, f16_exact=True, packed4=True).dtype == \
+        np.float32
+    assert _store_scales_np(s, f16_exact=True, packed4=False).dtype == \
+        np.float32   # CPU backend: u16 stays opt-in there too
+    monkeypatch.setenv("QA_SCALE_U16", "1")
+    assert _store_scales_np(s, f16_exact=True, packed4=True).dtype == \
+        np.uint16

@@ -164,14 +164,16 @@ def main() -> int:
         args.cache_dir = param_cache_dir()
     if args.quant != "none" and args.cache_dir:
         from qwen2_audio_tpu.io.param_cache import cached_build
-        from qwen2_audio_tpu.quant.qparams import (_scale16_enabled,
+        from qwen2_audio_tpu.quant.qparams import (_pack4_enabled,
+                                                   _scale16_enabled,
                                                    _scale_u16_enabled)
         suffix = f"-L{L}" if args.layers else ""
         if args.vocab:
             suffix += f"-V{V}"
+        packed4 = args.quant == "q4_0" and _pack4_enabled()
         if _scale16_enabled():
             suffix += "-sc16"    # scale dtype is part of the cached layout
-        elif _scale_u16_enabled():
+        elif _scale_u16_enabled(packed4=packed4):
             suffix += "-scu16"
         path = os.path.join(args.cache_dir,
                             f"bench-{args.size}-{args.quant}{suffix}.npz")
