@@ -535,8 +535,13 @@ def _layer(cfg: Qwen2DecoderConfig, x: jax.Array, lp: Params,
             I = cfg.intermediate_size
             gated = jax.nn.silu(gu[..., :I]) * gu[..., I:]
     else:
-        gated = jax.nn.silu(linear_at(h, proj["gate"], li)) \
-            * linear_at(h, proj["up"], li)
+        from qwen2_audio_tpu.ops.linear import fused_mlp_split_at
+        # split-schema one-launch SwiGLU (canonical layers / TP shards)
+        y = fused_mlp_split_at(h, proj["gate"], proj["up"], proj["down"],
+                               li)
+        if y is None:
+            gated = jax.nn.silu(linear_at(h, proj["gate"], li)) \
+                * linear_at(h, proj["up"], li)
     if y is None:
         y = linear_at(gated, proj["down"], li)
     if tp_axis is not None:

@@ -128,11 +128,27 @@ def _swiglu_kernel(li_ref, x_ref, *refs, out_dtype, fast: bool, kind: str):
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
+def pick_block_i(I: int, group: int, block_i: int = 256) -> int:
+    """Intermediate-dim block: must divide I and be a multiple of the
+    scale group x 8 (f32 scale-block sublane alignment). Falls back to
+    the whole I when no such divisor exists (e.g. TP-local I with an odd
+    prime factor) — callers pre-check the resulting VMEM footprint."""
+    bi = block_i
+    while I % bi or bi % (8 * group):
+        bi //= 2
+        if bi < 8 * group:
+            return I
+    return bi
+
+
 def _swiglu_call(x, gu_leaves, dn_leaves, li, *, I, group, packed,
-                 block_i, fast, kind):
+                 block_i, fast, kind, u_leaves=None):
     """Build specs + launch. ``gu_leaves``/``dn_leaves``: the per-weight
     ref arrays in kernel order (qs, scales[, mins]); gate and up share the
-    gu arrays via block-offset index maps."""
+    gu arrays via block-offset index maps — unless ``u_leaves`` is given
+    (the split gate/up schema: canonical layers and TP shards), in which
+    case gate blocks come from gu_leaves and up blocks from u_leaves,
+    both at column offset 0."""
     M, K = x.shape
     D = dn_leaves[0].shape[2]
     if M > 64:
@@ -145,13 +161,7 @@ def _swiglu_call(x, gu_leaves, dn_leaves, li, *, I, group, packed,
             f"fused MLP kernels are decode-shaped (M <= 64, got {M}); "
             "use the per-projection linear path for prefill-scale M")
 
-    # block_i must divide I and be a multiple of the scale group x 8
-    bi = block_i
-    while I % bi or bi % (8 * group):
-        bi //= 2
-        if bi < 8 * group:
-            bi = I
-            break
+    bi = pick_block_i(I, group, block_i)
 
     block_m = max(8, 1 << (M - 1).bit_length())
     m_pad = -M % block_m
@@ -173,7 +183,12 @@ def _swiglu_call(x, gu_leaves, dn_leaves, li, *, I, group, packed,
     dn_rows = [bi // kdiv] + [bi // group] * (len(dn_leaves) - 1)
     in_specs = [pl.BlockSpec((block_m, K), lambda i, li: (0, 0))]
     in_specs += [col(r, 0) for r in gu_rows]
-    in_specs += [col(r, n_gate_blocks) for r in gu_rows]
+    if u_leaves is None:
+        in_specs += [col(r, n_gate_blocks) for r in gu_rows]
+        up_ops = gu_leaves
+    else:
+        in_specs += [col(r, 0) for r in gu_rows]   # same row layout
+        up_ops = u_leaves
     in_specs += [row(r) for r in dn_rows]
 
     out = pl.pallas_call(
@@ -191,7 +206,7 @@ def _swiglu_call(x, gu_leaves, dn_leaves, li, *, I, group, packed,
             dimension_semantics=("arbitrary",)),
         interpret=_use_interpret(),
     )(jnp.asarray(li, jnp.int32).reshape(1), x,
-      *gu_leaves, *gu_leaves, *dn_leaves)
+      *gu_leaves, *up_ops, *dn_leaves)
     return out[:M] if m_pad else out
 
 
@@ -277,3 +292,37 @@ def fused_mlp4_stacked(
     return _swiglu_call(x, (gu_qp, gu_sc, gu_mn), (dn_qp, dn_sc, dn_mn),
                         li, I=I, group=32, packed=True,
                         block_i=block_i, fast=fast, kind="packed_m")
+
+
+@functools.partial(jax.jit, static_argnames=("packed", "block_i", "fast"))
+def fused_mlp_split_stacked(
+    x: jax.Array,            # (M, K)
+    g_leaves: tuple,         # gate (qs|qp, scales[, mins]), each (L, ...)
+    u_leaves: tuple,         # up   — same shapes as gate
+    dn_leaves: tuple,        # down (qs|qp, scales[, mins])
+    li: jax.Array,           # () int32
+    *,
+    packed: bool = False,
+    block_i: int = 256,
+    fast: bool = False,
+) -> jax.Array:
+    """One-launch SwiGLU over the SPLIT gate/up schema — canonical
+    (unfused) layers and TP shards, where each device holds its own gate
+    and up slices that never share a fused concat axis (parallel/tp.py
+    module docstring). Same kernel body as the fused-schema entries; the
+    gate blocks stream from the gate arrays and the up blocks from the up
+    arrays, both at column offset 0."""
+    M, K = x.shape
+    kdiv = 2 if packed else 1
+    I = g_leaves[0].shape[2]
+    D = dn_leaves[0].shape[2]
+    group = (K // kdiv) // g_leaves[1].shape[1] * kdiv
+    assert u_leaves[0].shape == g_leaves[0].shape
+    assert g_leaves[0].shape[1] * kdiv == K
+    assert dn_leaves[0].shape[1] * kdiv == I
+    assert len(g_leaves) == len(u_leaves) == len(dn_leaves)
+    kind = ("packed_m" if packed
+            else "strided_m" if len(g_leaves) == 3 else "strided")
+    return _swiglu_call(x, tuple(g_leaves), tuple(dn_leaves), li, I=I,
+                        group=group, packed=packed, block_i=block_i,
+                        fast=fast, kind=kind, u_leaves=tuple(u_leaves))

@@ -18,10 +18,14 @@ Sharding layout (decoder_param_spec, parallel/mesh.py):
 
 Requires the CANONICAL (unfused) layer schema: the fused "qkv"/"gate_up"
 concat axes interleave q|k|v (gate|up) blocks, so a plain column split
-would hand device 0 a chunk of q only. TP therefore runs 7 matmuls/layer
-instead of 4 (measured neutral at decode: fusion was -3%..+1.6%) and the
-one-launch fused-MLP kernel — which dispatches on the fused gate_up
-schema — does NOT engage under TP.
+would hand device 0 a chunk of q only. TP therefore runs separate
+q/k/v/gate/up matmuls (measured neutral at decode: fusion was
+-3%..+1.6%). The one-launch fused-MLP kernel DOES engage under TP via
+the split-schema entry (ops/linear.py::fused_mlp_split_at — gate and up
+blocks stream from the shard's own arrays) whenever the local
+intermediate size admits a conforming block (ops/fused_mlp.py::
+pick_block_i; 7B tp=2 qualifies, tp=4's I/4=4736=37*128 does not and
+falls back to three launches — the honest VMEM guard, not a TP limit).
 
 ≙ the reference's only true TP analog: CUDA split-buffer row sharding with
 peer-to-peer partial reduction (ggml/src/ggml-cuda.cu:1358,

@@ -415,6 +415,44 @@ def main() -> int:
               "marker not written, two-kernel MLP remains the min-format "
               "default", flush=True)
 
+    # 2j. SPLIT-schema fused MLP (canonical gate/up — the TP shard form;
+    # ops/linear.py::fused_mlp_split_at gates on this marker) — soft-fail
+    try:
+        import jax as _jx
+        from qwen2_audio_tpu.ops.fused_mlp import fused_mlp_split_stacked
+        from qwen2_audio_tpu.ops.quant_matmul import quant_linear_stacked
+        Km, Im = 512, 1024
+        for ttype, packed, order in (
+                (GGMLType.Q8_0, False, ("qs", "scales")),
+                (GGMLType.Q4_0, True, ("qs4", "scales", "mins"))):
+            g_l, u_l, d_l = ({k: _jnp.stack([d[k] for d in
+                             [quantize_array_for_device(
+                                 rng.standard_normal(shp).astype(np.float32)
+                                 * 0.1, ttype) for _ in range(2)]])
+                              for k in order}
+                             for shp in ((Km, Im), (Km, Im), (Im, Km)))
+            xm = jnp.asarray(rng.standard_normal((8, Km)), jnp.float32)
+            for lif in (0, 1):
+                lij = _jnp.asarray(lif, _jnp.int32)
+                got = np.asarray(fused_mlp_split_stacked(
+                    xm, tuple(g_l[k] for k in order),
+                    tuple(u_l[k] for k in order),
+                    tuple(d_l[k] for k in order), lij, packed=packed,
+                    fast=True))
+                gated = _jx.nn.silu(quant_linear_stacked(xm, g_l, lij,
+                                                         fast=True)) \
+                    * quant_linear_stacked(xm, u_l, lij, fast=True)
+                want = np.asarray(quant_linear_stacked(gated, d_l, lij,
+                                                       fast=True))
+                rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+                assert np.isfinite(got).all() and rel < 0.03, \
+                    (ttype, lif, rel)
+        mark("fused_mlp_split")
+    except Exception as e:  # noqa: BLE001
+        print(f"[validate] fused_mlp_split: FAILED ({type(e).__name__}: "
+              f"{e}) — marker not written, canonical/TP schema keeps the "
+              "three-launch MLP", flush=True)
+
     # 3. fused mel kernel
     from qwen2_audio_tpu.audio import mel_filterbank
     from qwen2_audio_tpu.audio.mel import log_mel_spectrogram
