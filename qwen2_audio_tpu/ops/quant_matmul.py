@@ -30,12 +30,16 @@ def _use_interpret() -> bool:
 
 
 def _q4_u8ops_enabled() -> bool:
-    """u8-domain nibble unpack (mask/shift BEFORE the i32 widening —
-    quarter the vreg traffic of the i32-domain passes). Bit-identical
-    output either way (nibbles are exact small ints), so this is purely
-    a scheduling knob: QA_Q4_U8=0/1, default off until an e2e A/B win
-    flips it (the round-3 gating rule). Read at TRACE time like
-    linear.group_matmul_mode."""
+    """u8-domain nibble unpack (mask/shift BEFORE the i32 widening).
+    MEASURED DEAD ON TPU: this Mosaic build cannot legalize
+    'arith.shrui' on 8-bit vectors (q4y sweep, r4 — every u8-domain
+    variant failed remote compile), so the knob is interpret-mode-only;
+    on TPU it is forced off regardless of QA_Q4_U8. Kept because the
+    sweep's companion ablation (int80: no unpack at all) showed the
+    i32-domain dequant chain is nearly free anyway — the q4 limiter is
+    the u8 HBM stream itself, not the unpack arithmetic."""
+    if not _use_interpret():
+        return False
     return os.environ.get("QA_Q4_U8", "0") not in ("0", "false", "")
 
 

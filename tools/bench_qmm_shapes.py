@@ -111,6 +111,13 @@ def main() -> int:
                     help="q4 sweep round 2: 8-bit-domain mask/shift, "
                          "unpack-only and int8-floor ablations, "
                          "contiguous-panel q4")
+    ap.add_argument("--q4z", action="store_true",
+                    help="q4 sweep round 3 (after --q4y found the u8 "
+                         "STREAM itself is the limiter and Mosaic "
+                         "rejects u8-vector shifts): i8-dtype stream, "
+                         "i32-repacked layout (8 nibbles/word), "
+                         "whole-K blocks, panel with f32 scales, "
+                         "and w4a8 with legal i32-domain unpack")
     ap.add_argument("--bk-sweep", action="store_true",
                     help="strided kernel at block_k 512/896/1792 "
                          "(VMEM-pressure probe)")
@@ -616,6 +623,295 @@ def main() -> int:
                 y = jnp.transpose(y, (1, 0, 2)).reshape(x.shape[0], -1)
                 return carry(x, y, K)
             variants.append(("q4y-panel", q4p, (qp_pan, sc_pan), gb4))
+
+        if args.q4z:
+            # ------------------------------------------------------------
+            # q4 sweep round 3. q4y's int80 ablation (no unpack, no
+            # scales) ran at the SAME rate as the full dequant kernel:
+            # the limiter is streaming the (K/2, N) u8 array, not the
+            # VPU arithmetic. These variants change the STREAM, keeping
+            # the e2e-winning f32 scale contract:
+            #   base     production quant_matmul4 w/ f32 scales (in-run
+            #            baseline)
+            #   i8cast   identical bytes stored int8 (sign-extended
+            #            widening + extra mask) — is u8 zero-extension
+            #            the slow path?
+            #   i32pack  8 nibbles per i32 word, s-major/r-minor order
+            #            (quarter the element count, same bytes, all
+            #            i32-domain unpack)
+            #   bk1x     whole-K blocks (q4 blocks are half q8's bytes,
+            #            so the 6 MB budget allows what q8 couldn't)
+            #   panelf   contiguous panels + f32 scales (q4y's panel
+            #            carried the losing u16 scale contract)
+            #   w4a8i    int8 group dots from packed nibbles, i32-domain
+            #            unpack (q4y's w4a8 died on the u8 shift only)
+            # ------------------------------------------------------------
+            import functools as _ft
+
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+            from qwen2_audio_tpu.ops.quant_matmul import (_auto_block_k,
+                                                          _pick_block,
+                                                          _use_interpret,
+                                                          quant_matmul4)
+
+            qs4 = jnp.asarray(rng.integers(0, 256, (K // 2, N),
+                                           dtype=np.uint8))
+            gb4 = (qs4.size + sc.size * 4) / 1e9
+
+            def q4base(x, qs4, sc, K=K):
+                return carry(x, quant_matmul4(x, qs4, sc, fast=True), K)
+            variants.append(("q4z-base", q4base, (qs4, sc), gb4))
+
+            def _mk_q4z(kind: str, bk_mult: int = 1):
+                def kern(x_ref, qp_ref, sc_ref, o_ref, acc_ref):
+                    @pl.when(pl.program_id(2) == 0)
+                    def _init():
+                        acc_ref[...] = jnp.zeros_like(acc_ref)
+                    xb = x_ref[...].astype(jnp.bfloat16)
+                    bn = qp_ref.shape[1]
+                    if kind == "i32pack":
+                        p = qp_ref[...]                  # (bk//8, bn) i32
+                        bk = qp_ref.shape[0] * 8
+                        n_g = bk // 32
+                        planes = [((p >> (4 * s)) & 0xF).astype(jnp.float32)
+                                  for s in range(8)]
+                        q = jnp.concatenate(
+                            [pp.reshape(n_g, 4, bn) for pp in planes],
+                            axis=1).reshape(bk, bn)
+                    else:
+                        p = qp_ref[...].astype(jnp.int32)  # (bk//2, bn)
+                        bk = qp_ref.shape[0] * 2
+                        n_g = bk // 32
+                        lo = (p & 0xF).astype(jnp.float32)
+                        # i8-stored bytes sign-extend: mask AFTER shift
+                        hi = ((p >> 4) & 0xF).astype(jnp.float32)
+                        q = jnp.concatenate(
+                            [lo.reshape(n_g, 16, bn),
+                             hi.reshape(n_g, 16, bn)],
+                            axis=1).reshape(bk, bn)
+                    s = sc_ref[...]                      # (n_g, bn) f32
+                    w = q * jnp.broadcast_to(
+                        s[:, None, :], (n_g, 32, bn)).reshape(bk, bn)
+                    acc_ref[...] += jnp.dot(
+                        xb, w.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+
+                    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+                    def _store():
+                        o_ref[...] = acc_ref[...].astype(jnp.bfloat16)
+
+                rdiv = 8 if kind == "i32pack" else 2
+
+                @_ft.partial(jax.jit, static_argnames=("bk_m",))
+                def run(x, qp, scf, bk_m=bk_mult):
+                    Mx, Kx = x.shape
+                    Nx = qp.shape[1]
+                    bm = max(8, 1 << (Mx - 1).bit_length())
+                    bn_ = _pick_block(Nx, 512, 128)
+                    bk_ = _pick_block(Kx, _auto_block_k(Kx, bn_, 1), 256)
+                    if bk_m > 1:
+                        bk_ = _pick_block(Kx, min(Kx, bk_ * bk_m), 256)
+                    return pl.pallas_call(
+                        kern,
+                        out_shape=jax.ShapeDtypeStruct((Mx, Nx), x.dtype),
+                        grid_spec=pl.GridSpec(
+                            grid=(1, Nx // bn_, Kx // bk_),
+                            in_specs=[
+                                pl.BlockSpec((bm, bk_),
+                                             lambda i, j, k: (i, k)),
+                                pl.BlockSpec((bk_ // rdiv, bn_),
+                                             lambda i, j, k: (k, j)),
+                                pl.BlockSpec((bk_ // 32, bn_),
+                                             lambda i, j, k: (k, j)),
+                            ],
+                            out_specs=pl.BlockSpec(
+                                (bm, bn_), lambda i, j, k: (i, j)),
+                            scratch_shapes=[
+                                pltpu.VMEM((bm, bn_), jnp.float32)],
+                        ),
+                        compiler_params=pltpu.CompilerParams(
+                            dimension_semantics=("parallel", "parallel",
+                                                 "arbitrary")),
+                        interpret=_use_interpret(),
+                    )(x, qp, scf)
+                return run
+
+            qs4_i8 = jnp.asarray(np.asarray(qs4).view(np.int8))
+            run_i8 = _mk_q4z("i8cast")
+
+            def q4i8(x, qs4_i8, sc, K=K):
+                return carry(x, run_i8(x, qs4_i8, sc), K)
+            variants.append(("q4z-i8cast", q4i8, (qs4_i8, sc), gb4))
+
+            run_bk1 = _mk_q4z("i8cast", bk_mult=8)
+
+            def q4bk1(x, qs4_i8, sc, K=K):
+                return carry(x, run_bk1(x, qs4_i8, sc), K)
+            variants.append(("q4z-bk1x", q4bk1, (qs4_i8, sc), gb4))
+
+            # i32 repack (host side): i32 row g*4+r nibble s = v[g*32+s*4+r]
+            u8 = np.asarray(qs4)
+            lo8, hi8 = u8 & 0xF, u8 >> 4
+            v = np.concatenate([lo8.reshape(-1, 16, N),
+                                hi8.reshape(-1, 16, N)],
+                               axis=1).reshape(K, N)        # v[k, n]
+            vg = v.reshape(K // 32, 8, 4, N).astype(np.uint32)
+            w32 = np.zeros((K // 32, 4, N), np.uint32)
+            for s_ in range(8):
+                w32 |= vg[:, s_] << (4 * s_)
+            qs4_32 = jnp.asarray(w32.reshape(K // 8, N).view(np.int32))
+            jax.block_until_ready(qs4_32)
+            run_32 = _mk_q4z("i32pack")
+
+            def q4i32(x, qs4_32, sc, K=K):
+                return carry(x, run_32(x, qs4_32, sc), K)
+            variants.append(("q4z-i32pack", q4i32, (qs4_32, sc), gb4))
+
+            # w4a8 with LEGAL i32-domain unpack + int8 group dots
+            from qwen2_audio_tpu.ops.quant_matmul_int8 import \
+                quantize_activations as _qact
+
+            def _mk_w4a8i():
+                def kern(xq_ref, sxt_ref, qp_ref, sc_ref, o_ref, acc_ref):
+                    @pl.when(pl.program_id(2) == 0)
+                    def _init():
+                        acc_ref[...] = jnp.zeros_like(acc_ref)
+                    p = qp_ref[...].astype(jnp.int32)    # (bk2, bn)
+                    bk2, bn = p.shape
+                    n_g = bk2 // 16
+                    lo = (p & 0xF) - 8
+                    hi = ((p >> 4) & 0xF) - 8
+                    w = jnp.concatenate(
+                        [lo.reshape(n_g, 16, bn), hi.reshape(n_g, 16, bn)],
+                        axis=1).reshape(2 * bk2, bn).astype(jnp.int8)
+                    for g in range(n_g):                 # static unroll
+                        xg = xq_ref[:, g * 32:(g + 1) * 32]
+                        wg = w[g * 32:(g + 1) * 32, :]
+                        pd = jax.lax.dot_general(
+                            xg, wg, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                        scale = (sxt_ref[g, :][:, None]
+                                 * sc_ref[g, :][None, :])
+                        acc_ref[...] += pd.astype(jnp.float32) * scale
+
+                    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+                    def _store():
+                        o_ref[...] = acc_ref[...].astype(jnp.bfloat16)
+
+                @jax.jit
+                def run(x, qp, scf):
+                    Mx, Kx = x.shape
+                    Nx = qp.shape[1]
+                    bm = max(8, 1 << (Mx - 1).bit_length())
+                    bn_ = _pick_block(Nx, 512, 128)
+                    bk_ = _pick_block(Kx, 512, 256)
+                    xq, sx = _qact(x)
+                    sx_t = sx.T
+                    return pl.pallas_call(
+                        kern,
+                        out_shape=jax.ShapeDtypeStruct((Mx, Nx), x.dtype),
+                        grid_spec=pl.GridSpec(
+                            grid=(1, Nx // bn_, Kx // bk_),
+                            in_specs=[
+                                pl.BlockSpec((bm, bk_),
+                                             lambda i, j, k: (i, k)),
+                                pl.BlockSpec((bk_ // 32, bm),
+                                             lambda i, j, k: (k, i)),
+                                pl.BlockSpec((bk_ // 2, bn_),
+                                             lambda i, j, k: (k, j)),
+                                pl.BlockSpec((bk_ // 32, bn_),
+                                             lambda i, j, k: (k, j)),
+                            ],
+                            out_specs=pl.BlockSpec(
+                                (bm, bn_), lambda i, j, k: (i, j)),
+                            scratch_shapes=[
+                                pltpu.VMEM((bm, bn_), jnp.float32)],
+                        ),
+                        compiler_params=pltpu.CompilerParams(
+                            dimension_semantics=("parallel", "parallel",
+                                                 "arbitrary")),
+                        interpret=_use_interpret(),
+                    )(xq, sx_t, qp, scf)
+                return run
+
+            w4_run = _mk_w4a8i()
+
+            def q4w8i(x, qs4, sc, K=K):
+                return carry(x, w4_run(x, qs4, sc), K)
+            variants.append(("q4z-w4a8i", q4w8i, (qs4, sc), gb4))
+
+            # panel + f32 scales (q4y's panel carried u16 scales)
+            def _mk_q4z_panel():
+                def kern(x_ref, qp_ref, sc_ref, o_ref, acc_ref):
+                    @pl.when(pl.program_id(2) == 0)
+                    def _init():
+                        acc_ref[...] = jnp.zeros_like(acc_ref)
+                    p = qp_ref[0].astype(jnp.int32)
+                    bk2, bn = p.shape
+                    n_g = bk2 // 16
+                    lo = (p & 0xF).astype(jnp.float32)
+                    hi = ((p >> 4) & 0xF).astype(jnp.float32)
+                    q = jnp.concatenate(
+                        [lo.reshape(n_g, 16, bn), hi.reshape(n_g, 16, bn)],
+                        axis=1).reshape(2 * bk2, bn)
+                    s = sc_ref[0]
+                    w = q * jnp.broadcast_to(
+                        s[:, None, :], (n_g, 32, bn)).reshape(2 * bk2, bn)
+                    acc_ref[...] += jnp.dot(
+                        x_ref[...].astype(jnp.bfloat16),
+                        w.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+
+                    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+                    def _store():
+                        o_ref[0] = acc_ref[...].astype(jnp.bfloat16)
+
+                @jax.jit
+                def run(x, qp_p, sc_p):
+                    Mx, Kx = x.shape
+                    Pp, Kx2, bn_ = qp_p.shape
+                    bm = max(8, 1 << (Mx - 1).bit_length())
+                    bk_ = Kx if Kx2 * bn_ <= 6 * 1024 * 1024 else Kx // 2
+                    return pl.pallas_call(
+                        kern,
+                        out_shape=jax.ShapeDtypeStruct((Pp, Mx, bn_),
+                                                       x.dtype),
+                        grid_spec=pl.GridSpec(
+                            grid=(1, Pp, Kx // bk_),
+                            in_specs=[
+                                pl.BlockSpec((bm, bk_),
+                                             lambda i, j, k: (i, k)),
+                                pl.BlockSpec((1, bk_ // 2, bn_),
+                                             lambda i, j, k: (j, k, 0)),
+                                pl.BlockSpec((1, bk_ // 32, bn_),
+                                             lambda i, j, k: (j, k, 0)),
+                            ],
+                            out_specs=pl.BlockSpec(
+                                (1, bm, bn_), lambda i, j, k: (j, i, 0)),
+                            scratch_shapes=[
+                                pltpu.VMEM((bm, bn_), jnp.float32)],
+                        ),
+                        compiler_params=pltpu.CompilerParams(
+                            dimension_semantics=("parallel", "parallel",
+                                                 "arbitrary")),
+                        interpret=_use_interpret(),
+                    )(x, qp_p, sc_p)
+                return run
+
+            bn_p = _pick_block(N, 1024, 128)
+            Pn = N // bn_p
+            qp_pan = jnp.transpose(qs4.reshape(K // 2, Pn, bn_p), (1, 0, 2))
+            sc_pan = jnp.transpose(
+                jnp.asarray(sc).reshape(K // 32, Pn, bn_p), (1, 0, 2))
+            jax.block_until_ready(qp_pan)
+            panf_run = _mk_q4z_panel()
+
+            def q4pf(x, qp_pan, sc_pan, K=K):
+                y = panf_run(x, qp_pan, sc_pan)
+                y = jnp.transpose(y, (1, 0, 2)).reshape(x.shape[0], -1)
+                return carry(x, y, K)
+            variants.append(("q4z-panelf", q4pf, (qp_pan, sc_pan), gb4))
 
         if args.bk_sweep:
             # VMEM-pressure probe: the f32 dequant temporaries scale with
