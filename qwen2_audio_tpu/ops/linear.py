@@ -82,6 +82,20 @@ def _w8a8(x: jax.Array, p: dict) -> jax.Array:
     return y.astype(x.dtype)
 
 
+_INT8_STACKED_MARKER = "/tmp/qa_kernel_ok_qmm_int8_stacked"
+
+
+def _int8_stacked_ok() -> bool:
+    """Stacked exact-int8 kernels (quant_matmul_int8_stacked) gate on
+    their own hardware-validation marker; CPU interpret mode always
+    qualifies. Env QA_INT8_STACKED=0 opts out for A/Bs."""
+    if os.environ.get("QA_INT8_STACKED") in ("0", "false"):
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return True
+    return os.path.exists(_INT8_STACKED_MARKER)
+
+
 _FUSED_MLP_MARKER = "/tmp/qa_kernel_ok_fused_mlp"
 _FUSED_MLP4_MARKER = "/tmp/qa_kernel_ok_fused_mlp4"
 _FUSED_MLP_M_MARKER = "/tmp/qa_kernel_ok_fused_mlp_m"
@@ -242,11 +256,21 @@ def linear_at(x: jax.Array, p: dict, li: jax.Array) -> jax.Array:
         y = _w8a8(x, {"qs8": at(p["qs8"]), "scale_n": at(p["scale_n"])})
     elif "qs_p" in p or "qs4" in p or "qs" in p:
         mode = group_matmul_mode()
-        if "qs" in p and mode == "int8" \
+        if "qs_p" not in p and mode == "int8" \
                 and x.shape[-1] // p["scales"].shape[1] == 32:
-            # exact-int8 kernel has no stacked variant: pay the slice copy
-            y = quant_linear_int8(x, {k: at(v) for k, v in p.items()
-                                      if k != "b"})
+            if _int8_stacked_ok():
+                # scalar-prefetch stacked exact kernel: zero weight
+                # copies (the 2.2x scan-slice tax, CLAUDE.md), and the
+                # packed-nibble form streams at half the int8 bytes
+                from qwen2_audio_tpu.ops.quant_matmul_int8 import \
+                    quant_linear_int8_stacked
+                y = quant_linear_int8_stacked(x, p, li)
+            elif "qs" in p:
+                # unvalidated host: pay the slice copy on the old kernel
+                y = quant_linear_int8(x, {k: at(v) for k, v in p.items()
+                                          if k != "b"})
+            else:
+                y = quant_linear_stacked(x, p, li, fast=False)
         else:
             y = quant_linear_stacked(x, p, li, fast=mode == "bf16")
     else:

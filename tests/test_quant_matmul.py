@@ -497,3 +497,66 @@ def test_q4_u8ops_unpack_bit_identical(rng):
         y0 = quant_matmul4(x, p, sc, fast=fast, u8ops=False)
         y1 = quant_matmul4(x, p, sc, fast=fast, u8ops=True)
         np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+@pytest.mark.parametrize("ttype", [GGMLType.Q8_0, GGMLType.Q4_0,
+                                   GGMLType.Q4_1])
+def test_int8_stacked_matches_unstacked(ttype, rng):
+    """quant_linear_int8_stacked (scalar-prefetch layer select, both the
+    strided-int8 and packed-nibble forms) must match the proven unstacked
+    exact-int8 kernel on every layer — the activations are q8_1-quantized
+    identically and the weight dots are exact integers, so the strided
+    form is bit-equal and the packed form differs only in f32 scale-FMA
+    accumulation order."""
+    from qwen2_audio_tpu.ops.quant_matmul import dequantize_weight4
+    from qwen2_audio_tpu.ops.quant_matmul_int8 import (
+        quant_linear_int8, quant_linear_int8_stacked, quantize_activations)
+
+    L, K, N, M = 2, 256, 384, 8
+    dicts = [quantize_array_for_device(
+        rng.standard_normal((K, N)).astype(np.float32) * 0.1, ttype)
+        for _ in range(L)]
+    st = {k: jnp.stack([d[k] for d in dicts]) for k in dicts[0]}
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    for li in range(L):
+        lij = jnp.asarray(li, jnp.int32)
+        got = np.asarray(quant_linear_int8_stacked(x, st, lij))
+        if "qs4" in dicts[li]:
+            xq, sx = quantize_activations(x)
+            xdq = np.asarray(xq, np.float32) * np.repeat(
+                np.asarray(sx, np.float32), 32, axis=1)
+            want = xdq @ np.asarray(dequantize_weight4(dicts[li]))
+            # min term uses raw x in both impls; re-add the exact one
+            from qwen2_audio_tpu.ops.quant_matmul import group_min_term
+            want = (want
+                    - xdq @ np.repeat(np.asarray(dicts[li]["mins"],
+                                                 np.float32), 32, axis=0)
+                    + np.asarray(group_min_term(x, dicts[li]["mins"])))
+            rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+            assert rel < 2e-5, (li, rel)
+        else:
+            want = np.asarray(quant_linear_int8(x, dicts[li]))
+            np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_int8_mode_linear_at_uses_stacked(rng):
+    """linear_at in "int8" mode routes stacked q4 packed dicts through the
+    exact stacked kernel (previously fell back to the slow dequant path)."""
+    from qwen2_audio_tpu.ops.linear import linear_at, set_group_matmul_mode
+    from qwen2_audio_tpu.ops.quant_matmul_int8 import quant_linear_int8_stacked
+
+    L, K, N, M = 2, 256, 384, 4
+    dicts = [quantize_array_for_device(
+        rng.standard_normal((K, N)).astype(np.float32) * 0.1,
+        GGMLType.Q4_0) for _ in range(L)]
+    st = {k: jnp.stack([d[k] for d in dicts]) for k in dicts[0]}
+    assert "qs4" in st
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    lij = jnp.asarray(1, jnp.int32)
+    set_group_matmul_mode("int8")
+    try:
+        got = np.asarray(linear_at(x, st, lij))
+    finally:
+        set_group_matmul_mode(None)
+    want = np.asarray(quant_linear_int8_stacked(x, st, lij))
+    np.testing.assert_array_equal(got, want)

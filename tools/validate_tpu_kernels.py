@@ -415,6 +415,41 @@ def main() -> int:
               "marker not written, two-kernel MLP remains the min-format "
               "default", flush=True)
 
+    # 2i2. STACKED exact-int8 kernels (strided + packed-nibble forms —
+    # linear_at's "int8" mode gates on this marker) — soft-fail
+    try:
+        from qwen2_audio_tpu.ops.quant_matmul_int8 import (
+            quant_linear_int8, quant_linear_int8_stacked)
+        Km, Nm = 512, 640
+        for ttype in (GGMLType.Q8_0, GGMLType.Q4_0):
+            ds = [quantize_array_for_device(
+                rng.standard_normal((Km, Nm)).astype(np.float32) * 0.1,
+                ttype) for _ in range(2)]
+            st = {k: _jnp.stack([d[k] for d in ds]) for k in ds[0]}
+            xm = jnp.asarray(rng.standard_normal((8, Km)), jnp.float32)
+            for lif in (0, 1):
+                lij = _jnp.asarray(lif, _jnp.int32)
+                got = np.asarray(quant_linear_int8_stacked(xm, st, lij))
+                if "qs4" in ds[lif]:
+                    from qwen2_audio_tpu.ops.quant_matmul import \
+                        dequantize_weight4
+                    from qwen2_audio_tpu.ops.quant_matmul_int8 import \
+                        quantize_activations
+                    xq, sx = quantize_activations(xm)
+                    xdq = np.asarray(xq, np.float32) * np.repeat(
+                        np.asarray(sx, np.float32), 32, axis=1)
+                    want = xdq @ np.asarray(dequantize_weight4(ds[lif]))
+                else:
+                    want = np.asarray(quant_linear_int8(xm, ds[lif]))
+                rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+                assert np.isfinite(got).all() and rel < 2e-2, \
+                    (ttype, lif, rel)
+        mark("qmm_int8_stacked")
+    except Exception as e:  # noqa: BLE001
+        print(f"[validate] qmm_int8_stacked: FAILED ({type(e).__name__}: "
+              f"{e}) — marker not written, int8 mode keeps the slice-copy "
+              "path", flush=True)
+
     # 2j. SPLIT-schema fused MLP (canonical gate/up — the TP shard form;
     # ops/linear.py::fused_mlp_split_at gates on this marker) — soft-fail
     try:
