@@ -79,7 +79,15 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     from qwen2_audio_tpu.models.encoder import fuse_encoder_qkv
+    t0 = time.perf_counter()
     params = fuse_encoder_qkv(random_encoder_params(rng, hp, dtype=dtype))
+    jax.block_until_ready(params)
+    upload_s = time.perf_counter() - t0
+    # isolate the weight transfer (the ~1.3 GB large-v3 upload rides the
+    # tunnel and previously landed inside "compile+warm", hiding the
+    # persistent compile cache's effect: r4b/r4d recorded 174/395 s there
+    # while pipe_step — the SAME encoder + mel — cold-compiled in 20.5 s)
+    print(f"bench: params build+upload {upload_s:.1f} s", file=sys.stderr)
 
     # 30 s synthetic speech-band audio -> real mel frontend
     t = np.arange(int(16000 * CLIP_SECONDS)) / 16000.0
