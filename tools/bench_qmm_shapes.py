@@ -93,6 +93,10 @@ def main() -> int:
     ap.add_argument("--w8a8", action="store_true",
                     help="include the XLA-native per-channel int8 ceiling")
     ap.add_argument("--skip-panel", action="store_true")
+    ap.add_argument("--shapes", default="",
+                    help="comma list of shape names to run (default all); "
+                         "long-chain confirmation runs on the big shapes "
+                         "only, where RTT noise can't fabricate GB/s")
     ap.add_argument("--unroll", type=int, default=8,
                     help="device steps per dispatch (see time_chain)")
     ap.add_argument("--diag", action="store_true",
@@ -141,7 +145,10 @@ def main() -> int:
           flush=True)
 
     total = {}
+    shape_filter = {s for s in args.shapes.split(",") if s}
     for name, (K, N) in SHAPES[args.size].items():
+        if shape_filter and name not in shape_filter:
+            continue
         # synthetic q8_0-form weights (values irrelevant to bandwidth)
         qs = jnp.asarray(rng.integers(-127, 127, (K, N), dtype=np.int8))
         sc = jnp.asarray(rng.standard_normal((K // 32, N)).astype(np.float32)
