@@ -44,22 +44,27 @@ def _q4_u8ops_enabled() -> bool:
 
 
 def unpack4_f32(qp: jax.Array, u8ops: bool | None = None) -> jax.Array:
-    """(bk//2, bn) uint8 packed nibbles -> (bk, bn) f32 UNSIGNED values
-    0..15 in ggml's group-local pairing order (byte g*16+j holds values
-    g*32+j low, g*32+j+16 high — ggml-common.h block_q4_0); the
+    """(bk//2, bn) uint8 OR int8 packed nibbles -> (bk, bn) f32 UNSIGNED
+    values 0..15 in ggml's group-local pairing order (byte g*16+j holds
+    values g*32+j low, g*32+j+16 high — ggml-common.h block_q4_0); the
     sublane-dim reshape+concat restores the in-group order. Mosaic can't
-    cast u8->f32 directly, so widening goes via i32."""
+    cast u8->f32 directly, so widening goes via i32; the high nibble is
+    masked AFTER the shift so int8-stored bytes (sign-extended widening —
+    the q4z 'i8cast' stream variant) decode identically to uint8."""
     if u8ops is None:
         u8ops = _q4_u8ops_enabled()
     bk2, bn = qp.shape
     n_g = bk2 * 2 // GROUP
     if u8ops:
-        lo = (qp & jnp.uint8(0xF)).astype(jnp.int32).astype(jnp.float32)
-        hi = (qp >> 4).astype(jnp.int32).astype(jnp.float32)
+        # interpret-mode only: Mosaic can't legalize 8-bit vector shifts
+        lo = (qp.astype(jnp.uint8) & jnp.uint8(0xF)
+              ).astype(jnp.int32).astype(jnp.float32)
+        hi = (qp.astype(jnp.uint8) >> 4).astype(jnp.int32
+                                                ).astype(jnp.float32)
     else:
         p = qp.astype(jnp.int32)
         lo = (p & 0xF).astype(jnp.float32)
-        hi = (p >> 4).astype(jnp.float32)
+        hi = ((p >> 4) & 0xF).astype(jnp.float32)
     return jnp.concatenate([lo.reshape(n_g, 16, bn),
                             hi.reshape(n_g, 16, bn)], axis=1
                            ).reshape(bk2 * 2, bn)
@@ -801,7 +806,7 @@ def quant_linear4(x: jax.Array, qw: dict, fast: bool = False) -> jax.Array:
 
 def dequantize_weight4(qw: dict, dtype=jnp.float32) -> jax.Array:
     """Reference unpack of the packed-nibble dict (tests / fallbacks)."""
-    p = qw["qs4"]
+    p = qw["qs4"].astype(jnp.uint8)       # qs4 may be stored int8 (QA_Q4_I8)
     K2, N = p.shape
     n_g = K2 * 2 // GROUP
     lo = (p & 0xF).astype(jnp.float32).reshape(n_g, 16, N)

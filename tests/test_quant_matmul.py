@@ -560,3 +560,26 @@ def test_int8_mode_linear_at_uses_stacked(rng):
         set_group_matmul_mode(None)
     want = np.asarray(quant_linear_int8_stacked(x, st, lij))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pack4_i8_storage_parity(monkeypatch, rng):
+    """QA_Q4_I8=1 stores the packed nibble stream as int8 (same bits —
+    the q4z stream A/B hook); every consumer must decode it identically
+    to the uint8 default because unpack4_f32 masks after the shift."""
+    from qwen2_audio_tpu.ops.quant_matmul import (dequantize_weight4,
+                                                  quant_linear4)
+
+    K, N, M = 256, 384, 8
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.1   # [in, out]
+    monkeypatch.delenv("QA_Q4_I8", raising=False)
+    qu = quantize_array_for_device(w, GGMLType.Q4_0)
+    monkeypatch.setenv("QA_Q4_I8", "1")
+    qi = quantize_array_for_device(w, GGMLType.Q4_0)
+    assert qu["qs4"].dtype == jnp.uint8 and qi["qs4"].dtype == jnp.int8
+    assert np.array_equal(np.asarray(qu["qs4"]).view(np.int8),
+                          np.asarray(qi["qs4"]))
+    np.testing.assert_array_equal(np.asarray(dequantize_weight4(qu)),
+                                  np.asarray(dequantize_weight4(qi)))
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(quant_linear4(x, qu)),
+                                  np.asarray(quant_linear4(x, qi)))

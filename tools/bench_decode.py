@@ -175,6 +175,10 @@ def main() -> int:
             suffix += "-sc16"    # scale dtype is part of the cached layout
         elif _scale_u16_enabled(packed4=packed4):
             suffix += "-scu16"
+        if packed4:
+            from qwen2_audio_tpu.quant.qparams import _pack4_i8_enabled
+            if _pack4_i8_enabled():
+                suffix += "-q4i8"   # int8-stored nibble stream (QA_Q4_I8)
         path = os.path.join(args.cache_dir,
                             f"bench-{args.size}-{args.quant}{suffix}.npz")
         params = cached_build(path, build_host)
