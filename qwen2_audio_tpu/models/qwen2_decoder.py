@@ -113,11 +113,12 @@ def _quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def panelize_decoder_params(params: Params) -> Params:
     """Re-store the stacked ggml-block quant leaves in contiguous column
-    panels ({"qs": (L,K,N)} -> {"qs_p": (L,P,K,bn)}) so each decode-step
+    panels ({"qs": (L,K,N)} -> {"qs_p": (L,P,K,bn)}; packed nibbles
+    {"qs4": (L,K/2,N)} -> {"qs4_p": (L,P,K/2,bn)}) so each decode-step
     weight DMA is one contiguous HBM range (ops/quant_matmul.py panel
     section; ≙ the repacked tile layouts of ggml-cuda mmq.cuh). Pure
     layout transform — values untouched, bit-exactness preserved. Applies
-    to {"qs","scales"} entries (fused or not); dense/w8a8/packed-nibble
+    to {"qs"|"qs4","scales"} entries (fused or not); dense/w8a8
     leaves pass through, as do deep-K entries (K > 8192, e.g. the 7B
     "down" projection) where the strided layout already streams at
     memory speed and the panel A/B measured a regression (chain-200,
@@ -134,14 +135,17 @@ def panelize_decoder_params(params: Params) -> Params:
         else 8192
 
     def panel_stacked(entry: dict) -> dict:
-        qs, sc = entry["qs"], entry["scales"]
-        L, K, N = qs.shape
+        packed = "qs4" in entry
+        qs = entry["qs4"] if packed else entry["qs"]
+        sc = entry["scales"]
+        L, Kr, N = qs.shape           # Kr = K//2 byte rows when packed
         bn = pick_panel_width(N)
         P = N // bn
         host = isinstance(qs, _np.ndarray)
         xp = _np if host else jnp
         out = {
-            "qs_p": xp.transpose(qs.reshape(L, K, P, bn), (0, 2, 1, 3)),
+            ("qs4_p" if packed else "qs_p"):
+                xp.transpose(qs.reshape(L, Kr, P, bn), (0, 2, 1, 3)),
             "scales_p": xp.transpose(sc.reshape(L, sc.shape[1], P, bn),
                                      (0, 2, 1, 3)),
         }
@@ -150,25 +154,33 @@ def panelize_decoder_params(params: Params) -> Params:
                 out[extra] = entry[extra]
         return out
 
+    def entry_k(e: dict) -> int:
+        return e["qs4"].shape[1] * 2 if "qs4" in e else e["qs"].shape[1]
+
     layers = dict(params["layers"])
     for key in list(layers):
         e = layers[key]
-        if isinstance(e, dict) and "qs" in e and "scales" in e \
-                and e["qs"].shape[1] <= MAX_PANEL_K:
+        if isinstance(e, dict) and ("qs" in e or "qs4" in e) \
+                and "scales" in e and entry_k(e) <= MAX_PANEL_K:
             layers[key] = panel_stacked(e)
     out = dict(params)
     out["layers"] = layers
-    if isinstance(out.get("lm_head"), dict) and "qs" in out["lm_head"] \
-            and out["lm_head"]["qs"].shape[0] <= MAX_PANEL_K:
-        e = out["lm_head"]
-        qs, sc = e["qs"], e["scales"]
-        K, N = qs.shape
+    lm = out.get("lm_head")
+    if isinstance(lm, dict) and ("qs" in lm or "qs4" in lm) \
+            and (lm["qs4"].shape[0] * 2 if "qs4" in lm
+                 else lm["qs"].shape[0]) <= MAX_PANEL_K:
+        e = lm
+        packed = "qs4" in e
+        qs = e["qs4"] if packed else e["qs"]
+        sc = e["scales"]
+        Kr, N = qs.shape
         bn = pick_panel_width(N)
         P = N // bn
         host = isinstance(qs, _np.ndarray)
         xp = _np if host else jnp
         ne = {
-            "qs_p": xp.transpose(qs.reshape(K, P, bn), (1, 0, 2)),
+            ("qs4_p" if packed else "qs_p"):
+                xp.transpose(qs.reshape(Kr, P, bn), (1, 0, 2)),
             "scales_p": xp.transpose(sc.reshape(sc.shape[0], P, bn),
                                      (1, 0, 2)),
         }

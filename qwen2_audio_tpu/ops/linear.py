@@ -254,9 +254,9 @@ def linear_at(x: jax.Array, p: dict, li: jax.Array) -> jax.Array:
 
     if "qs8" in p:
         y = _w8a8(x, {"qs8": at(p["qs8"]), "scale_n": at(p["scale_n"])})
-    elif "qs_p" in p or "qs4" in p or "qs" in p:
+    elif "qs_p" in p or "qs4_p" in p or "qs4" in p or "qs" in p:
         mode = group_matmul_mode()
-        if "qs_p" not in p and mode == "int8" \
+        if "qs_p" not in p and "qs4_p" not in p and mode == "int8" \
                 and x.shape[-1] // p["scales"].shape[1] == 32:
             if _int8_stacked_ok():
                 # scalar-prefetch stacked exact kernel: zero weight
@@ -283,7 +283,7 @@ def linear_at(x: jax.Array, p: dict, li: jax.Array) -> jax.Array:
 def linear(x: jax.Array, p: dict) -> jax.Array:
     if "qs8" in p:
         y = _w8a8(x, p)
-    elif "qs_p" in p:
+    elif "qs_p" in p or "qs4_p" in p:
         # contiguous-panel storage of the ggml-block form (decode HBM
         # streaming; see ops/quant_matmul.py panel section)
         y = quant_linear_panel(x, p, fast=group_matmul_mode() == "bf16")

@@ -274,16 +274,19 @@ def _panel_block_k(K: int, bn: int) -> int:
 
 def panelize_weight(qw: dict, block_n: int = 0) -> dict:
     """{"qs": (K, N), "scales": (K//g, N)[, "mins"]} -> contiguous-panel
-    layout {"qs_p": (P, K, bn), "scales_p": (P, K//g, bn)[, "mins"]}.
+    layout {"qs_p": (P, K, bn), "scales_p": (P, K//g, bn)[, "mins"]};
+    packed-nibble dicts {"qs4": (K/2, N)} -> {"qs4_p": (P, K/2, bn)}.
     Pure layout transform — values are untouched, so ggml bit-exactness is
     preserved. "mins" stays (K//g, N): the min term is a separate tiny
     matmul (group_min_term) that never touches the kernel."""
-    qs, sc = qw["qs"], qw["scales"]
-    K, N = qs.shape
+    packed = "qs4" in qw
+    qs, sc = (qw["qs4"] if packed else qw["qs"]), qw["scales"]
+    Kr, N = qs.shape
     bn = block_n or pick_panel_width(N)
     P = N // bn
     out = {
-        "qs_p": jnp.transpose(qs.reshape(K, P, bn), (1, 0, 2)),
+        ("qs4_p" if packed else "qs_p"):
+            jnp.transpose(qs.reshape(Kr, P, bn), (1, 0, 2)),
         "scales_p": jnp.transpose(sc.reshape(sc.shape[0], P, bn), (1, 0, 2)),
     }
     if "mins" in qw:
@@ -529,6 +532,198 @@ def quant_matmul_panel_stacked(
     return out[:M] if m_pad else out
 
 
+# --------------------------------------------------------------------------- #
+# Packed-nibble panels: the q4z sweep (docs/BENCH_NOTES.md round 4) showed the
+# packed u8 stream — not dequant arithmetic — limits the q4 kernels, and that
+# re-storing it in contiguous column panels recovers the stream rate the
+# strided walk loses (chain-512, M=8, 7B shapes: qkv 671 vs 94 GB/s, gate_up
+# 688 vs 518, o 459 vs 376, lm_head 690 vs 538). Same trick as the int8 panel
+# section above, same bit-exact values, with whole-K single-step DMA (q4's
+# half-width byte rows fit the VMEM budget where q8's could not).
+# ≙ ggml-cuda mmq's repacked q4_0 tile layouts (ggml/src/ggml-cuda/mmq.cuh).
+# --------------------------------------------------------------------------- #
+
+def _panel4_block_k(K: int, bn: int) -> int:
+    """Whole-K single step when the packed byte block fits the VMEM
+    budget — exactly the q4z-panelf contract that won the chain-512
+    sweep (gate_up K=3584 x bn=1024 ran whole-K at 687 GB/s: Mosaic
+    streams the f32 dequant into the dot pipeline, so the nominal
+    bk x bn x 4 B w tile never fully materializes and only the packed
+    byte block budgets VMEM). Else the two-step auto split."""
+    if (K // 2) * bn <= 6 * 1024 * 1024:
+        return K
+    return _auto_block_k(K, bn, 1)
+
+
+def _qmm4_panel_kernel(x_ref, qp_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
+                       fast: bool, u8ops: bool = False):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    bk2, bn = qp_ref.shape[1:]                     # (1, bk//2, bn)
+    bk = bk2 * 2
+    n_g = bk // GROUP
+    q = unpack4_f32(qp_ref[0], u8ops)
+    s = scales_f32(sc_ref[0])
+    s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)).reshape(bk, bn)
+    w = q * s_full
+    if fast:
+        acc_ref[...] += jnp.dot(
+            x_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+    else:
+        acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), w,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _store():
+        o_ref[0] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_k", "fast",
+                                              "u8ops"))
+def quant_matmul_panel4(
+    x: jax.Array,           # (M, K)
+    qs4_p: jax.Array,       # (P, K // 2, bn) uint8 — packed nibble panels
+    scales_p: jax.Array,    # (P, K // 32, bn)
+    *,
+    block_m: int = 256,
+    block_k: int = 0,
+    fast: bool = False,
+    u8ops: bool | None = None,
+) -> jax.Array:
+    """x @ dequant(panels) -> (M, P*bn); min/offset terms are added by the
+    caller (quant_linear_panel), exactly as in quant_matmul4."""
+    M, K = x.shape
+    P, K2, bn = qs4_p.shape
+    assert K2 * 2 == K and scales_p.shape == (P, K // GROUP, bn)
+    if u8ops is None:
+        u8ops = _q4_u8ops_enabled()
+
+    block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
+    block_k = _pick_block(K, block_k or _panel4_block_k(K, bn), 256)
+    assert K % block_k == 0
+
+    m_pad = -M % block_m
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+
+    grid = (Mp // block_m, P, K // block_k)
+    out = pl.pallas_call(
+        functools.partial(_qmm4_panel_kernel, out_dtype=x.dtype, fast=fast,
+                          u8ops=u8ops),
+        out_shape=jax.ShapeDtypeStruct((P, Mp, bn), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+                pl.BlockSpec((1, block_k // 2, bn),
+                             lambda i, j, k: (j, k, 0)),
+                pl.BlockSpec((1, block_k // GROUP, bn),
+                             lambda i, j, k: (j, k, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_m, bn),
+                                   lambda i, j, k: (j, i, 0)),
+            scratch_shapes=[pltpu.VMEM((block_m, bn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_use_interpret(),
+    )(x, qs4_p, scales_p)
+    out = jnp.transpose(out, (1, 0, 2)).reshape(Mp, P * bn)
+    return out[:M] if m_pad else out
+
+
+def _qmm4_panel_stacked_kernel(li_ref, x_ref, qp_ref, sc_ref, o_ref, acc_ref,
+                               *, out_dtype, fast: bool, u8ops: bool = False):
+    del li_ref
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    bk2, bn = qp_ref.shape[2:]                     # (1, 1, bk//2, bn)
+    bk = bk2 * 2
+    n_g = bk // GROUP
+    q = unpack4_f32(qp_ref[0, 0], u8ops)
+    s = scales_f32(sc_ref[0, 0])
+    s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)).reshape(bk, bn)
+    w = q * s_full
+    if fast:
+        acc_ref[...] += jnp.dot(
+            x_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+    else:
+        acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), w,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _store():
+        o_ref[0] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_k", "fast",
+                                              "u8ops"))
+def quant_matmul_panel4_stacked(
+    x: jax.Array,           # (M, K)
+    qs4_p: jax.Array,       # (L, P, K // 2, bn) uint8 — stacked panels
+    scales_p: jax.Array,    # (L, P, K // 32, bn)
+    li: jax.Array,          # () int32
+    *,
+    block_m: int = 256,
+    block_k: int = 0,
+    fast: bool = False,
+    u8ops: bool | None = None,
+) -> jax.Array:
+    """Panelized packed-nibble form of quant_matmul4_stacked: one
+    contiguous HBM DMA per weight block, layer selected by scalar
+    prefetch (zero per-layer copies — the 2.2x scan-slice tax)."""
+    M, K = x.shape
+    L, P, K2, bn = qs4_p.shape
+    assert K2 * 2 == K and scales_p.shape == (L, P, K // GROUP, bn)
+    if u8ops is None:
+        u8ops = _q4_u8ops_enabled()
+
+    block_m = min(block_m, max(8, 1 << (M - 1).bit_length()))
+    block_k = _pick_block(K, block_k or _panel4_block_k(K, bn), 256)
+    assert K % block_k == 0
+
+    m_pad = -M % block_m
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+
+    grid = (Mp // block_m, P, K // block_k)
+    out = pl.pallas_call(
+        functools.partial(_qmm4_panel_stacked_kernel, out_dtype=x.dtype,
+                          fast=fast, u8ops=u8ops),
+        out_shape=jax.ShapeDtypeStruct((P, Mp, bn), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, block_k),
+                             lambda i, j, k, li: (i, k)),
+                pl.BlockSpec((1, 1, block_k // 2, bn),
+                             lambda i, j, k, li: (li[0], j, k, 0)),
+                pl.BlockSpec((1, 1, block_k // GROUP, bn),
+                             lambda i, j, k, li: (li[0], j, k, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_m, bn),
+                                   lambda i, j, k, li: (j, i, 0)),
+            scratch_shapes=[pltpu.VMEM((block_m, bn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_use_interpret(),
+    )(jnp.asarray(li, jnp.int32).reshape(1), x, qs4_p, scales_p)
+    out = jnp.transpose(out, (1, 0, 2)).reshape(Mp, P * bn)
+    return out[:M] if m_pad else out
+
+
 def _qmm4_stacked_kernel(li_ref, x_ref, qp_ref, sc_ref, o_ref, acc_ref, *,
                          out_dtype, fast: bool, u8ops: bool = False):
     del li_ref
@@ -623,7 +818,10 @@ def quant_linear_stacked(x: jax.Array, qw: dict, li: jax.Array,
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2d = x.reshape(-1, K)
-    if "qs_p" in qw:
+    if "qs4_p" in qw:
+        y = quant_matmul_panel4_stacked(x2d, qw["qs4_p"], qw["scales_p"], li,
+                                        fast=fast)
+    elif "qs_p" in qw:
         y = quant_matmul_panel_stacked(x2d, qw["qs_p"], qw["scales_p"], li,
                                        fast=fast)
     elif "qs4" in qw:
@@ -639,11 +837,15 @@ def quant_linear_stacked(x: jax.Array, qw: dict, li: jax.Array,
 
 def quant_linear_panel(x: jax.Array, qw: dict, fast: bool = False
                        ) -> jax.Array:
-    """Batched-activation entry for the panelized form."""
+    """Batched-activation entry for the panelized forms (int8 "qs_p" or
+    packed-nibble "qs4_p")."""
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2d = x.reshape(-1, K)
-    y = quant_matmul_panel(x2d, qw["qs_p"], qw["scales_p"], fast=fast)
+    if "qs4_p" in qw:
+        y = quant_matmul_panel4(x2d, qw["qs4_p"], qw["scales_p"], fast=fast)
+    else:
+        y = quant_matmul_panel(x2d, qw["qs_p"], qw["scales_p"], fast=fast)
     if "mins" in qw:
         y = y + group_min_term(x2d, qw["mins"],
                                group=K // qw["mins"].shape[0]).astype(y.dtype)

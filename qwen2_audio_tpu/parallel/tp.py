@@ -93,7 +93,7 @@ def shard_decoder_for_tp(params, mesh: Mesh):
             "TP requires the canonical unfused schema: the fused "
             "qkv/gate_up concat axes cannot be column-split (see module "
             "docstring); load without fuse_decoder_params")
-    if any("qs_p" in v for v in params["layers"].values()
+    if any("qs_p" in v or "qs4_p" in v for v in params["layers"].values()
            if isinstance(v, dict)):
         raise ValueError("panelized layouts are single-chip; panelize "
                          "after sharding is not supported")

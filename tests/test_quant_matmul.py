@@ -466,6 +466,104 @@ def test_panelize_deep_k_env_override(monkeypatch):
     assert "qs_p" in out["layers"]["down"]
 
 
+@pytest.mark.parametrize("ttype", [GGMLType.Q4_0, GGMLType.Q4_1])
+def test_panel4_layout_matches_packed_kernel(ttype, monkeypatch, rng):
+    """Packed-nibble panels ("qs4_p", the q4z-panelf layout that won the
+    chain-512 HBM-stream sweep) are a pure layout transform of the packed
+    strided form: quant_linear_panel must match quant_linear on the same
+    qs4 payload (identical unpack + f32 dequant math) and the dense
+    reference closely."""
+    from qwen2_audio_tpu.ops.quant_matmul import (
+        panelize_weight, quant_linear_panel)
+
+    K, N, M = 512, 384, 8
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+    monkeypatch.setenv("QA_PACK4", "1")
+    qw = quantize_array_for_device(w, ttype)
+    assert "qs4" in qw
+    x = rng.standard_normal((M, K)).astype(np.float32)
+
+    want = np.asarray(quant_linear(jnp.asarray(x), qw))
+    qp = panelize_weight(qw, block_n=128)
+    assert "qs4_p" in qp and qp["qs4_p"].shape == (N // 128, K // 2, 128)
+    got = np.asarray(quant_linear_panel(jnp.asarray(x), qp))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    dense = x @ np.asarray(dequantize_weight(qw))
+    np.testing.assert_allclose(got, dense, atol=2e-3, rtol=1e-3)
+
+
+def test_panelize_weight_roundtrip_packed(monkeypatch, rng):
+    """qs4_p panel layout preserves every packed byte and scale."""
+    from qwen2_audio_tpu.ops.quant_matmul import panelize_weight
+
+    K, N = 256, 512
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    monkeypatch.setenv("QA_PACK4", "1")
+    qw = quantize_array_for_device(w, GGMLType.Q4_0)
+    qp = panelize_weight(qw, block_n=128)
+    P, K2, bn = qp["qs4_p"].shape
+    assert (P * bn, K2 * 2) == (N, K)
+    back = np.asarray(jnp.transpose(qp["qs4_p"], (1, 0, 2)).reshape(K // 2, N))
+    np.testing.assert_array_equal(back, np.asarray(qw["qs4"]))
+    np.testing.assert_array_equal(np.asarray(qp["mins"]),
+                                  np.asarray(qw["mins"]))
+
+
+def test_panelized_decoder_logits_match_packed(monkeypatch, rng):
+    """panelize_decoder_params on packed-nibble (qs4) stacked leaves is a
+    pure layout transform: decode logits must match the strided packed
+    decoder exactly (prefill + one cached step, incl. packed lm_head)."""
+    from qwen2_audio_tpu.models.qwen2_decoder import (
+        KVCache, decoder_forward, embed_tokens, fuse_decoder_params,
+        panelize_decoder_params, random_decoder_params)
+    cfg = Qwen2DecoderConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=False)
+    params = random_decoder_params(rng, cfg)
+    monkeypatch.setenv("QA_PACK4", "1")
+    qparams = quantize_decoder_params(params, GGMLType.Q4_0)
+    fparams = fuse_decoder_params(qparams)
+    pparams = panelize_decoder_params(fparams)
+    assert any("qs4_p" in v for v in pparams["layers"].values()
+               if isinstance(v, dict))
+    assert "qs4_p" in pparams["lm_head"]
+
+    toks = jnp.asarray(rng.integers(0, 128, (1, 6)))
+    x = embed_tokens(params, toks)
+
+    def run(p):
+        c = KVCache.create(cfg, 1, 8, dtype=jnp.float32)
+        lg, c = decoder_forward(p, cfg, x, c, 0)
+        step = embed_tokens(params, jnp.asarray([[7]]))
+        lg2, _ = decoder_forward(p, cfg, step, c, 6)
+        decoder_forward.clear_cache()
+        return np.asarray(lg2)
+
+    ref = run(fparams)
+    got = run(pparams)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_panelize_skips_deep_k_packed():
+    """Deep-K skip applies to the LOGICAL K of packed entries (byte rows
+    are K/2 — the guard must not be fooled by the halved storage)."""
+    from qwen2_audio_tpu.models.qwen2_decoder import panelize_decoder_params
+
+    deep = {"qs4": np.zeros((2, 9216 // 2, 128), np.uint8),
+            "scales": np.zeros((2, 9216 // 32, 128), np.float32),
+            "mins": np.zeros((2, 9216 // 32, 128), np.float32)}
+    shallow = {"qs4": np.zeros((2, 128, 128), np.uint8),
+               "scales": np.zeros((2, 8, 128), np.float32),
+               "mins": np.zeros((2, 8, 128), np.float32)}
+    params = {"layers": {"down": dict(deep), "qkv": dict(shallow)}}
+    out = panelize_decoder_params(params)
+    assert "qs4" in out["layers"]["down"]         # untouched (K=9216)
+    assert "qs4_p" in out["layers"]["qkv"]        # panelized
+    assert "mins" in out["layers"]["qkv"]         # min term rides along
+
+
 def test_q4_u8ops_unpack_bit_identical(rng):
     """The u8-domain unpack (QA_Q4_U8 / u8ops=True: mask/shift before the
     i32 widening) must be BIT-identical to the i32-domain form and to a

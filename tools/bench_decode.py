@@ -205,7 +205,8 @@ def main() -> int:
 
         def upload(node):
             if isinstance(node, dict):
-                if any(k in node for k in ("qs", "qs8", "qs_p", "qs4")):
+                if any(k in node for k in ("qs", "qs8", "qs_p", "qs4",
+                                           "qs4_p")):
                     return {k: (jnp.asarray(v, dtype=dtype) if k == "b"
                                 else jnp.asarray(v))
                             for k, v in node.items()}
