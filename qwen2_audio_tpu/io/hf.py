@@ -133,12 +133,26 @@ def load_qwen2_audio(
     cache_dtype=jnp.bfloat16,
     max_ctx: int = 2048,
     decoder_quant: str | None = None,   # None | "q8_0" | "q4_0" | "w8a8"
+    fuse: bool | None = None,
+    panel: bool | None = None,
 ) -> dict[str, Any]:
     """Load a full HF Qwen2-Audio checkpoint directory.
 
     ``decoder_quant``: quantize the LM weights at load — "q8_0"/"q4_0" keep
     ggml block semantics (Pallas dequant matmul), "w8a8" uses the int8-MXU
     fast path (2.5x decode throughput measured, coarser scales).
+
+    ``fuse``: concatenate q/k/v -> qkv and gate/up -> gate_up
+    (models/qwen2_decoder.py::fuse_decoder_params — the measured-best
+    single-chip decode schema: fused MLP4 +2.6% on 7B q4_0, and the
+    stacked-kernel headline configs all run it). Default ON; pass False
+    for tensor parallelism (parallel/tp.py requires the canonical
+    unfused schema to column-split).
+
+    ``panel``: re-store ggml-block quant leaves in contiguous column
+    panels (panelize_decoder_params; +3.6% e2e on 7B q4_0, queue-G A/B).
+    Default (None) auto-enables for packed q4_0 when the panel kernels
+    are hardware-validated on this host (marker qmm_q4panel) or on CPU.
 
     Returns {"hparams", "decoder_config", "encoder_params", "bundle",
     "tokenizer"(optional)}.
@@ -191,6 +205,23 @@ def load_qwen2_audio(
             ttype = (GGMLType.Q4_0 if decoder_quant == "q4_0"
                      else GGMLType.Q8_0)
             bundle.params = quantize_decoder_params(bundle.params, ttype)
+
+    if fuse is None or fuse:
+        from qwen2_audio_tpu.models.qwen2_decoder import fuse_decoder_params
+        bundle.params = fuse_decoder_params(bundle.params)
+    if panel is None:
+        import os
+
+        import jax
+        panel = (decoder_quant == "q4_0"
+                 and any("qs4" in v for v in bundle.params["layers"].values()
+                         if isinstance(v, dict))
+                 and (jax.default_backend() not in ("tpu", "axon")
+                      or os.path.exists("/tmp/qa_kernel_ok_qmm_q4panel")))
+    if panel:
+        from qwen2_audio_tpu.models.qwen2_decoder import (
+            panelize_decoder_params)
+        bundle.params = panelize_decoder_params(bundle.params)
 
     return {"hparams": hp, "decoder_config": dec_cfg,
             "encoder_params": enc, "bundle": bundle, "tokenizer": tokenizer}

@@ -72,6 +72,18 @@ def _deq_strided_m(q_ref, s_ref, m_ref):
     return q * s_full + m_full
 
 
+def _deq_packed(qp_ref, s_ref):
+    """Symmetric packed q4_0: (q - 8) * d in-kernel (QA_Q4_SYM) — no mins
+    stream at all (for q4_0 mins = -8*d duplicates the scale bytes)."""
+    bk2, bn = qp_ref.shape[1:]
+    bk = bk2 * 2
+    n_g = bk // 32
+    q = unpack4_f32(qp_ref[0], off=8)
+    s = scales_f32(s_ref[0])
+    s_full = jnp.broadcast_to(s[:, None, :], (n_g, 32, bn)).reshape(bk, bn)
+    return q * s_full
+
+
 def _deq_packed_m(qp_ref, s_ref, m_ref):
     bk2, bn = qp_ref.shape[1:]                 # (1, bk//2, bn)
     bk = bk2 * 2
@@ -86,6 +98,7 @@ def _deq_packed_m(qp_ref, s_ref, m_ref):
 
 _DEQ = {"strided": (_deq_strided, 2),
         "strided_m": (_deq_strided_m, 3),
+        "packed": (_deq_packed, 2),
         "packed_m": (_deq_packed_m, 3)}
 
 
@@ -294,6 +307,33 @@ def fused_mlp4_stacked(
                         block_i=block_i, fast=fast, kind="packed_m")
 
 
+@functools.partial(jax.jit, static_argnames=("block_i", "fast"))
+def fused_mlp4_sym_stacked(
+    x: jax.Array,            # (M, K)
+    gu_qp: jax.Array,        # (L, K // 2, 2I) uint8 — packed gate|up
+    gu_sc: jax.Array,        # (L, K // 32, 2I)
+    dn_qp: jax.Array,        # (L, I // 2, K) uint8
+    dn_sc: jax.Array,        # (L, I // 32, K)
+    li: jax.Array,           # () int32
+    *,
+    block_i: int = 256,
+    fast: bool = False,
+) -> jax.Array:
+    """fused_mlp4_stacked for the SYMMETRIC q4_0 form: dequant is
+    (q - 8) * d inside the kernel and the mins operands vanish — two
+    full scale-sized HBM streams fewer per layer (QA_Q4_SYM)."""
+    M, K = x.shape
+    L, K2, I2 = gu_qp.shape
+    I = I2 // 2
+    D = dn_qp.shape[2]
+    assert K2 * 2 == K and dn_qp.shape == (L, I // 2, D)
+    assert gu_sc.shape == (L, K // 32, 2 * I)
+    assert dn_sc.shape == (L, I // 32, D)
+    return _swiglu_call(x, (gu_qp, gu_sc), (dn_qp, dn_sc),
+                        li, I=I, group=32, packed=True,
+                        block_i=block_i, fast=fast, kind="packed")
+
+
 @functools.partial(jax.jit, static_argnames=("packed", "block_i", "fast"))
 def fused_mlp_split_stacked(
     x: jax.Array,            # (M, K)
@@ -321,7 +361,7 @@ def fused_mlp_split_stacked(
     assert g_leaves[0].shape[1] * kdiv == K
     assert dn_leaves[0].shape[1] * kdiv == I
     assert len(g_leaves) == len(u_leaves) == len(dn_leaves)
-    kind = ("packed_m" if packed
+    kind = (("packed_m" if len(g_leaves) == 3 else "packed") if packed
             else "strided_m" if len(g_leaves) == 3 else "strided")
     return _swiglu_call(x, tuple(g_leaves), tuple(dn_leaves), li, I=I,
                         group=group, packed=packed, block_i=block_i,

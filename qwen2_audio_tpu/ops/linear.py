@@ -125,7 +125,8 @@ def fused_mlp_at(x: jax.Array, gu: dict, dn: dict, li: jax.Array
     K = x.shape[-1]
     packed = "qs4" in gu and "qs4" in dn
     if packed:
-        if not ("mins" in gu and "mins" in dn):
+        sym = "mins" not in gu and "mins" not in dn   # QA_Q4_SYM form
+        if not sym and not ("mins" in gu and "mins" in dn):
             return None
         I = dn["qs4"].shape[1] * 2
         if K // gu["scales"].shape[1] != 32 or I // dn["scales"].shape[1] != 32:
@@ -154,7 +155,12 @@ def fused_mlp_at(x: jax.Array, gu: dict, dn: dict, li: jax.Array
     mode = group_matmul_mode()
     if mode == "int8":
         return None
-    if packed:
+    if packed and sym:
+        from qwen2_audio_tpu.ops.fused_mlp import fused_mlp4_sym_stacked
+        y = fused_mlp4_sym_stacked(x2, gu["qs4"], gu["scales"],
+                                   dn["qs4"], dn["scales"], li,
+                                   fast=mode == "bf16")
+    elif packed:
         from qwen2_audio_tpu.ops.fused_mlp import fused_mlp4_stacked
         y = fused_mlp4_stacked(x2, gu["qs4"], gu["scales"], gu["mins"],
                                dn["qs4"], dn["scales"], dn["mins"], li,
@@ -188,7 +194,8 @@ def fused_mlp_split_at(x: jax.Array, g: dict, u: dict, dn: dict,
     K = x.shape[-1]
     packed = all("qs4" in w for w in (g, u, dn))
     if packed:
-        if not all("mins" in w for w in (g, u, dn)):
+        p_mins = [("mins" in w) for w in (g, u, dn)]
+        if any(p_mins) != all(p_mins):   # sym form lacks mins everywhere
             return None
         I = dn["qs4"].shape[1] * 2
         if K // g["scales"].shape[1] != 32 or I // dn["scales"].shape[1] != 32:
@@ -228,7 +235,8 @@ def fused_mlp_split_at(x: jax.Array, g: dict, u: dict, dn: dict,
     D = dn["qs4" if packed else "qs"].shape[2]
     if (bi // kdiv) * D + (K // kdiv) * bi * 2 > 12 * 1024 * 1024:
         return None
-    order = ("qs4", "scales", "mins") if packed else \
+    order = (("qs4", "scales", "mins") if "mins" in g
+             else ("qs4", "scales")) if packed else \
         (("qs", "scales", "mins") if "mins" in g else ("qs", "scales"))
     leaves = tuple(tuple(w[k] for k in order) for w in (g, u, dn))
     y = fused_mlp_split_stacked(x2, *leaves, li, packed=packed,

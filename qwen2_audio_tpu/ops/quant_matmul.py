@@ -43,28 +43,33 @@ def _q4_u8ops_enabled() -> bool:
     return os.environ.get("QA_Q4_U8", "0") not in ("0", "false", "")
 
 
-def unpack4_f32(qp: jax.Array, u8ops: bool | None = None) -> jax.Array:
-    """(bk//2, bn) uint8 OR int8 packed nibbles -> (bk, bn) f32 UNSIGNED
-    values 0..15 in ggml's group-local pairing order (byte g*16+j holds
-    values g*32+j low, g*32+j+16 high — ggml-common.h block_q4_0); the
-    sublane-dim reshape+concat restores the in-group order. Mosaic can't
-    cast u8->f32 directly, so widening goes via i32; the high nibble is
-    masked AFTER the shift so int8-stored bytes (sign-extended widening —
-    the q4z 'i8cast' stream variant) decode identically to uint8."""
+def unpack4_f32(qp: jax.Array, u8ops: bool | None = None,
+                off: int = 0) -> jax.Array:
+    """(bk//2, bn) uint8 OR int8 packed nibbles -> (bk, bn) f32 values
+    (0..15) - ``off`` in ggml's group-local pairing order (byte g*16+j
+    holds values g*32+j low, g*32+j+16 high — ggml-common.h block_q4_0);
+    the sublane-dim reshape+concat restores the in-group order. Mosaic
+    can't cast u8->f32 directly, so widening goes via i32; the high
+    nibble is masked AFTER the shift so int8-stored bytes (sign-extended
+    widening — the q4z 'i8cast' stream variant) decode identically to
+    uint8. ``off=8`` is the symmetric q4_0 form (q-8)*d — ggml's own
+    dequantize_row_q4_0 — applied in the i32 domain so no separate mins
+    stream is needed (QA_Q4_SYM; for q4_0 mins = -8*d duplicates the
+    scale stream byte for byte)."""
     if u8ops is None:
         u8ops = _q4_u8ops_enabled()
     bk2, bn = qp.shape
     n_g = bk2 * 2 // GROUP
     if u8ops:
         # interpret-mode only: Mosaic can't legalize 8-bit vector shifts
-        lo = (qp.astype(jnp.uint8) & jnp.uint8(0xF)
-              ).astype(jnp.int32).astype(jnp.float32)
-        hi = (qp.astype(jnp.uint8) >> 4).astype(jnp.int32
-                                                ).astype(jnp.float32)
+        lo = ((qp.astype(jnp.uint8) & jnp.uint8(0xF)
+               ).astype(jnp.int32) - off).astype(jnp.float32)
+        hi = ((qp.astype(jnp.uint8) >> 4).astype(jnp.int32)
+              - off).astype(jnp.float32)
     else:
         p = qp.astype(jnp.int32)
-        lo = (p & 0xF).astype(jnp.float32)
-        hi = ((p >> 4) & 0xF).astype(jnp.float32)
+        lo = ((p & 0xF) - off).astype(jnp.float32)
+        hi = (((p >> 4) & 0xF) - off).astype(jnp.float32)
     return jnp.concatenate([lo.reshape(n_g, 16, bn),
                             hi.reshape(n_g, 16, bn)], axis=1
                            ).reshape(bk2 * 2, bn)
@@ -556,7 +561,7 @@ def _panel4_block_k(K: int, bn: int) -> int:
 
 
 def _qmm4_panel_kernel(x_ref, qp_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
-                       fast: bool, u8ops: bool = False):
+                       fast: bool, u8ops: bool = False, off: int = 0):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -564,7 +569,7 @@ def _qmm4_panel_kernel(x_ref, qp_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
     bk2, bn = qp_ref.shape[1:]                     # (1, bk//2, bn)
     bk = bk2 * 2
     n_g = bk // GROUP
-    q = unpack4_f32(qp_ref[0], u8ops)
+    q = unpack4_f32(qp_ref[0], u8ops, off)
     s = scales_f32(sc_ref[0])
     s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)).reshape(bk, bn)
     w = q * s_full
@@ -583,7 +588,7 @@ def _qmm4_panel_kernel(x_ref, qp_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_k", "fast",
-                                              "u8ops"))
+                                              "u8ops", "off"))
 def quant_matmul_panel4(
     x: jax.Array,           # (M, K)
     qs4_p: jax.Array,       # (P, K // 2, bn) uint8 — packed nibble panels
@@ -593,6 +598,7 @@ def quant_matmul_panel4(
     block_k: int = 0,
     fast: bool = False,
     u8ops: bool | None = None,
+    off: int = 0,
 ) -> jax.Array:
     """x @ dequant(panels) -> (M, P*bn); min/offset terms are added by the
     caller (quant_linear_panel), exactly as in quant_matmul4."""
@@ -614,7 +620,7 @@ def quant_matmul_panel4(
     grid = (Mp // block_m, P, K // block_k)
     out = pl.pallas_call(
         functools.partial(_qmm4_panel_kernel, out_dtype=x.dtype, fast=fast,
-                          u8ops=u8ops),
+                          u8ops=u8ops, off=off),
         out_shape=jax.ShapeDtypeStruct((P, Mp, bn), x.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -638,7 +644,7 @@ def quant_matmul_panel4(
 
 
 def _qmm4_panel_stacked_kernel(li_ref, x_ref, qp_ref, sc_ref, o_ref, acc_ref,
-                               *, out_dtype, fast: bool, u8ops: bool = False):
+                               *, out_dtype, fast: bool, u8ops: bool = False, off: int = 0):
     del li_ref
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -647,7 +653,7 @@ def _qmm4_panel_stacked_kernel(li_ref, x_ref, qp_ref, sc_ref, o_ref, acc_ref,
     bk2, bn = qp_ref.shape[2:]                     # (1, 1, bk//2, bn)
     bk = bk2 * 2
     n_g = bk // GROUP
-    q = unpack4_f32(qp_ref[0, 0], u8ops)
+    q = unpack4_f32(qp_ref[0, 0], u8ops, off)
     s = scales_f32(sc_ref[0, 0])
     s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)).reshape(bk, bn)
     w = q * s_full
@@ -666,7 +672,7 @@ def _qmm4_panel_stacked_kernel(li_ref, x_ref, qp_ref, sc_ref, o_ref, acc_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_k", "fast",
-                                              "u8ops"))
+                                              "u8ops", "off"))
 def quant_matmul_panel4_stacked(
     x: jax.Array,           # (M, K)
     qs4_p: jax.Array,       # (L, P, K // 2, bn) uint8 — stacked panels
@@ -677,6 +683,7 @@ def quant_matmul_panel4_stacked(
     block_k: int = 0,
     fast: bool = False,
     u8ops: bool | None = None,
+    off: int = 0,
 ) -> jax.Array:
     """Panelized packed-nibble form of quant_matmul4_stacked: one
     contiguous HBM DMA per weight block, layer selected by scalar
@@ -699,7 +706,7 @@ def quant_matmul_panel4_stacked(
     grid = (Mp // block_m, P, K // block_k)
     out = pl.pallas_call(
         functools.partial(_qmm4_panel_stacked_kernel, out_dtype=x.dtype,
-                          fast=fast, u8ops=u8ops),
+                          fast=fast, u8ops=u8ops, off=off),
         out_shape=jax.ShapeDtypeStruct((P, Mp, bn), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -725,7 +732,7 @@ def quant_matmul_panel4_stacked(
 
 
 def _qmm4_stacked_kernel(li_ref, x_ref, qp_ref, sc_ref, o_ref, acc_ref, *,
-                         out_dtype, fast: bool, u8ops: bool = False):
+                         out_dtype, fast: bool, u8ops: bool = False, off: int = 0):
     del li_ref
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -734,7 +741,7 @@ def _qmm4_stacked_kernel(li_ref, x_ref, qp_ref, sc_ref, o_ref, acc_ref, *,
     bk2, bn = qp_ref.shape[1:]                     # (1, bk//2, bn)
     bk = bk2 * 2
     n_g = bk // GROUP
-    q = unpack4_f32(qp_ref[0], u8ops)
+    q = unpack4_f32(qp_ref[0], u8ops, off)
     s = scales_f32(sc_ref[0])
     s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)).reshape(bk, bn)
     w = q * s_full
@@ -753,7 +760,7 @@ def _qmm4_stacked_kernel(li_ref, x_ref, qp_ref, sc_ref, o_ref, acc_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
-                                              "block_k", "fast", "u8ops"))
+                                              "block_k", "fast", "u8ops", "off"))
 def quant_matmul4_stacked(
     x: jax.Array,           # (M, K)
     qs4_all: jax.Array,     # (L, K // 2, N) uint8 — packed nibbles
@@ -765,6 +772,7 @@ def quant_matmul4_stacked(
     block_k: int = 0,
     fast: bool = False,
     u8ops: bool | None = None,   # None = env QA_Q4_U8 at trace time
+    off: int = 0,            # 8 = symmetric q4_0 (q-8)*d, no mins stream
 ) -> jax.Array:
     M, K = x.shape
     L, K2, N = qs4_all.shape
@@ -784,7 +792,7 @@ def quant_matmul4_stacked(
     grid = (Mp // block_m, N // block_n, K // block_k)
     out = pl.pallas_call(
         functools.partial(_qmm4_stacked_kernel, out_dtype=x.dtype, fast=fast,
-                          u8ops=u8ops),
+                          u8ops=u8ops, off=off),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -818,14 +826,16 @@ def quant_linear_stacked(x: jax.Array, qw: dict, li: jax.Array,
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2d = x.reshape(-1, K)
+    off = 8 if ("mins" not in qw and ("qs4" in qw or "qs4_p" in qw)) else 0
     if "qs4_p" in qw:
         y = quant_matmul_panel4_stacked(x2d, qw["qs4_p"], qw["scales_p"], li,
-                                        fast=fast)
+                                        fast=fast, off=off)
     elif "qs_p" in qw:
         y = quant_matmul_panel_stacked(x2d, qw["qs_p"], qw["scales_p"], li,
                                        fast=fast)
     elif "qs4" in qw:
-        y = quant_matmul4_stacked(x2d, qw["qs4"], qw["scales"], li, fast=fast)
+        y = quant_matmul4_stacked(x2d, qw["qs4"], qw["scales"], li, fast=fast,
+                                  off=off)
     else:
         y = quant_matmul_stacked(x2d, qw["qs"], qw["scales"], li, fast=fast)
     if "mins" in qw:
@@ -843,7 +853,8 @@ def quant_linear_panel(x: jax.Array, qw: dict, fast: bool = False
     K = x.shape[-1]
     x2d = x.reshape(-1, K)
     if "qs4_p" in qw:
-        y = quant_matmul_panel4(x2d, qw["qs4_p"], qw["scales_p"], fast=fast)
+        y = quant_matmul_panel4(x2d, qw["qs4_p"], qw["scales_p"], fast=fast,
+                                off=8 if "mins" not in qw else 0)
     else:
         y = quant_matmul_panel(x2d, qw["qs_p"], qw["scales_p"], fast=fast)
     if "mins" in qw:
@@ -911,7 +922,7 @@ def dequantize_weight(qw: dict, dtype=jnp.float32) -> jax.Array:
 # --------------------------------------------------------------------------- #
 
 def _qmm4_kernel(x_ref, qp_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
-                 fast: bool, u8ops: bool = False):
+                 fast: bool, u8ops: bool = False, off: int = 0):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -919,7 +930,7 @@ def _qmm4_kernel(x_ref, qp_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
     bk2, bn = qp_ref.shape
     bk = bk2 * 2
     n_g = bk // GROUP
-    q = unpack4_f32(qp_ref[...], u8ops)
+    q = unpack4_f32(qp_ref[...], u8ops, off)
     s = scales_f32(sc_ref[...])                    # (bk//32, bn)
     s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)).reshape(bk, bn)
     w = q * s_full
@@ -938,7 +949,7 @@ def _qmm4_kernel(x_ref, qp_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
-                                              "block_k", "fast", "u8ops"))
+                                              "block_k", "fast", "u8ops", "off"))
 def quant_matmul4(
     x: jax.Array,           # (M, K)
     qs4: jax.Array,         # (K // 2, N) uint8 — two nibbles per byte
@@ -949,6 +960,7 @@ def quant_matmul4(
     block_k: int = 0,       # 0 = auto (two k-steps, see _auto_block_k)
     fast: bool = False,
     u8ops: bool | None = None,   # None = env QA_Q4_U8 at trace time
+    off: int = 0,            # 8 = symmetric q4_0 (q-8)*d, no mins stream
 ) -> jax.Array:
     """x @ (unpack4(qs4) * scales) -> (M, N); min/offset terms are added
     by the caller (quant_linear4)."""
@@ -972,7 +984,7 @@ def quant_matmul4(
     grid = (Mp // block_m, N // block_n, K // block_k)
     out = pl.pallas_call(
         functools.partial(_qmm4_kernel, out_dtype=x.dtype, fast=fast,
-                          u8ops=u8ops),
+                          u8ops=u8ops, off=off),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -995,14 +1007,19 @@ def quant_matmul4(
 
 
 def quant_linear4(x: jax.Array, qw: dict, fast: bool = False) -> jax.Array:
-    """Packed-nibble entry: {"qs4": (K/2,N) uint8, "scales": (K/32,N),
-    "mins": (K/32,N)} — the min term carries q4_0's -8*d offset and/or the
-    format's real per-group min."""
+    """Packed-nibble entry: {"qs4": (K/2,N) uint8, "scales": (K/32,N)
+    [, "mins": (K/32,N)]} — the min term carries q4_1/q4_K's real
+    per-group min (and q4_0's -8*d offset in the legacy mins-carrying
+    form); a dict WITHOUT mins is the symmetric q4_0 form, dequantized
+    (q-8)*d inside the kernel (QA_Q4_SYM — no separate mins stream)."""
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2d = x.reshape(-1, K)
-    y = quant_matmul4(x2d, qw["qs4"], qw["scales"], fast=fast)
-    y = y + group_min_term(x2d, qw["mins"]).astype(y.dtype)
+    sym = "mins" not in qw
+    y = quant_matmul4(x2d, qw["qs4"], qw["scales"], fast=fast,
+                      off=8 if sym else 0)
+    if not sym:
+        y = y + group_min_term(x2d, qw["mins"]).astype(y.dtype)
     return y.reshape(*lead, -1)
 
 
@@ -1015,5 +1032,7 @@ def dequantize_weight4(qw: dict, dtype=jnp.float32) -> jax.Array:
     hi = (p >> 4).astype(jnp.float32).reshape(n_g, 16, N)
     q = jnp.concatenate([lo, hi], axis=1).reshape(K2 * 2, N)
     s = jnp.repeat(scales_f32(qw["scales"]), GROUP, axis=0)
+    if "mins" not in qw:                  # symmetric q4_0: (q - 8) * d
+        return ((q - 8.0) * s).astype(dtype)
     m = jnp.repeat(qw["mins"].astype(jnp.float32), GROUP, axis=0)
     return (q * s + m).astype(dtype)

@@ -176,7 +176,7 @@ def quant_linear_int8(x: jax.Array, qw: dict) -> jax.Array:
 # --------------------------------------------------------------------------- #
 
 def _kernel_stacked(li_ref, xq_ref, sx_ref, qs_ref, sw_ref, o_ref, acc_ref,
-                    *, out_dtype, block_k, packed: bool):
+                    *, out_dtype, block_k, packed: bool, off: int = 0):
     del li_ref
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -186,8 +186,8 @@ def _kernel_stacked(li_ref, xq_ref, sx_ref, qs_ref, sw_ref, o_ref, acc_ref,
         p = qs_ref[0].astype(jnp.int32)            # (bk//2, bn)
         bk2, bn = p.shape
         n_g = bk2 // 16
-        lo = (p & 0xF).astype(jnp.int8)
-        hi = ((p >> 4) & 0xF).astype(jnp.int8)
+        lo = ((p & 0xF) - off).astype(jnp.int8)   # off=8: symmetric
+        hi = (((p >> 4) & 0xF) - off).astype(jnp.int8)  # q4_0, stays exact
         w = jnp.concatenate([lo.reshape(n_g, 16, bn),
                              hi.reshape(n_g, 16, bn)],
                             axis=1).reshape(2 * bk2, bn)
@@ -211,7 +211,7 @@ def _kernel_stacked(li_ref, xq_ref, sx_ref, qs_ref, sw_ref, o_ref, acc_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
-                                              "block_k"))
+                                              "block_k", "off"))
 def quant_matmul_int8_stacked(
     x: jax.Array,           # (M, K) float
     qs_all: jax.Array,      # (L, K, N) int8 OR (L, K//2, N) uint8 packed
@@ -221,6 +221,7 @@ def quant_matmul_int8_stacked(
     block_m: int = 256,
     block_n: int = 512,
     block_k: int = 256,
+    off: int = 0,           # 8 = symmetric q4_0 (q-8), integer-exact
 ) -> jax.Array:
     M, K = x.shape
     L, Kq, N = qs_all.shape
@@ -250,7 +251,7 @@ def quant_matmul_int8_stacked(
     grid = (Mp // block_m, N // block_n, K // block_k)
     out = pl.pallas_call(
         functools.partial(_kernel_stacked, out_dtype=x.dtype,
-                          block_k=block_k, packed=packed),
+                          block_k=block_k, packed=packed, off=off),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -288,7 +289,8 @@ def quant_linear_int8_stacked(x: jax.Array, qw: dict, li: jax.Array
     qs = qw.get("qs4", qw.get("qs"))
     if "qs4" not in qw and qs.dtype != jnp.int8:
         qs = qs.astype(jnp.int8)
-    y = quant_matmul_int8_stacked(x2d, qs, qw["scales"], li)
+    off = 8 if ("qs4" in qw and "mins" not in qw) else 0
+    y = quant_matmul_int8_stacked(x2d, qs, qw["scales"], li, off=off)
     if "mins" in qw:
         from qwen2_audio_tpu.ops.quant_matmul import group_min_term
         mins = jax.lax.dynamic_index_in_dim(qw["mins"], li, keepdims=False)

@@ -117,6 +117,23 @@ def _scale_u16_enabled(packed4: bool = False) -> bool:
     return os.path.exists(_SCALE_U16_MARKER)
 
 
+_Q4SYM_MARKER = "/tmp/qa_kernel_ok_qmm_q4sym"
+
+
+def _q4_sym_enabled() -> bool:
+    """Symmetric packed q4_0: emit {"qs4","scales"} with NO mins leaf —
+    the kernels dequantize (q-8)*d in the i32 domain (ggml's own
+    dequantize_row_q4_0 formulation, unpack4_f32(off=8)). For q4_0 the
+    folded mins array (-8*d) duplicates the scale stream byte for byte:
+    at group 32 with f32 scales that is ~17% of the whole decode weight
+    traffic (and the fused-MLP kernels stream it as full operands too).
+    Env QA_Q4_SYM=0/1 overrides; default stays OFF until the e2e A/B
+    wins (the round-3 gating rule — the qmm_q4sym marker only proves
+    correctness)."""
+    import os
+    return os.environ.get("QA_Q4_SYM", "0") not in ("0", "false", "")
+
+
 def _pack4_i8_enabled() -> bool:
     """Store the packed-nibble stream as int8 instead of uint8 (same
     bits; unpack4_f32 masks after the shift so both decode identically).
@@ -144,7 +161,7 @@ def _store_scales_np(s: np.ndarray, f16_exact: bool,
 
 
 def pack4_device_weight(vals_unsigned: np.ndarray, scales: np.ndarray,
-                        mins: np.ndarray, to_device: bool = True,
+                        mins: np.ndarray | None, to_device: bool = True,
                         f16_exact: bool = False) -> dict:
     """Unsigned nibbles (N, K) 0..15 + scales/mins (N, K//32) [torch
     layout] -> packed device dict {"qs4": (K/2, N) uint8, "scales",
@@ -166,8 +183,9 @@ def pack4_device_weight(vals_unsigned: np.ndarray, scales: np.ndarray,
     out = {
         "qs4": np.ascontiguousarray(packed),
         "scales": _store_scales_np(scales.T, f16_exact, packed4=True),
-        "mins": np.ascontiguousarray(mins.T, dtype=np.float32),
     }
+    if mins is not None:
+        out["mins"] = np.ascontiguousarray(mins.T, dtype=np.float32)
     if to_device:
         out = {k: jnp.asarray(v) for k, v in out.items()}
     return out
@@ -389,6 +407,12 @@ def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
     if t.ttype == GGMLType.Q4_0:
         vals, d = _unpack_q4_0(raw, n_rows, n_cols)
         if _pack4_enabled():
+            if _q4_sym_enabled():
+                # symmetric form: NO mins leaf, kernels apply the -8
+                # in-kernel ((q-8)*d — ggml's dequantize_row_q4_0)
+                return pack4_device_weight(vals + 8, d, None,
+                                           to_device=to_device,
+                                           f16_exact=True)
             # w = (n-8)*d = n*d + (-8*d): the offset folds into the min
             # term, so the packed path shares one kernel with q4_1/q4_K
             return pack4_device_weight(vals + 8, d, -8.0 * d,

@@ -119,8 +119,18 @@ def test_load_with_decoder_quant(hf_dir, rng):
                           decoder_quant="q8_0")
     fast = load_qwen2_audio(path, dtype=jnp.float32, cache_dtype=jnp.float32,
                             decoder_quant="w8a8")
-    assert "qs" in q8["bundle"].params["layers"]["q"]
-    assert "qs8" in fast["bundle"].params["layers"]["q"]
+    # the loader applies the measured-best single-chip schema by default
+    # (fused qkv/gate_up); fuse=False keeps the canonical TP-able layout
+    assert "qs" in q8["bundle"].params["layers"]["qkv"]
+    assert "qs8" in fast["bundle"].params["layers"]["qkv"]
+    q8u = load_qwen2_audio(path, dtype=jnp.float32, cache_dtype=jnp.float32,
+                           decoder_quant="q8_0", fuse=False)
+    assert "qs" in q8u["bundle"].params["layers"]["q"]
+    # q4_0 on CPU auto-panelizes the packed leaves (qmm_q4panel gating)
+    q4 = load_qwen2_audio(path, dtype=jnp.float32, cache_dtype=jnp.float32,
+                          decoder_quant="q4_0")
+    assert any(k in q4["bundle"].params["layers"]["qkv"]
+               for k in ("qs4_p", "qs_p", "qs4", "qs"))
 
     mel = rng.standard_normal((1, 16, 3000)).astype(np.float32)
     enc = encoder_forward(fp["encoder_params"], jnp.asarray(mel),

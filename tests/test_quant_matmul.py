@@ -564,6 +564,96 @@ def test_panelize_skips_deep_k_packed():
     assert "mins" in out["layers"]["qkv"]         # min term rides along
 
 
+def test_q4_sym_dequant_bit_identical(monkeypatch, rng):
+    """QA_Q4_SYM=1 emits packed q4_0 with NO mins leaf; dequantization
+    ((q-8)*d in-kernel) must be BIT-identical to the mins-carrying form
+    — (q-8)*d and q*d + (-8*d) are both exact in f32 for 4-bit q."""
+    K, N = 256, 384
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+    monkeypatch.setenv("QA_PACK4", "1")
+    monkeypatch.setenv("QA_Q4_SYM", "0")
+    qw_m = quantize_array_for_device(w, GGMLType.Q4_0)
+    monkeypatch.setenv("QA_Q4_SYM", "1")
+    qw_s = quantize_array_for_device(w, GGMLType.Q4_0)
+    assert "mins" in qw_m and "mins" not in qw_s
+    np.testing.assert_array_equal(np.asarray(qw_s["qs4"]),
+                                  np.asarray(qw_m["qs4"]))
+    np.testing.assert_array_equal(np.asarray(dequantize_weight(qw_s)),
+                                  np.asarray(dequantize_weight(qw_m)))
+
+
+def test_q4_sym_kernels_match_mins_form(monkeypatch, rng):
+    """All packed kernel paths (strided, panel, int8-mode stacked) must
+    agree between the sym and mins forms of the same q4_0 payload."""
+    from qwen2_audio_tpu.ops.quant_matmul import (
+        panelize_weight, quant_linear_panel)
+
+    K, N, M = 512, 384, 8
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    monkeypatch.setenv("QA_PACK4", "1")
+    monkeypatch.setenv("QA_Q4_SYM", "0")
+    qw_m = quantize_array_for_device(w, GGMLType.Q4_0)
+    monkeypatch.setenv("QA_Q4_SYM", "1")
+    qw_s = quantize_array_for_device(w, GGMLType.Q4_0)
+
+    want = np.asarray(quant_linear(x, qw_m))
+    got = np.asarray(quant_linear(x, qw_s))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    got_p = np.asarray(quant_linear_panel(x, panelize_weight(qw_s)))
+    np.testing.assert_allclose(got_p, want, atol=1e-5, rtol=1e-5)
+
+    # int8 mode: sym routes the -8 through the QUANTIZED activations
+    # (integer-exact — ggml vec_dot_q4_0_q8_1's own formulation) where
+    # the mins form applies it via the exact f32 group-sum, so the two
+    # roundings differ; both must sit within q8_1-activation error of
+    # the dense reference.
+    from qwen2_audio_tpu.ops.quant_matmul_int8 import (
+        quant_linear_int8_stacked)
+    st_s = {k: jnp.asarray(v)[None] for k, v in qw_s.items()}
+    st_m = {k: jnp.asarray(v)[None] for k, v in qw_m.items()}
+    li = jnp.asarray(0, jnp.int32)
+    dense = np.asarray(x) @ np.asarray(dequantize_weight(qw_m))
+    got_i = np.asarray(quant_linear_int8_stacked(x, st_s, li))
+    want_i = np.asarray(quant_linear_int8_stacked(x, st_m, li))
+    np.testing.assert_allclose(got_i, dense, atol=2e-1, rtol=1e-2)
+    np.testing.assert_allclose(want_i, dense, atol=2e-1, rtol=1e-2)
+    # measured here: sym 0.058 max vs the mins form's 0.118 — the
+    # integer-exact -8 beats the f32 gsum correction
+
+
+def test_q4_sym_decoder_end_to_end(monkeypatch, rng):
+    """q4_0 decoder with sym (no-mins) packed weights produces the same
+    logits as the mins-carrying packed form, fused schema + fused MLP
+    engaged (prefill + one cached step)."""
+    from qwen2_audio_tpu.models.qwen2_decoder import (
+        create_cache, decoder_forward, fuse_decoder_params,
+        random_decoder_params)
+    cfg = Qwen2DecoderConfig(vocab_size=128, hidden_size=256,
+                             intermediate_size=512, num_hidden_layers=2,
+                             num_attention_heads=4, num_key_value_heads=2,
+                             head_dim=64, tie_word_embeddings=False)
+    params = random_decoder_params(np.random.default_rng(5), cfg)
+    x = jnp.asarray(rng.standard_normal((1, 4, cfg.hidden_size)) * 0.3,
+                    jnp.float32)
+
+    outs = {}
+    monkeypatch.setenv("QA_PACK4", "1")
+    for env in ("0", "1"):
+        monkeypatch.setenv("QA_Q4_SYM", env)
+        qp = fuse_decoder_params(
+            quantize_decoder_params(params, GGMLType.Q4_0))
+        if env == "1":
+            assert all("mins" not in v for v in qp["layers"].values()
+                       if isinstance(v, dict) and "qs4" in v)
+        cache = create_cache(cfg, 1, 16)
+        logits, _ = decoder_forward(qp, cfg, x, cache, 0, block_only=True)
+        outs[env] = np.asarray(logits)
+        decoder_forward.clear_cache()
+    np.testing.assert_allclose(outs["1"], outs["0"], atol=1e-4, rtol=1e-4)
+
+
 def test_q4_u8ops_unpack_bit_identical(rng):
     """The u8-domain unpack (QA_Q4_U8 / u8ops=True: mask/shift before the
     i32 widening) must be BIT-identical to the i32-domain form and to a

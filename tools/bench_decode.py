@@ -176,9 +176,12 @@ def main() -> int:
         elif _scale_u16_enabled(packed4=packed4):
             suffix += "-scu16"
         if packed4:
-            from qwen2_audio_tpu.quant.qparams import _pack4_i8_enabled
+            from qwen2_audio_tpu.quant.qparams import (_pack4_i8_enabled,
+                                                       _q4_sym_enabled)
             if _pack4_i8_enabled():
                 suffix += "-q4i8"   # int8-stored nibble stream (QA_Q4_I8)
+            if _q4_sym_enabled():
+                suffix += "-sym"    # no-mins symmetric q4_0 (QA_Q4_SYM)
         path = os.path.join(args.cache_dir,
                             f"bench-{args.size}-{args.quant}{suffix}.npz")
         params = cached_build(path, build_host)

@@ -228,6 +228,65 @@ def main() -> int:
     assert np.abs(got - want_p4).max() < 1e-4, np.abs(got - want_p4).max()
     mark("qmm_q4panel")
 
+    # 2c-ter. SYMMETRIC q4_0 (QA_Q4_SYM: no mins leaf, (q-8)*d in-kernel
+    # — unpack4_f32(off=8)): every packed lowering that changes must
+    # match the mins-carrying form of the same payload on this hardware:
+    # strided, panel, layer-stacked, panel-stacked, fused-MLP sym, and
+    # the integer-exact off=8 int8-mode kernel.
+    os.environ["QA_PACK4"] = "1"
+    os.environ["QA_Q4_SYM"] = "1"
+    qw4sy = quantize_array_for_device(w, GGMLType.Q4_0)
+    os.environ.pop("QA_Q4_SYM")
+    os.environ.pop("QA_PACK4")
+    assert "mins" not in qw4sy
+    want_sy = np.asarray(quant_linear(x, qw4pp))          # mins form
+    got = np.asarray(quant_linear(x, qw4sy))              # strided sym
+    assert np.abs(got - want_sy).max() < 1e-4, np.abs(got - want_sy).max()
+    got = np.asarray(quant_linear_panel(x, panelize_weight(qw4sy)))
+    assert np.abs(got - want_sy).max() < 1e-4, np.abs(got - want_sy).max()
+    from qwen2_audio_tpu.ops.quant_matmul import quant_linear_stacked \
+        as _qls
+    import jax.numpy as _jnp
+    st_sy = {k: _jnp.asarray(v)[None] for k, v in qw4sy.items()}
+    got = np.asarray(_qls(x, st_sy, _jnp.asarray(0, _jnp.int32)))
+    assert np.abs(got - want_sy).max() < 1e-4, np.abs(got - want_sy).max()
+    stp_sy = {k: _jnp.asarray(v)[None]
+              for k, v in panelize_weight(qw4sy).items()}
+    got = np.asarray(_qls(x, stp_sy, _jnp.asarray(0, _jnp.int32)))
+    assert np.abs(got - want_sy).max() < 1e-4, np.abs(got - want_sy).max()
+    from qwen2_audio_tpu.ops.quant_matmul_int8 import (
+        quant_linear_int8_stacked as _qlis)
+    got = np.asarray(_qlis(x, st_sy, _jnp.asarray(0, _jnp.int32)))
+    want_i8 = np.asarray(x, np.float64) @ np.asarray(
+        dequantize_weight(qw4pp), np.float64)
+    assert np.abs(got - want_i8).max() < 2e-1, np.abs(got - want_i8).max()
+    # fused-MLP sym (one-launch SwiGLU, no mins operands)
+    from qwen2_audio_tpu.ops.fused_mlp import fused_mlp4_sym_stacked
+    os.environ["QA_PACK4"] = "1"
+    os.environ["QA_Q4_SYM"] = "1"
+    Kf, If = 512, 256
+    wg = rng.standard_normal((Kf, If)).astype(np.float32) * 0.05
+    wu = rng.standard_normal((Kf, If)).astype(np.float32) * 0.05
+    wd = rng.standard_normal((If, Kf)).astype(np.float32) * 0.05
+    qg, qu, qd = (quantize_array_for_device(a, GGMLType.Q4_0)
+                  for a in (wg, wu, wd))
+    os.environ.pop("QA_Q4_SYM")
+    os.environ.pop("QA_PACK4")
+    gu_qp = _jnp.concatenate([qg["qs4"], qu["qs4"]], axis=1)[None]
+    gu_sc = _jnp.concatenate([qg["scales"], qu["scales"]], axis=1)[None]
+    xf = x[:, :Kf]
+    got = np.asarray(fused_mlp4_sym_stacked(
+        xf, gu_qp, gu_sc, qd["qs4"][None], qd["scales"][None],
+        _jnp.asarray(0, _jnp.int32)))
+    gref = np.asarray(xf, np.float64) @ np.asarray(
+        dequantize_weight(qg), np.float64)
+    uref = np.asarray(xf, np.float64) @ np.asarray(
+        dequantize_weight(qu), np.float64)
+    gated = gref / (1 + np.exp(-gref)) * uref
+    want_f = gated @ np.asarray(dequantize_weight(qd), np.float64)
+    assert np.abs(got - want_f).max() < 2e-2, np.abs(got - want_f).max()
+    mark("qmm_q4sym")
+
     # 2d. per-16-group k-quant path (q6_K): group size derived from the
     # scales' shape inside the same kernels
     qw6 = quantize_array_for_device(w, GGMLType.Q6_K)
