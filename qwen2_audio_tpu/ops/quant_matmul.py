@@ -259,12 +259,19 @@ def _qmm_panel_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
         o_ref[0] = acc_ref[...].astype(out_dtype)
 
 
-def pick_panel_width(N: int, pref: int = 1024) -> int:
+def pick_panel_width(N: int, pref: int = 0) -> int:
     """Storage-time panel width: largest 128-multiple divisor of N <= pref.
 
     pref=1024 measured best across every 7B decode shape (chain-200 A/B,
     M=8: qkv bn=768 549 us vs 900 strided; gate_up bn=1024 557 vs 1100;
-    o bn=896 222 vs 248; lm_head bn=768 1409 vs 1482)."""
+    o bn=896 222 vs 248; lm_head bn=768 1409 vs 1482) — per-dispatch
+    chains, i.e. weak evidence per the CLAUDE.md caveat. QA_PANEL_BN
+    overrides the preference for e2e A/Bs (wider panels = fewer
+    per-panel DMA/launch overheads: 2048 gives qkv 2304 / o 1792 /
+    lm_head 1536 on the 7B shapes; whole-K packed blocks stay inside
+    the 6 MB VMEM budget there)."""
+    if not pref:
+        pref = int(os.environ.get("QA_PANEL_BN", "1024"))
     return _pick_block(N, pref, 128)
 
 

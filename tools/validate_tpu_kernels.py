@@ -392,6 +392,21 @@ def main() -> int:
         got32s = np.asarray(quant_linear_stacked(x, stk32,
                                                  _jnp.asarray(1, _jnp.int32)))
         assert (gotus == got32s).all()
+        # packed-q4 SYM PANELS with u16 scales — the post-sym scale-byte
+        # re-A/B combo (scales are ~20% of the sym q4 stream; u16 halves
+        # them; pre-sym this lost 5.5% e2e to the in-kernel expansion)
+        os.environ["QA_PACK4"] = "1"
+        os.environ["QA_Q4_SYM"] = "1"
+        os.environ["QA_SCALE_U16"] = "1"
+        q4u = quantize_array_for_device(w, GGMLType.Q4_0)
+        os.environ["QA_SCALE_U16"] = "0"
+        q4f = quantize_array_for_device(w, GGMLType.Q4_0)
+        os.environ.pop("QA_PACK4")
+        os.environ.pop("QA_Q4_SYM")
+        if q4u["scales"].dtype == jnp.uint16:   # CPU prefers plain f16
+            g1 = np.asarray(quant_linear_panel(x, panelize_weight(q4u)))
+            g2 = np.asarray(quant_linear_panel(x, panelize_weight(q4f)))
+            assert (g1 == g2).all()
         mark("qmm_scu16")
     except Exception as e:  # noqa: BLE001 — report, don't abort the run
         print(f"[validate] qmm_scu16: FAILED ({type(e).__name__}: {e}) — "
