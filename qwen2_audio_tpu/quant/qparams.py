@@ -127,11 +127,19 @@ def _q4_sym_enabled() -> bool:
     folded mins array (-8*d) duplicates the scale stream byte for byte:
     at group 32 with f32 scales that is ~17% of the whole decode weight
     traffic (and the fused-MLP kernels stream it as full operands too).
-    Env QA_Q4_SYM=0/1 overrides; default stays OFF until the e2e A/B
-    wins (the round-3 gating rule — the qmm_q4sym marker only proves
-    correctness)."""
+    Env QA_Q4_SYM=0/1 overrides.  Default ON: the e2e A/B won (+6.3%,
+    7B q4_0 --panel 105.6 -> 112.2 tok/s, r4 queue I), so per the
+    round-3 gating rule the default may follow the measurement — on TPU
+    still only once the qmm_q4sym marker proves the lowering on this
+    host; off-TPU (CPU interpret, tests) unconditionally."""
     import os
-    return os.environ.get("QA_Q4_SYM", "0") not in ("0", "false", "")
+    env = os.environ.get("QA_Q4_SYM")
+    if env is not None:
+        return env not in ("0", "false", "")
+    import jax
+    if jax.default_backend() in ("tpu", "axon"):
+        return os.path.exists(_Q4SYM_MARKER)
+    return True
 
 
 def _pack4_i8_enabled() -> bool:

@@ -500,6 +500,7 @@ def test_panelize_weight_roundtrip_packed(monkeypatch, rng):
     K, N = 256, 512
     w = rng.standard_normal((K, N)).astype(np.float32)
     monkeypatch.setenv("QA_PACK4", "1")
+    monkeypatch.setenv("QA_Q4_SYM", "0")   # mins-carrying form under test
     qw = quantize_array_for_device(w, GGMLType.Q4_0)
     qp = panelize_weight(qw, block_n=128)
     P, K2, bn = qp["qs4_p"].shape
@@ -689,13 +690,16 @@ def test_q4_u8ops_unpack_bit_identical(rng):
 
 @pytest.mark.parametrize("ttype", [GGMLType.Q8_0, GGMLType.Q4_0,
                                    GGMLType.Q4_1])
-def test_int8_stacked_matches_unstacked(ttype, rng):
+def test_int8_stacked_matches_unstacked(ttype, monkeypatch, rng):
     """quant_linear_int8_stacked (scalar-prefetch layer select, both the
     strided-int8 and packed-nibble forms) must match the proven unstacked
     exact-int8 kernel on every layer — the activations are q8_1-quantized
     identically and the weight dots are exact integers, so the strided
     form is bit-equal and the packed form differs only in f32 scale-FMA
-    accumulation order."""
+    accumulation order.  QA_Q4_SYM=0 pins the mins-carrying q4_0 form
+    this expectation models (sym int8-stacked parity is covered by the
+    sym parametrized decoder test)."""
+    monkeypatch.setenv("QA_Q4_SYM", "0")
     from qwen2_audio_tpu.ops.quant_matmul import dequantize_weight4
     from qwen2_audio_tpu.ops.quant_matmul_int8 import (
         quant_linear_int8, quant_linear_int8_stacked, quantize_activations)
