@@ -50,3 +50,23 @@ def test_quant_kernel_path_matches_dense_dequant(quantized_buf, rng):
     # accumulation order differs from the dense XLA matmul)
     np.testing.assert_allclose(qkern.state.embd_enc, dense.state.embd_enc,
                                atol=2e-3, rtol=1e-3)
+
+
+def test_q4_sym_default_engages_through_loader():
+    """The symmetric q4_0 default (no mins leaf; e2e +6.3% on chip, r4
+    queue I) must engage on the public checkpoint-load path: quantize to
+    MOSTLY_Q4_0, load keep_quantized, and the packed dicts carry exactly
+    {qs4, scales} (+bias) — then full() still transcribes."""
+    rng = np.random.default_rng(3)
+    src = io.BytesIO()
+    write_encoder_checkpoint(src, random_encoder_params(rng, HP), HP,
+                             mel_filterbank(HP.n_mels), [b"x"] * 60)
+    src.seek(0)
+    dst = io.BytesIO()
+    quantize_checkpoint(src, dst, GGMLFType.MOSTLY_Q4_0)
+    ctx = WhisperContext.init_from_buffer_with_params(
+        dst.getvalue(), ContextParams(keep_quantized=True))
+    qkv = ctx.encoder_params["layers"][0]["qkv"]
+    assert "qs4" in qkv and "mins" not in qkv, sorted(qkv)
+    samples = (0.1 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    assert ctx.full(full_default_params(), samples) == 0
