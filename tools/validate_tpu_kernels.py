@@ -34,6 +34,59 @@ def mark(name: str) -> None:
     print(f"[validate] {name}: OK", flush=True)
 
 
+def validate_fused_mlp_split(rng: np.random.Generator) -> None:
+    """SPLIT-schema fused MLP over every quant form it dispatches on.
+
+    The q4 form is pinned per iteration: once qmm_q4sym is armed, default
+    quantization goes symmetric (NO mins leaf) — the r4e fresh-host run
+    caught the old hardcoded ("qs4","scales","mins") order KeyError-ing
+    there, silently leaving the TP/canonical schema on the three-launch
+    MLP. Both forms stay covered (mins still carries q4_1/q5_1)."""
+    import os
+
+    import jax as _jx
+    import jax.numpy as _jnp
+    from qwen2_audio_tpu.config import GGMLType
+    from qwen2_audio_tpu.ops.fused_mlp import fused_mlp_split_stacked
+    from qwen2_audio_tpu.ops.quant_matmul import quant_linear_stacked
+    from qwen2_audio_tpu.quant.qparams import quantize_array_for_device
+    Km, Im = 512, 1024
+    for ttype, packed, sym in ((GGMLType.Q8_0, False, None),
+                               (GGMLType.Q4_0, True, False),
+                               (GGMLType.Q4_0, True, True)):
+        if sym is not None:
+            os.environ["QA_Q4_SYM"] = "1" if sym else "0"
+        try:
+            parts = ([quantize_array_for_device(
+                rng.standard_normal(shp).astype(np.float32) * 0.1,
+                ttype) for _ in range(2)]
+                for shp in ((Km, Im), (Km, Im), (Im, Km)))
+            gs, us, ds = parts
+        finally:
+            if sym is not None:
+                os.environ.pop("QA_Q4_SYM", None)
+        order = tuple(k for k in ("qs", "qs4", "scales", "mins")
+                      if k in gs[0])
+        g_l, u_l, d_l = ({k: _jnp.stack([d[k] for d in two])
+                          for k in order} for two in (gs, us, ds))
+        xm = _jnp.asarray(rng.standard_normal((8, Km)), _jnp.float32)
+        for lif in (0, 1):
+            lij = _jnp.asarray(lif, _jnp.int32)
+            got = np.asarray(fused_mlp_split_stacked(
+                xm, tuple(g_l[k] for k in order),
+                tuple(u_l[k] for k in order),
+                tuple(d_l[k] for k in order), lij, packed=packed,
+                fast=True))
+            gated = _jx.nn.silu(quant_linear_stacked(xm, g_l, lij,
+                                                     fast=True)) \
+                * quant_linear_stacked(xm, u_l, lij, fast=True)
+            want = np.asarray(quant_linear_stacked(gated, d_l, lij,
+                                                   fast=True))
+            rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+            assert np.isfinite(got).all() and rel < 0.03, \
+                (ttype, sym, lif, rel)
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -553,35 +606,7 @@ def main() -> int:
     # 2j. SPLIT-schema fused MLP (canonical gate/up — the TP shard form;
     # ops/linear.py::fused_mlp_split_at gates on this marker) — soft-fail
     try:
-        import jax as _jx
-        from qwen2_audio_tpu.ops.fused_mlp import fused_mlp_split_stacked
-        from qwen2_audio_tpu.ops.quant_matmul import quant_linear_stacked
-        Km, Im = 512, 1024
-        for ttype, packed, order in (
-                (GGMLType.Q8_0, False, ("qs", "scales")),
-                (GGMLType.Q4_0, True, ("qs4", "scales", "mins"))):
-            g_l, u_l, d_l = ({k: _jnp.stack([d[k] for d in
-                             [quantize_array_for_device(
-                                 rng.standard_normal(shp).astype(np.float32)
-                                 * 0.1, ttype) for _ in range(2)]])
-                              for k in order}
-                             for shp in ((Km, Im), (Km, Im), (Im, Km)))
-            xm = jnp.asarray(rng.standard_normal((8, Km)), jnp.float32)
-            for lif in (0, 1):
-                lij = _jnp.asarray(lif, _jnp.int32)
-                got = np.asarray(fused_mlp_split_stacked(
-                    xm, tuple(g_l[k] for k in order),
-                    tuple(u_l[k] for k in order),
-                    tuple(d_l[k] for k in order), lij, packed=packed,
-                    fast=True))
-                gated = _jx.nn.silu(quant_linear_stacked(xm, g_l, lij,
-                                                         fast=True)) \
-                    * quant_linear_stacked(xm, u_l, lij, fast=True)
-                want = np.asarray(quant_linear_stacked(gated, d_l, lij,
-                                                       fast=True))
-                rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
-                assert np.isfinite(got).all() and rel < 0.03, \
-                    (ttype, lif, rel)
+        validate_fused_mlp_split(rng)
         mark("fused_mlp_split")
     except Exception as e:  # noqa: BLE001
         print(f"[validate] fused_mlp_split: FAILED ({type(e).__name__}: "
@@ -926,5 +951,17 @@ def main() -> int:
     return 0
 
 
+def _mlp_split_only() -> int:
+    """Re-validate just the split-schema fused MLP (arm its marker)
+    without replaying the whole ~30 min fresh-host sequence."""
+    import jax
+    print(f"[validate] backend={jax.default_backend()}", flush=True)
+    validate_fused_mlp_split(np.random.default_rng(0))
+    mark("fused_mlp_split")
+    return 0
+
+
 if __name__ == "__main__":
+    if "--mlp-split-only" in sys.argv:
+        sys.exit(_mlp_split_only())
     sys.exit(main())
