@@ -157,8 +157,16 @@ def panelize_decoder_params(params: Params) -> Params:
     def entry_k(e: dict) -> int:
         return e["qs4"].shape[1] * 2 if "qs4" in e else e["qs"].shape[1]
 
+    # QA_PANEL_SKIP_GU=1 leaves the fused "gate_up" entry strided so
+    # ops/linear.py::fused_mlp_at (which dispatches on {"qs4"/"qs"}, not
+    # the panel form) stays engaged — panels on qkv/o/lm_head PLUS the
+    # one-launch SwiGLU, instead of panels displacing it (the r4 --panel
+    # e2e runs silently traded the +2.6% fused-MLP win for the panel win)
+    skip_gu = _os.environ.get("QA_PANEL_SKIP_GU") == "1"
     layers = dict(params["layers"])
     for key in list(layers):
+        if skip_gu and key == "gate_up":
+            continue
         e = layers[key]
         if isinstance(e, dict) and ("qs" in e or "qs4" in e) \
                 and "scales" in e and entry_k(e) <= MAX_PANEL_K:

@@ -775,3 +775,23 @@ def test_pack4_i8_storage_parity(monkeypatch, rng):
     x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
     np.testing.assert_array_equal(np.asarray(quant_linear4(x, qu)),
                                   np.asarray(quant_linear4(x, qi)))
+
+
+def test_panelize_skip_gate_up_env(monkeypatch):
+    """QA_PANEL_SKIP_GU=1 leaves the fused "gate_up" entry strided (so
+    ops/linear.py::fused_mlp_at — which dispatches on {"qs4"/"qs"}, not
+    the panel form — stays engaged) while other entries still panelize."""
+    from qwen2_audio_tpu.models.qwen2_decoder import panelize_decoder_params
+
+    gu = {"qs": np.zeros((2, 256, 256), np.int8),
+          "scales": np.zeros((2, 8, 256), np.float32)}
+    qkv = {"qs": np.zeros((2, 256, 128), np.int8),
+           "scales": np.zeros((2, 8, 128), np.float32)}
+    monkeypatch.setenv("QA_PANEL_SKIP_GU", "1")
+    out = panelize_decoder_params({"layers": {"gate_up": dict(gu),
+                                              "qkv": dict(qkv)}})
+    assert "qs" in out["layers"]["gate_up"]       # untouched -> fused OK
+    assert "qs_p" in out["layers"]["qkv"]         # still panelized
+    monkeypatch.delenv("QA_PANEL_SKIP_GU")
+    out = panelize_decoder_params({"layers": {"gate_up": dict(gu)}})
+    assert "qs_p" in out["layers"]["gate_up"]     # default: panelized
