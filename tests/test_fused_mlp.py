@@ -294,12 +294,14 @@ def test_fused_split_at_dispatch_and_guards(rng):
 def test_validator_split_block_covers_all_forms(rng):
     """Drive tools/validate_tpu_kernels.py::validate_fused_mlp_split on
     the CPU: the r4e fresh-host run found its old hardcoded
-    ("qs4","scales","mins") leaf order KeyError-ing once the sym q4_0
+    ("qs4","scales","mins") leaf orders KeyError-ing once the sym q4_0
     default (no mins leaf) engaged — which silently left the TP/canonical
     schema on the three-launch MLP on every later host. The validator's
     own block must keep passing in BOTH q4 forms so the marker can arm."""
     import sys
     from pathlib import Path
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-    from validate_tpu_kernels import validate_fused_mlp_split
+    from validate_tpu_kernels import (validate_fused_mlp4,
+                                      validate_fused_mlp_split)
+    validate_fused_mlp4(np.random.default_rng(0))
     validate_fused_mlp_split(np.random.default_rng(0))

@@ -34,6 +34,58 @@ def mark(name: str) -> None:
     print(f"[validate] {name}: OK", flush=True)
 
 
+def validate_fused_mlp4(rng: np.random.Generator) -> None:
+    """Packed-nibble fused MLP in BOTH q4 forms — the fused_mlp4 marker
+    gates ops/linear.py::fused_mlp_at's packed dispatch for mins-carrying
+    AND sym payloads, so both lowerings must prove out before it arms.
+    (Form pinned per iteration: the old block quantized with the default
+    env and KeyError'd on "mins" once qmm_q4sym armed earlier in the same
+    fresh-host run.)"""
+    import os
+
+    import jax as _jx
+    import jax.numpy as _jnp
+    from qwen2_audio_tpu.config import GGMLType
+    from qwen2_audio_tpu.ops.fused_mlp import (fused_mlp4_stacked,
+                                               fused_mlp4_sym_stacked)
+    from qwen2_audio_tpu.ops.quant_matmul import quant_linear_stacked
+    from qwen2_audio_tpu.quant.qparams import quantize_array_for_device
+    Km, Im = 512, 1024
+    for sym in (False, True):
+        os.environ["QA_Q4_SYM"] = "1" if sym else "0"
+        try:
+            gu_l = [quantize_array_for_device(
+                rng.standard_normal((Km, 2 * Im)).astype(np.float32) * 0.1,
+                GGMLType.Q4_0) for _ in range(2)]
+            dn_l = [quantize_array_for_device(
+                rng.standard_normal((Im, Km)).astype(np.float32) * 0.1,
+                GGMLType.Q4_0) for _ in range(2)]
+        finally:
+            os.environ.pop("QA_Q4_SYM", None)
+        gu_s = {k: _jnp.stack([d[k] for d in gu_l]) for k in gu_l[0]}
+        dn_s = {k: _jnp.stack([d[k] for d in dn_l]) for k in dn_l[0]}
+        assert "qs4" in gu_s, "pack4 path disabled; nothing to validate"
+        assert ("mins" in gu_s) == (not sym)
+        xm = _jnp.asarray(rng.standard_normal((8, Km)), _jnp.float32)
+        for lif in (0, 1):
+            lij = _jnp.asarray(lif, _jnp.int32)
+            if sym:
+                got = np.asarray(fused_mlp4_sym_stacked(
+                    xm, gu_s["qs4"], gu_s["scales"],
+                    dn_s["qs4"], dn_s["scales"], lij, fast=True))
+            else:
+                got = np.asarray(fused_mlp4_stacked(
+                    xm, gu_s["qs4"], gu_s["scales"], gu_s["mins"],
+                    dn_s["qs4"], dn_s["scales"], dn_s["mins"], lij,
+                    fast=True))
+            gu_out = quant_linear_stacked(xm, gu_s, lij, fast=True)
+            gated = _jx.nn.silu(gu_out[:, :Im]) * gu_out[:, Im:]
+            want = np.asarray(quant_linear_stacked(gated, dn_s, lij,
+                                                   fast=True))
+            rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+            assert np.isfinite(got).all() and rel < 0.03, (sym, lif, rel)
+
+
 def validate_fused_mlp_split(rng: np.random.Generator) -> None:
     """SPLIT-schema fused MLP over every quant form it dispatches on.
 
@@ -504,31 +556,7 @@ def main() -> int:
 
     # 2h. packed-nibble fused MLP (q4_0/q4_1 decode path) — soft-fail
     try:
-        import jax as _jx
-        from qwen2_audio_tpu.ops.fused_mlp import fused_mlp4_stacked
-        from qwen2_audio_tpu.ops.quant_matmul import quant_linear_stacked
-        Km, Im = 512, 1024
-        gu_l = [quantize_array_for_device(
-            rng.standard_normal((Km, 2 * Im)).astype(np.float32) * 0.1,
-            GGMLType.Q4_0) for _ in range(2)]
-        dn_l = [quantize_array_for_device(
-            rng.standard_normal((Im, Km)).astype(np.float32) * 0.1,
-            GGMLType.Q4_0) for _ in range(2)]
-        gu_s = {k: _jnp.stack([d[k] for d in gu_l]) for k in gu_l[0]}
-        dn_s = {k: _jnp.stack([d[k] for d in dn_l]) for k in dn_l[0]}
-        assert "qs4" in gu_s, "pack4 path disabled; nothing to validate"
-        xm = jnp.asarray(rng.standard_normal((8, Km)), jnp.float32)
-        for lif in (0, 1):
-            lij = _jnp.asarray(lif, _jnp.int32)
-            got = np.asarray(fused_mlp4_stacked(
-                xm, gu_s["qs4"], gu_s["scales"], gu_s["mins"],
-                dn_s["qs4"], dn_s["scales"], dn_s["mins"], lij, fast=True))
-            gu_out = quant_linear_stacked(xm, gu_s, lij, fast=True)
-            gated = _jx.nn.silu(gu_out[:, :Im]) * gu_out[:, Im:]
-            want = np.asarray(quant_linear_stacked(gated, dn_s, lij,
-                                                   fast=True))
-            rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
-            assert np.isfinite(got).all() and rel < 0.03, (lif, rel)
+        validate_fused_mlp4(rng)
         mark("fused_mlp4")
     except Exception as e:  # noqa: BLE001
         print(f"[validate] fused_mlp4: FAILED ({type(e).__name__}: {e}) — "
@@ -952,13 +980,22 @@ def main() -> int:
 
 
 def _mlp_split_only() -> int:
-    """Re-validate just the split-schema fused MLP (arm its marker)
-    without replaying the whole ~30 min fresh-host sequence."""
+    """Re-validate just the fused-MLP blocks the sym-default KeyError
+    disarmed (fused_mlp4 + fused_mlp_split) without replaying the whole
+    ~30 min fresh-host sequence. Soft-fail per marker like main()."""
     import jax
     print(f"[validate] backend={jax.default_backend()}", flush=True)
-    validate_fused_mlp_split(np.random.default_rng(0))
-    mark("fused_mlp_split")
-    return 0
+    rc = 0
+    for fn, name in ((validate_fused_mlp4, "fused_mlp4"),
+                     (validate_fused_mlp_split, "fused_mlp_split")):
+        try:
+            fn(np.random.default_rng(0))
+            mark(name)
+        except Exception as e:  # noqa: BLE001
+            print(f"[validate] {name}: FAILED ({type(e).__name__}: {e})",
+                  flush=True)
+            rc = 1
+    return rc
 
 
 if __name__ == "__main__":
