@@ -58,6 +58,15 @@ def main() -> int:
     ap.add_argument("--beam", type=int, default=0,
                     help="if > 0, run device-side beam search with this "
                          "beam width instead of greedy")
+    ap.add_argument("--length-penalty", type=float, default=-1.0,
+                    help="beam length penalty alpha (Google NMT form, "
+                         "sampling.py::length_penalty_score; -1 = simple "
+                         "length average ≙ whisper_full_params."
+                         "length_penalty default)")
+    ap.add_argument("--rep-penalty", type=float, default=1.0,
+                    help="repetition penalty applied inside the device "
+                         "beam step (≙ whisper's repeat-penalty params "
+                         "surface, qwen2-whisper.h:359-437)")
     ap.add_argument("--suppress-to", type=int, default=0,
                     help="allow only the first N token ids (suppress-mask "
                          "the rest). With random weights this forces the "
@@ -286,7 +295,9 @@ def main() -> int:
             return R
         if args.beam > 0:
             return beam_search_device(bundle, prefill, beam_size=args.beam,
-                                      max_new_tokens=args.new)
+                                      max_new_tokens=args.new,
+                                      length_penalty=args.length_penalty,
+                                      repetition_penalty=args.rep_penalty)
         if args.spec > 0:
             from qwen2_audio_tpu.runtime.generate import generate_speculative
             toks, lps, n, _, _, iters = generate_speculative(
