@@ -12,6 +12,8 @@ groups along `in`; the device layout is [in, out] with scales (in//32, out).
 
 from __future__ import annotations
 
+import contextlib
+import dataclasses
 from typing import Any
 
 import jax.numpy as jnp
@@ -142,6 +144,104 @@ def _q4_sym_enabled() -> bool:
     return True
 
 
+@dataclasses.dataclass(frozen=True)
+class Q4Form:
+    """EXPLICIT payload form for the packed-q4 device layout.
+
+    Every ambient default (env override, hardware-validation marker,
+    backend) resolves into one of these ONCE, at resolve_q4_form(); code
+    that builds payloads can pin the form explicitly instead of depending
+    on process env or on which markers armed earlier in the same run —
+    the silent-form hazard that twice broke the fused-MLP validation
+    (docs/BENCH_NOTES.md r4e; VERDICT r4 weak #4).
+
+    Fields: ``packed`` two-nibbles-per-byte storage ("qs4") vs strided
+    int8 ("qs"); ``sym`` no-mins (q-8)*d q4_0 form; ``i8`` store the
+    packed stream as int8 instead of uint8 (same bits); ``scale`` group
+    scale storage, one of "f32" | "f16" | "u16".
+    """
+    packed: bool = True
+    sym: bool = True
+    i8: bool = False
+    scale: str = "f32"
+
+    def __post_init__(self):
+        if self.scale not in ("f32", "f16", "u16"):
+            raise ValueError(f"Q4Form.scale must be f32|f16|u16, "
+                             f"got {self.scale!r}")
+
+    def env(self) -> dict[str, str]:
+        """The env pins that make a SUBPROCESS quantize in this form."""
+        return {
+            "QA_PACK4": "1" if self.packed else "0",
+            "QA_Q4_SYM": "1" if self.sym else "0",
+            "QA_Q4_I8": "1" if self.i8 else "0",
+            "QA_SCALE16": "1" if self.scale == "f16" else "0",
+            "QA_SCALE_U16": "1" if self.scale == "u16" else "0",
+        }
+
+
+def resolve_q4_form() -> Q4Form:
+    """Resolve the ambient q4 payload form (env overrides, then hardware
+    markers/backend defaults) into an explicit Q4Form — call once and
+    thread the result; do not re-read ambient state per payload."""
+    return Q4Form(
+        packed=_pack4_enabled(),
+        sym=_q4_sym_enabled(),
+        i8=_pack4_i8_enabled(),
+        scale=("f16" if _scale16_enabled()
+               else "u16" if _scale_u16_enabled(packed4=True) else "f32"),
+    )
+
+
+@contextlib.contextmanager
+def pinned_form(form: Q4Form):
+    """Pin ``form``'s env for a code block, RESTORING prior values on exit
+    (an unconditional pop would silently unset an operator-exported
+    variable for the rest of the process — the mid-run drift hazard)."""
+    import os
+    pins = form.env()
+    old = {k: os.environ.get(k) for k in pins}
+    os.environ.update(pins)
+    try:
+        yield form
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def payload_form(qw: dict) -> str:
+    """Canonical name of a quantized payload's form, derived from its
+    STRUCTURE (keys + dtypes) — the one source of truth the kernels also
+    dispatch on. Use this in validators/tests to assert the form instead
+    of trusting whatever env produced it."""
+    def _sc(a) -> str:
+        return {"float32": "f32sc", "float16": "f16sc",
+                "uint16": "u16sc"}.get(str(np.dtype(a.dtype)),
+                                       f"{np.dtype(a.dtype)}sc")
+    if "qs8" in qw:
+        return "w8a8"
+    for qkey, panel in (("qs4", False), ("qs4_p", True)):
+        if qkey in qw:
+            return "+".join((
+                "packed4" + ("-panel" if panel else ""),
+                "sym" if "mins" not in qw else "mins",
+                "i8" if np.dtype(qw[qkey].dtype) == np.int8 else "u8",
+                _sc(qw["scales_p" if panel else "scales"]),
+            ))
+    for qkey, panel in (("qs", False), ("qs_p", True)):
+        if qkey in qw:
+            return "+".join((
+                "strided" + ("-panel" if panel else ""),
+                "sym" if "mins" not in qw else "mins",
+                _sc(qw["scales_p" if panel else "scales"]),
+            ))
+    raise ValueError(f"not a quantized payload: keys={sorted(qw)}")
+
+
 def _pack4_i8_enabled() -> bool:
     """Store the packed-nibble stream as int8 instead of uint8 (same
     bits; unpack4_f32 masks after the shift so both decode identically).
@@ -154,13 +254,24 @@ def _pack4_i8_enabled() -> bool:
 
 
 def _store_scales_np(s: np.ndarray, f16_exact: bool,
-                     packed4: bool = False) -> np.ndarray:
+                     packed4: bool = False,
+                     scale: str | None = None) -> np.ndarray:
     """Host-side scale storage: f32 by default; where the values are raw
     f16 block payloads (f16_exact), store half-width — as float16 when the
     backend can ingest it, else as the uint16 bit pattern (scales_f32
     expands in-kernel). Both are bit-lossless round-trips of the f32
-    values decoded from the f16 payloads."""
+    values decoded from the f16 payloads.
+
+    ``scale``: explicit storage request (Q4Form.scale); None = ambient
+    env/marker defaults. Half-width requests still require f16_exact —
+    k-quant product scales are not f16 values and would round."""
     s = np.ascontiguousarray(s, dtype=np.float32)
+    if scale is not None:
+        if scale == "f16" and f16_exact:
+            return s.astype(np.float16)
+        if scale == "u16" and f16_exact:
+            return s.astype(np.float16).view(np.uint16)
+        return s
     if f16_exact and _scale16_enabled():
         return s.astype(np.float16)
     if f16_exact and _scale_u16_enabled(packed4=packed4):
@@ -170,7 +281,8 @@ def _store_scales_np(s: np.ndarray, f16_exact: bool,
 
 def pack4_device_weight(vals_unsigned: np.ndarray, scales: np.ndarray,
                         mins: np.ndarray | None, to_device: bool = True,
-                        f16_exact: bool = False) -> dict:
+                        f16_exact: bool = False,
+                        form: "Q4Form | None" = None) -> dict:
     """Unsigned nibbles (N, K) 0..15 + scales/mins (N, K//32) [torch
     layout] -> packed device dict {"qs4": (K/2, N) uint8, "scales",
     "mins"}. Byte g*16+j pairs values (g*32+j | g*32+j+16 << 4) along the
@@ -183,14 +295,15 @@ def pack4_device_weight(vals_unsigned: np.ndarray, scales: np.ndarray,
     K, N = vT.shape
     g = vT.reshape(K // QK, QK, N)
     packed = (g[:, :16] | (g[:, 16:] << 4)).reshape(K // 2, N)
-    if _pack4_i8_enabled():
+    if form.i8 if form is not None else _pack4_i8_enabled():
         # same bits, int8 dtype: the kernels mask-after-shift so the
         # sign-extended widening decodes identically (q4z 'i8cast'
         # stream A/B hook — QA_Q4_I8=1)
         packed = packed.view(np.int8)
     out = {
         "qs4": np.ascontiguousarray(packed),
-        "scales": _store_scales_np(scales.T, f16_exact, packed4=True),
+        "scales": _store_scales_np(scales.T, f16_exact, packed4=True,
+                                   scale=form.scale if form else None),
     }
     if mins is not None:
         out["mins"] = np.ascontiguousarray(mins.T, dtype=np.float32)
@@ -398,9 +511,13 @@ def _unpack_q6_K(raw, n_rows, n_cols):
             scales.reshape(n_rows, n_cols // 16))
 
 
-def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
-                                   ) -> dict:
+def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True,
+                                   form: Q4Form | None = None) -> dict:
     """Quantized GGMLTensor (torch [out,in] shape) -> kernel dict, bit-exact.
+
+    ``form``: explicit packed-q4 payload form; None resolves the ambient
+    env/marker defaults ONCE here (resolve_q4_form) so the layout cannot
+    drift mid-build if a marker arms or env changes between tensors.
 
     All five legacy formats share ``w = q*d (+ m)``: q4_0/q5_0 fold their
     offset into the integer values; q4_1/q5_1 carry a per-group min in a
@@ -412,19 +529,23 @@ def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
     scales' shape), so every format runs device-resident."""
     n_rows, n_cols = t.shape
     raw = np.asarray(t.raw)
+    if form is None and t.ttype in (GGMLType.Q4_0, GGMLType.Q4_1,
+                                    GGMLType.Q4_K):
+        form = resolve_q4_form()
     if t.ttype == GGMLType.Q4_0:
         vals, d = _unpack_q4_0(raw, n_rows, n_cols)
-        if _pack4_enabled():
-            if _q4_sym_enabled():
+        if form.packed:
+            if form.sym:
                 # symmetric form: NO mins leaf, kernels apply the -8
                 # in-kernel ((q-8)*d — ggml's dequantize_row_q4_0)
                 return pack4_device_weight(vals + 8, d, None,
                                            to_device=to_device,
-                                           f16_exact=True)
+                                           f16_exact=True, form=form)
             # w = (n-8)*d = n*d + (-8*d): the offset folds into the min
             # term, so the packed path shares one kernel with q4_1/q4_K
             return pack4_device_weight(vals + 8, d, -8.0 * d,
-                                       to_device=to_device, f16_exact=True)
+                                       to_device=to_device, f16_exact=True,
+                                       form=form)
         return device_weight_from_arrays(vals, d, narrow=True,
                                          to_device=to_device,
                                          f16_exact=True)
@@ -446,11 +567,11 @@ def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
         vals, d, m = unpack(raw, n_rows, n_cols)
         f16ok = t.ttype in (GGMLType.Q4_1, GGMLType.Q5_1)  # raw f16 d;
         # the K formats' scales are super*sub products, not f16 payloads
-        if t.ttype in (GGMLType.Q4_1, GGMLType.Q4_K) and _pack4_enabled():
+        if t.ttype in (GGMLType.Q4_1, GGMLType.Q4_K) and form.packed:
             # both store unsigned nibbles 0..15 with w = n*d + m (the
             # unpackers already return m in +m form)
             return pack4_device_weight(vals, d, m, to_device=to_device,
-                                       f16_exact=f16ok)
+                                       f16_exact=f16ok, form=form)
         out = device_weight_from_arrays(vals, d, narrow=False,
                                         to_device=to_device,
                                         f16_exact=f16ok)
@@ -480,15 +601,17 @@ def device_weight_from_ggml_tensor(t: GGMLTensor, to_device: bool = True
 
 
 def quantize_array_for_device(w: np.ndarray, ttype: GGMLType,
-                              to_device: bool = True) -> dict:
+                              to_device: bool = True,
+                              form: Q4Form | None = None) -> dict:
     """Dense [in, out] float weight -> device quant dict (groups along in),
-    using the ggml quantizers so values round-trip exactly through files."""
+    using the ggml quantizers so values round-trip exactly through files.
+    ``form`` pins the packed-q4 payload form explicitly (see Q4Form)."""
     from qwen2_audio_tpu.quant import codecs
     w = np.asarray(w, dtype=np.float32)
     K, N = w.shape
     raw = codecs.quantize(np.ascontiguousarray(w.T), ttype)  # rows = out
     t = GGMLTensor("_", (N, K), ttype, raw)
-    return device_weight_from_ggml_tensor(t, to_device=to_device)
+    return device_weight_from_ggml_tensor(t, to_device=to_device, form=form)
 
 
 def fast_w8_from_array(w: np.ndarray, to_device: bool = True) -> dict:
@@ -520,7 +643,8 @@ _ENCODER_QUANT_KEYS = ("q", "k", "v", "o", "fc1", "fc2")
 def quantize_decoder_params(params: dict, ttype: GGMLType,
                             quantize_lm_head: bool = True,
                             mode: str = "ggml",
-                            to_device: bool = True) -> dict:
+                            to_device: bool = True,
+                            form: Q4Form | None = None) -> dict:
     """Replace the stacked decoder linears (L, K, N) with quantized dicts;
     biases/norms/embed stay dense.
 
@@ -530,14 +654,20 @@ def quantize_decoder_params(params: dict, ttype: GGMLType,
     the int8 MXU path (peak decode throughput, ~2x coarser quantization).
     ``to_device=False`` keeps the quantized leaves as numpy — the form
     io/param_cache.py persists so a later process skips re-quantization.
+    ``form``: explicit packed-q4 payload form; None resolves the ambient
+    defaults ONCE up front so every layer gets the same form even if env
+    or markers change mid-build.
     """
+    if form is None and mode != "fast":
+        form = resolve_q4_form()
     out = {k: v for k, v in params.items()}
     layers = dict(params["layers"])
 
     def quant_one(w2d, to_device=to_device):
         if mode == "fast":
             return fast_w8_from_array(w2d, to_device=to_device)
-        return quantize_array_for_device(w2d, ttype, to_device=to_device)
+        return quantize_array_for_device(w2d, ttype, to_device=to_device,
+                                         form=form)
 
     for key in _DECODER_QUANT_KEYS:
         entry = dict(layers[key])
@@ -564,7 +694,8 @@ def quantize_decoder_params(params: dict, ttype: GGMLType,
 
 
 def quantize_encoder_params(params: dict, ttype: GGMLType,
-                            mode: str = "ggml") -> dict:
+                            mode: str = "ggml",
+                            form: Q4Form | None = None) -> dict:
     """Quantize the encoder's per-layer attention/MLP linears (conv stem,
     norms, pos embed stay dense — same skip set as the quantize tool).
 
@@ -573,6 +704,8 @@ def quantize_encoder_params(params: dict, ttype: GGMLType,
     encoder is MXU-compute-bound at T=1500, so the native int8 MXU path
     (2x bf16 peak on v5e) trades ~2x coarser weight rounding for
     throughput, same trade as the decoder's w8a8 serving mode."""
+    if form is None and mode != "fast":
+        form = resolve_q4_form()
     out = {k: v for k, v in params.items()}
     new_layers = []
     for lyr in params["layers"]:
@@ -581,7 +714,8 @@ def quantize_encoder_params(params: dict, ttype: GGMLType,
             entry = dict(lyr[key])
             w = np.asarray(entry.pop("w"))
             entry.update(fast_w8_from_array(w) if mode == "fast"
-                         else quantize_array_for_device(w, ttype))
+                         else quantize_array_for_device(w, ttype,
+                                                        form=form))
             nl[key] = entry
         new_layers.append(nl)
     out["layers"] = new_layers
