@@ -242,15 +242,32 @@ def payload_form(qw: dict) -> str:
     raise ValueError(f"not a quantized payload: keys={sorted(qw)}")
 
 
-def _pack4_i8_enabled() -> bool:
+_Q4I8_MARKER = "/tmp/qa_kernel_ok_qmm_q4i8"
+
+
+def _pack4_i8_enabled(sym: bool | None = None) -> bool:
     """Store the packed-nibble stream as int8 instead of uint8 (same
     bits; unpack4_f32 masks after the shift so both decode identically).
-    The q4z microbench measured the sign-extended i8 widening path
-    streaming ~35% faster than u8 zero-extension on the big gate_up
-    shape — env QA_Q4_I8=1 is the e2e A/B hook; default stays u8 until
-    an e2e win (the round-3 gating rule)."""
+    The sign-extended i8 widening path streams faster than u8
+    zero-extension on the VPU.  Default ON for SYM payloads: the e2e A/B
+    won (7B q4_0 --panel 112.2 -> 116.9 tok/s, r4 queue G; confirmed
+    across the r5a grid — bn512 115.6, skip-gu 114.6, strided 112.4, all
+    above every u8 cell), so per the round-3 gating rule the default
+    follows the measurement — on TPU once the qmm_q4i8 marker proves the
+    lowering on this host, off-TPU unconditionally.  Mins-carrying
+    payloads (q4_1/q4_K) keep u8 by default — that combination is
+    chip-validated but has no e2e A/B; Q4Form(i8=True) composes
+    explicitly.  Env QA_Q4_I8=0/1 overrides both ways."""
     import os
-    return os.environ.get("QA_Q4_I8", "0") not in ("0", "false", "")
+    env = os.environ.get("QA_Q4_I8")
+    if env is not None:
+        return env not in ("0", "false", "")
+    if sym is not None and not sym:
+        return False
+    import jax
+    if jax.default_backend() in ("tpu", "axon"):
+        return os.path.exists(_Q4I8_MARKER)
+    return True
 
 
 def _store_scales_np(s: np.ndarray, f16_exact: bool,

@@ -281,6 +281,7 @@ def test_pack4_bit_exact_vs_int8_form(ttype, monkeypatch, rng):
     K, N, M = 512, 256, 8
     w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
 
+    monkeypatch.setenv("QA_Q4_I8", "0")    # u8 storage is the subject here
     monkeypatch.setenv("QA_PACK4", "0")
     qw_i8 = quantize_array_for_device(w, ttype)
     monkeypatch.setenv("QA_PACK4", "1")
@@ -763,7 +764,7 @@ def test_pack4_i8_storage_parity(monkeypatch, rng):
 
     K, N, M = 256, 384, 8
     w = rng.standard_normal((K, N)).astype(np.float32) * 0.1   # [in, out]
-    monkeypatch.delenv("QA_Q4_I8", raising=False)
+    monkeypatch.setenv("QA_Q4_I8", "0")    # the u8 form under comparison
     qu = quantize_array_for_device(w, GGMLType.Q4_0)
     monkeypatch.setenv("QA_Q4_I8", "1")
     qi = quantize_array_for_device(w, GGMLType.Q4_0)

@@ -70,3 +70,27 @@ def test_q4_sym_default_engages_through_loader():
     assert "qs4" in qkv and "mins" not in qkv, sorted(qkv)
     samples = (0.1 * rng.standard_normal(16000 * 2)).astype(np.float32)
     assert ctx.full(full_default_params(), samples) == 0
+
+
+def test_q4_i8_stream_default_engages_through_loader(monkeypatch):
+    """The int8-stored nibble stream is the production q4_0 default (e2e
+    116.9 vs 112.2 tok/s u8 on 7B --panel, r4g/r5a grid): on the public
+    checkpoint-load path the packed payload must come out int8-typed with
+    NO mins leaf — and full() still transcribes. (On TPU the default
+    additionally gates on the qmm_q4i8 hardware-validation marker; CPU is
+    unconditional, which is what this suite runs.)"""
+    monkeypatch.delenv("QA_Q4_I8", raising=False)
+    rng = np.random.default_rng(4)
+    src = io.BytesIO()
+    write_encoder_checkpoint(src, random_encoder_params(rng, HP), HP,
+                             mel_filterbank(HP.n_mels), [b"x"] * 60)
+    src.seek(0)
+    dst = io.BytesIO()
+    quantize_checkpoint(src, dst, GGMLFType.MOSTLY_Q4_0)
+    ctx = WhisperContext.init_from_buffer_with_params(
+        dst.getvalue(), ContextParams(keep_quantized=True))
+    qkv = ctx.encoder_params["layers"][0]["qkv"]
+    assert "qs4" in qkv and "mins" not in qkv, sorted(qkv)
+    assert np.dtype(qkv["qs4"].dtype) == np.int8, qkv["qs4"].dtype
+    samples = (0.1 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    assert ctx.full(full_default_params(), samples) == 0

@@ -73,23 +73,35 @@ def make_stream_step(R: int, C: int, dtype, mode: str, interpret: bool):
     from jax.experimental import pallas as pl
 
     elt = np.dtype(dtype).itemsize
-    # panel-shaped blocks: full quant-K rows x a column slab, sized so a
-    # double-buffered block stays well inside VMEM (<= ~2 MB each)
-    bc = C
-    while R * bc * elt > 2 * 1024 * 1024:
-        bc //= 2
-    bc = max(bc, 128)
-    grid = (C // bc,)
+    # panel-shaped blocks: quant-K rows x a column slab, sized so a
+    # double-buffered block stays well inside VMEM (<= ~2 MB each).
+    # Mosaic requires lane dim % 128 == 0 and sublane dim % 8 == 0 (or
+    # the full array dim), so pick the largest 128-multiple divisor of C
+    # that fits; if even 128 lanes x full R overflows (deep-K shapes like
+    # `down`), split rows too.
+    budget = 2 * 1024 * 1024
+    br = R
+    cands = [b for b in range(128, C + 1, 128)
+             if C % b == 0 and R * b * elt <= budget]
+    if cands:
+        bc = max(cands)
+    else:
+        bc = min((b for b in range(128, C + 1, 128) if C % b == 0),
+                 default=C)
+        rcands = [r for r in range(8, R + 1, 8)
+                  if R % r == 0 and r * bc * elt <= budget]
+        br = max(rcands) if rcands else R
+    grid = (R // br, C // bc)
 
     kernel = functools.partial(_stream_kernel, mode=mode)
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, 128), lambda j: (0, 0)),
-            pl.BlockSpec((R, bc), lambda j: (0, j)),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
+            pl.BlockSpec((br, bc), lambda i, j: (i, j)),
         ],
-        out_specs=pl.BlockSpec((8, 128), lambda j: (0, 0)),
+        out_specs=pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         interpret=interpret,
     )

@@ -42,7 +42,8 @@ def main() -> int:
                                                   quant_linear,
                                                   quant_linear_panel,
                                                   quant_linear_stacked)
-    from qwen2_audio_tpu.quant.qparams import quantize_array_for_device
+    from qwen2_audio_tpu.quant.qparams import (Q4Form,
+                                               quantize_array_for_device)
 
     print(f"[validate] backend={jax.default_backend()}", flush=True)
     rng = np.random.default_rng(3)
@@ -50,23 +51,29 @@ def main() -> int:
     x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32) * 0.1
     w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
 
-    # reference payload: mins-carrying u8 packed form
-    os.environ["QA_PACK4"] = "1"
-    qw_u8 = quantize_array_for_device(w, GGMLType.Q4_0)
-    os.environ["QA_Q4_SYM"] = "1"
-    qw_sy = quantize_array_for_device(w, GGMLType.Q4_0)
-    os.environ["QA_Q4_I8"] = "1"
-    qw_i8 = quantize_array_for_device(w, GGMLType.Q4_0)   # sym + i8
-    for k in ("QA_PACK4", "QA_Q4_SYM", "QA_Q4_I8"):
-        os.environ.pop(k)
+    # every payload form is PINNED explicitly (Q4Form) — ambient defaults
+    # here would depend on which markers armed earlier in the chained run
+    # (the r4e mid-run drift hazard).  Reference payload: mins-carrying
+    # u8 packed form (the longest-validated lowering).
+    qw_u8 = quantize_array_for_device(
+        w, GGMLType.Q4_0, form=Q4Form(sym=False, i8=False, scale="f32"))
+    qw_sy = quantize_array_for_device(
+        w, GGMLType.Q4_0, form=Q4Form(sym=True, i8=False, scale="f32"))
+    qw_i8 = quantize_array_for_device(
+        w, GGMLType.Q4_0, form=Q4Form(sym=True, i8=True, scale="f32"))
+    qw_mi = quantize_array_for_device(          # mins + i8 (q4_1 combo)
+        w, GGMLType.Q4_0, form=Q4Form(sym=False, i8=True, scale="f32"))
     assert qw_i8["qs4"].dtype == np.int8 and "mins" not in qw_i8
     assert np.array_equal(np.asarray(qw_i8["qs4"]).view(np.uint8),
                           np.asarray(qw_sy["qs4"])), "i8 must be same bits"
+    assert qw_mi["qs4"].dtype == np.int8 and "mins" in qw_mi
 
     want = np.asarray(quant_linear(x, qw_u8))             # validated form
 
-    # 1. strided i8
+    # 1. strided i8 (+ the mins-carrying i8 combo q4_1/q4_K would use)
     got = np.asarray(quant_linear(x, qw_i8))
+    assert np.abs(got - want).max() < 1e-4, np.abs(got - want).max()
+    got = np.asarray(quant_linear(x, qw_mi))
     assert np.abs(got - want).max() < 1e-4, np.abs(got - want).max()
     # 2. panel i8
     got = np.asarray(quant_linear_panel(x, panelize_weight(qw_i8)))
@@ -85,15 +92,12 @@ def main() -> int:
     wg = rng.standard_normal((Kf, If)).astype(np.float32) * 0.05
     wu = rng.standard_normal((Kf, If)).astype(np.float32) * 0.05
     wd = rng.standard_normal((If, Kf)).astype(np.float32) * 0.05
-    os.environ["QA_PACK4"] = "1"
-    os.environ["QA_Q4_SYM"] = "1"
-    qg0, qu0, qd0 = (quantize_array_for_device(a, GGMLType.Q4_0)
+    f_sy = Q4Form(sym=True, i8=False, scale="f32")
+    f_i8 = Q4Form(sym=True, i8=True, scale="f32")
+    qg0, qu0, qd0 = (quantize_array_for_device(a, GGMLType.Q4_0, form=f_sy)
                      for a in (wg, wu, wd))
-    os.environ["QA_Q4_I8"] = "1"
-    qg, qu, qd = (quantize_array_for_device(a, GGMLType.Q4_0)
+    qg, qu, qd = (quantize_array_for_device(a, GGMLType.Q4_0, form=f_i8)
                   for a in (wg, wu, wd))
-    for k in ("QA_PACK4", "QA_Q4_SYM", "QA_Q4_I8"):
-        os.environ.pop(k)
     xf = x[:, :Kf]
     want_f = np.asarray(fused_mlp4_sym_stacked(
         xf, jnp.concatenate([qg0["qs4"], qu0["qs4"]], axis=1)[None],
@@ -110,11 +114,7 @@ def main() -> int:
     # where bn really is 2048 (N multiple of 2048), sym payload
     N2 = 2048
     w2 = rng.standard_normal((K, N2)).astype(np.float32) * 0.05
-    os.environ["QA_PACK4"] = "1"
-    os.environ["QA_Q4_SYM"] = "1"
-    qw2 = quantize_array_for_device(w2, GGMLType.Q4_0)
-    for k in ("QA_PACK4", "QA_Q4_SYM"):
-        os.environ.pop(k)
+    qw2 = quantize_array_for_device(w2, GGMLType.Q4_0, form=f_sy)
     want2 = np.asarray(quant_linear(x, qw2))
     p2 = panelize_weight(qw2, block_n=2048)
     assert p2["qs4_p"].shape[0] == 1 and p2["qs4_p"].shape[2] == 2048

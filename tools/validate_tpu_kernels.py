@@ -11,6 +11,8 @@ Order: standalone kernels first, then compositions.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import sys
 import time
 from pathlib import Path
@@ -18,6 +20,25 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np  # noqa: E402
+
+
+@contextlib.contextmanager
+def pinned_env(**pins: str):
+    """Pin env vars for a block, RESTORING prior values on exit — an
+    unconditional pop would silently unset an operator-exported variable
+    for every later block in the same run (the mid-run form-drift hazard,
+    ADVICE r4). Payload forms should prefer explicit Q4Form arguments;
+    this is for the flags Q4Form cannot express (q8_0 scale storage)."""
+    old = {k: os.environ.get(k) for k in pins}
+    os.environ.update(pins)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def mark(name: str) -> None:
@@ -49,19 +70,17 @@ def validate_fused_mlp4(rng: np.random.Generator) -> None:
     from qwen2_audio_tpu.ops.fused_mlp import (fused_mlp4_stacked,
                                                fused_mlp4_sym_stacked)
     from qwen2_audio_tpu.ops.quant_matmul import quant_linear_stacked
-    from qwen2_audio_tpu.quant.qparams import quantize_array_for_device
+    from qwen2_audio_tpu.quant.qparams import (Q4Form,
+                                               quantize_array_for_device)
     Km, Im = 512, 1024
     for sym in (False, True):
-        os.environ["QA_Q4_SYM"] = "1" if sym else "0"
-        try:
-            gu_l = [quantize_array_for_device(
-                rng.standard_normal((Km, 2 * Im)).astype(np.float32) * 0.1,
-                GGMLType.Q4_0) for _ in range(2)]
-            dn_l = [quantize_array_for_device(
-                rng.standard_normal((Im, Km)).astype(np.float32) * 0.1,
-                GGMLType.Q4_0) for _ in range(2)]
-        finally:
-            os.environ.pop("QA_Q4_SYM", None)
+        form = Q4Form(packed=True, sym=sym, i8=False, scale="f32")
+        gu_l = [quantize_array_for_device(
+            rng.standard_normal((Km, 2 * Im)).astype(np.float32) * 0.1,
+            GGMLType.Q4_0, form=form) for _ in range(2)]
+        dn_l = [quantize_array_for_device(
+            rng.standard_normal((Im, Km)).astype(np.float32) * 0.1,
+            GGMLType.Q4_0, form=form) for _ in range(2)]
         gu_s = {k: _jnp.stack([d[k] for d in gu_l]) for k in gu_l[0]}
         dn_s = {k: _jnp.stack([d[k] for d in dn_l]) for k in dn_l[0]}
         assert "qs4" in gu_s, "pack4 path disabled; nothing to validate"
@@ -101,22 +120,20 @@ def validate_fused_mlp_split(rng: np.random.Generator) -> None:
     from qwen2_audio_tpu.config import GGMLType
     from qwen2_audio_tpu.ops.fused_mlp import fused_mlp_split_stacked
     from qwen2_audio_tpu.ops.quant_matmul import quant_linear_stacked
-    from qwen2_audio_tpu.quant.qparams import quantize_array_for_device
+    from qwen2_audio_tpu.quant.qparams import (Q4Form,
+                                               quantize_array_for_device)
     Km, Im = 512, 1024
-    for ttype, packed, sym in ((GGMLType.Q8_0, False, None),
-                               (GGMLType.Q4_0, True, False),
-                               (GGMLType.Q4_0, True, True)):
-        if sym is not None:
-            os.environ["QA_Q4_SYM"] = "1" if sym else "0"
-        try:
-            parts = ([quantize_array_for_device(
-                rng.standard_normal(shp).astype(np.float32) * 0.1,
-                ttype) for _ in range(2)]
-                for shp in ((Km, Im), (Km, Im), (Im, Km)))
-            gs, us, ds = parts
-        finally:
-            if sym is not None:
-                os.environ.pop("QA_Q4_SYM", None)
+    for ttype, packed, sym, i8 in ((GGMLType.Q8_0, False, None, False),
+                                   (GGMLType.Q4_0, True, False, False),
+                                   (GGMLType.Q4_0, True, True, False),
+                                   (GGMLType.Q4_0, True, True, True)):
+        form = (None if sym is None else
+                Q4Form(packed=True, sym=sym, i8=i8, scale="f32"))
+        parts = ([quantize_array_for_device(
+            rng.standard_normal(shp).astype(np.float32) * 0.1,
+            ttype, form=form) for _ in range(2)]
+            for shp in ((Km, Im), (Km, Im), (Im, Km)))
+        gs, us, ds = parts
         order = tuple(k for k in ("qs", "qs4", "scales", "mins")
                       if k in gs[0])
         g_l, u_l, d_l = ({k: _jnp.stack([d[k] for d in two])
@@ -258,11 +275,12 @@ def main() -> int:
     assert np.abs(got - want).max() < 2e-3, np.abs(got - want).max()
     mark("qmm_q8")
 
-    import os
-    os.environ["QA_PACK4"] = "0"     # pin the int8 form: on a re-run the
-    # packed-nibble marker already exists and would flip the default
-    qw4 = quantize_array_for_device(w, GGMLType.Q4_0)
-    os.environ.pop("QA_PACK4")
+    from qwen2_audio_tpu.quant.qparams import Q4Form
+    # explicit forms everywhere below: ambient defaults flip as markers
+    # arm mid-run (pack4 / sym / i8), so a default-env build here would
+    # validate a DIFFERENT payload on a re-run than on a fresh host
+    qw4 = quantize_array_for_device(w, GGMLType.Q4_0,
+                                    form=Q4Form(packed=False))
     got = np.asarray(quant_matmul(x, qw4["qs"], qw4["scales"]))
     want = np.asarray(x, np.float64) @ np.asarray(dequantize_weight(qw4),
                                                   np.float64)
@@ -271,11 +289,9 @@ def main() -> int:
 
     # 2a. packed-nibble (true 4-bit storage) matmul, standalone: must be
     # bit-identical to the int8-form weights of the same payload
-    import os
-    os.environ["QA_PACK4"] = "1"
     from qwen2_audio_tpu.ops.quant_matmul import quant_linear4
-    qw4p = quantize_array_for_device(w, GGMLType.Q4_0)
-    os.environ.pop("QA_PACK4")
+    _mins_form = Q4Form(packed=True, sym=False, i8=False, scale="f32")
+    qw4p = quantize_array_for_device(w, GGMLType.Q4_0, form=_mins_form)
     assert "qs4" in qw4p
     got = np.asarray(quant_linear4(x, qw4p))
     want = np.asarray(x, np.float64) @ np.asarray(dequantize_weight(qw4p),
@@ -322,9 +338,7 @@ def main() -> int:
     # same qs4 payload — identical unpack + f32 dequant math, new layout
     # and BlockSpecs only. Validates BOTH the per-weight and the
     # layer-stacked scalar-prefetch bodies before any e2e --panel run.
-    os.environ["QA_PACK4"] = "1"
-    qw4pp = quantize_array_for_device(w, GGMLType.Q4_0)
-    os.environ.pop("QA_PACK4")
+    qw4pp = quantize_array_for_device(w, GGMLType.Q4_0, form=_mins_form)
     assert "qs4" in qw4pp
     qp4 = panelize_weight(qw4pp)
     assert "qs4_p" in qp4
@@ -338,11 +352,8 @@ def main() -> int:
     # match the mins-carrying form of the same payload on this hardware:
     # strided, panel, layer-stacked, panel-stacked, fused-MLP sym, and
     # the integer-exact off=8 int8-mode kernel.
-    os.environ["QA_PACK4"] = "1"
-    os.environ["QA_Q4_SYM"] = "1"
-    qw4sy = quantize_array_for_device(w, GGMLType.Q4_0)
-    os.environ.pop("QA_Q4_SYM")
-    os.environ.pop("QA_PACK4")
+    _sym_form = Q4Form(packed=True, sym=True, i8=False, scale="f32")
+    qw4sy = quantize_array_for_device(w, GGMLType.Q4_0, form=_sym_form)
     assert "mins" not in qw4sy
     want_sy = np.asarray(quant_linear(x, qw4pp))          # mins form
     got = np.asarray(quant_linear(x, qw4sy))              # strided sym
@@ -367,16 +378,13 @@ def main() -> int:
     assert np.abs(got - want_i8).max() < 2e-1, np.abs(got - want_i8).max()
     # fused-MLP sym (one-launch SwiGLU, no mins operands)
     from qwen2_audio_tpu.ops.fused_mlp import fused_mlp4_sym_stacked
-    os.environ["QA_PACK4"] = "1"
-    os.environ["QA_Q4_SYM"] = "1"
     Kf, If = 512, 256
     wg = rng.standard_normal((Kf, If)).astype(np.float32) * 0.05
     wu = rng.standard_normal((Kf, If)).astype(np.float32) * 0.05
     wd = rng.standard_normal((If, Kf)).astype(np.float32) * 0.05
-    qg, qu, qd = (quantize_array_for_device(a, GGMLType.Q4_0)
+    qg, qu, qd = (quantize_array_for_device(a, GGMLType.Q4_0,
+                                            form=_sym_form)
                   for a in (wg, wu, wd))
-    os.environ.pop("QA_Q4_SYM")
-    os.environ.pop("QA_PACK4")
     gu_qp = _jnp.concatenate([qg["qs4"], qu["qs4"]], axis=1)[None]
     gu_sc = _jnp.concatenate([qg["scales"], qu["scales"]], axis=1)[None]
     xf = x[:, :Kf]
@@ -424,9 +432,8 @@ def main() -> int:
         got = np.asarray(quant_linear_stacked(x, stacked_p,
                                               _jnp.asarray(li, _jnp.int32)))
         assert (got == want).all(), ("stacked panel", li)
-    os.environ["QA_PACK4"] = "1"
-    qws4 = [quantize_array_for_device(wi, GGMLType.Q4_0) for wi in ws]
-    os.environ.pop("QA_PACK4")
+    qws4 = [quantize_array_for_device(wi, GGMLType.Q4_0, form=_mins_form)
+            for wi in ws]
     qps4 = [panelize_weight(d) for d in qws4]
     stacked_p4 = {k: _jnp.stack([d[k] for d in qps4]) for k in qps4[0]}
     for li in (0, 2):
@@ -443,10 +450,10 @@ def main() -> int:
     # scale operand tiling on this host, skip the marker and keep going
     # (an abort here would silently drop every LATER marker too).
     try:
-        os.environ["QA_SCALE16"] = "1"
-        qw16 = quantize_array_for_device(w, GGMLType.Q8_0)
-        os.environ["QA_SCALE16"] = "0"
-        qw32 = quantize_array_for_device(w, GGMLType.Q8_0)
+        with pinned_env(QA_SCALE16="1"):
+            qw16 = quantize_array_for_device(w, GGMLType.Q8_0)
+        with pinned_env(QA_SCALE16="0"):
+            qw32 = quantize_array_for_device(w, GGMLType.Q8_0)
         assert qw16["scales"].dtype == jnp.float16
         got16 = np.asarray(quant_linear(x, qw16))
         got32 = np.asarray(quant_linear(x, qw32))
@@ -464,19 +471,16 @@ def main() -> int:
         print(f"[validate] qmm_sc16: FAILED ({type(e).__name__}: {e}) — "
               "marker not written, f32 scales remain the default",
               flush=True)
-    finally:
-        os.environ.pop("QA_SCALE16", None)
 
     # 2f'. uint16-bit-pattern scale storage: the same lossless half-width
     # stream stored as raw f16 bits and expanded in-kernel with integer
     # ops (ops/quant_matmul.py::scales_f32) — sidesteps the Mosaic f16
     # operand rejection that fails 2f on this build. SOFT-FAIL like 2f.
     try:
-        os.environ["QA_SCALE16"] = "0"
-        os.environ["QA_SCALE_U16"] = "1"
-        qwu = quantize_array_for_device(w, GGMLType.Q8_0)
-        os.environ["QA_SCALE_U16"] = "0"
-        qw32u = quantize_array_for_device(w, GGMLType.Q8_0)
+        with pinned_env(QA_SCALE16="0", QA_SCALE_U16="1"):
+            qwu = quantize_array_for_device(w, GGMLType.Q8_0)
+        with pinned_env(QA_SCALE16="0", QA_SCALE_U16="0"):
+            qw32u = quantize_array_for_device(w, GGMLType.Q8_0)
         assert qwu["scales"].dtype == jnp.uint16
         gotu = np.asarray(quant_linear(x, qwu))
         got32u = np.asarray(quant_linear(x, qw32u))
@@ -500,14 +504,10 @@ def main() -> int:
         # packed-q4 SYM PANELS with u16 scales — the post-sym scale-byte
         # re-A/B combo (scales are ~20% of the sym q4 stream; u16 halves
         # them; pre-sym this lost 5.5% e2e to the in-kernel expansion)
-        os.environ["QA_PACK4"] = "1"
-        os.environ["QA_Q4_SYM"] = "1"
-        os.environ["QA_SCALE_U16"] = "1"
-        q4u = quantize_array_for_device(w, GGMLType.Q4_0)
-        os.environ["QA_SCALE_U16"] = "0"
-        q4f = quantize_array_for_device(w, GGMLType.Q4_0)
-        os.environ.pop("QA_PACK4")
-        os.environ.pop("QA_Q4_SYM")
+        q4u = quantize_array_for_device(
+            w, GGMLType.Q4_0,
+            form=Q4Form(packed=True, sym=True, i8=False, scale="u16"))
+        q4f = quantize_array_for_device(w, GGMLType.Q4_0, form=_sym_form)
         if q4u["scales"].dtype == jnp.uint16:   # CPU prefers plain f16
             g1 = np.asarray(quant_linear_panel(x, panelize_weight(q4u)))
             g2 = np.asarray(quant_linear_panel(x, panelize_weight(q4f)))
@@ -517,9 +517,6 @@ def main() -> int:
         print(f"[validate] qmm_scu16: FAILED ({type(e).__name__}: {e}) — "
               "marker not written, f32 scales remain the default",
               flush=True)
-    finally:
-        os.environ.pop("QA_SCALE16", None)
-        os.environ.pop("QA_SCALE_U16", None)
 
     # 2g. one-launch SwiGLU MLP kernel (optional — soft-fail like 2f):
     # must track the two-kernel stacked path within fast-mode rounding
@@ -781,11 +778,12 @@ def main() -> int:
     # matmul orders compound through 4 layers to ~2% of logit scale —
     # a marginal threshold that flaked on chip (0.0224 vs 0.02) with no
     # decoder-path change. f32 shrinks order noise below 1e-3.
-    os.environ["QA_PACK4"] = "0"
-    dpq4_i8 = quantize_decoder_params(dp, GGMLType.Q4_0)
-    os.environ["QA_PACK4"] = "1"
-    dpq4_p = quantize_decoder_params(dp, GGMLType.Q4_0)
-    os.environ.pop("QA_PACK4")
+    from qwen2_audio_tpu.quant.qparams import Q4Form as _Q4F
+    dpq4_i8 = quantize_decoder_params(dp, GGMLType.Q4_0,
+                                      form=_Q4F(packed=False))
+    dpq4_p = quantize_decoder_params(
+        dp, GGMLType.Q4_0,
+        form=_Q4F(packed=True, sym=False, i8=False, scale="f32"))
     x32 = x.astype(jnp.float32)
     step32 = step.astype(jnp.float32)
     outs4 = {}
@@ -974,6 +972,19 @@ def main() -> int:
         print(f"[validate] spec_slots: FAILED ({type(e).__name__}: {e}) — "
               "marker not written, plain chunk loop remains the serving "
               "default", flush=True)
+
+    # 10. q4 stream levers (qmm_q4i8 int8-stored nibbles — the PRODUCTION
+    # q4_0 default since the r4/r5 e2e wins — and qmm_panelbn wide
+    # panels), folded in so ONE fresh-host run arms everything
+    # (tools/validate_q4i8.py stays as the standalone re-arm entry).
+    # Soft-fail: without the marker the default stays u8.
+    try:
+        from tools.validate_q4i8 import main as _q4i8_main
+        _q4i8_main()
+    except Exception as e:  # noqa: BLE001
+        print(f"[validate] q4i8/panelbn: FAILED ({type(e).__name__}: {e}) "
+              "— markers not written, u8 stream remains the default",
+              flush=True)
 
     print("[validate] ALL OK", flush=True)
     return 0
