@@ -50,12 +50,24 @@ def _stream_kernel(c_ref, q_ref, o_ref, *, mode: str):
     anything fold away (the call is opaque to XLA either way)."""
     import jax.numpy as jnp
 
+    # Mosaic rejects unsigned->float casts (lowering.py::_convert_helper
+    # falls through to NotImplementedError); integer payloads must widen
+    # via int32 first (CLAUDE.md: same rule as the 8-bit shift hazard).
+    def _to_f32(v):
+        if jnp.issubdtype(v.dtype, jnp.floating):
+            return v.astype(jnp.float32)
+        return v.astype(jnp.int32).astype(jnp.float32)
+
     if mode == "dma":
         # consume one sublane: the pipeline DMAs the whole block into
         # VMEM regardless of how much the body reads
-        r = jnp.sum(q_ref[0, :128].astype(jnp.float32))
+        r = jnp.sum(_to_f32(q_ref[0, :128]))
     elif mode == "widen":
-        r = jnp.sum(q_ref[...].astype(jnp.int32)).astype(jnp.float32)
+        q = q_ref[...]
+        if jnp.issubdtype(q.dtype, jnp.floating):
+            r = jnp.sum(q.astype(jnp.float32))
+        else:
+            r = jnp.sum(q.astype(jnp.int32)).astype(jnp.float32)
     elif mode == "unpack":
         w = q_ref[...].astype(jnp.int32)
         lo = (w & 0xF) - 8
