@@ -853,6 +853,7 @@ def main() -> int:
     pre = jnp.asarray(rng.standard_normal((1, 16, 512)) * 0.1, jnp.bfloat16)
     stepx = jnp.asarray(rng.standard_normal((1, 1, 512)) * 0.1, jnp.bfloat16)
     step_lg = {}
+    _fd_prior = os.environ.get("QA_FLASH_DECODE")   # restore, don't pop
     for flag in ("0", "1"):
         os.environ["QA_FLASH_DECODE"] = flag
         decoder_forward.clear_cache()
@@ -900,7 +901,10 @@ def main() -> int:
     assert np.isfinite(np.asarray(slot_logits)).all() and (toks >= 0).all()
     print(f"[validate] fd_slots (fori_loop) compile+run "
           f"{time.time()-t0:.1f}s", flush=True)
-    os.environ.pop("QA_FLASH_DECODE", None)
+    if _fd_prior is None:                           # ADVICE r4: an
+        os.environ.pop("QA_FLASH_DECODE", None)     # unconditional pop
+    else:                                           # drops an operator-
+        os.environ["QA_FLASH_DECODE"] = _fd_prior   # exported value
     decoder_forward.clear_cache()
     generate_on_device.clear_cache()
     mark("fd_loop")
