@@ -9,6 +9,14 @@ StreamingTextDecoder (utils/utf8.py), which handles codepoints split across
 token boundaries.
 
     python examples/stream.py model.bin long.wav [hf_decoder_dir]
+
+Live capture: pass '-' (stdin) or a FIFO path instead of a WAV to read raw
+s16le 16 kHz mono PCM as a blocking stream — the capture-loop shape of the
+reference's SDL microphone source (examples/common-sdl.cpp:1-229
+audio_async ring buffer feeding examples/stream.cpp), honest to this
+environment's no-audio-device constraint:
+
+    arecord -f S16_LE -r 16000 -c 1 | python examples/stream.py model.bin -
 """
 
 import sys
@@ -26,7 +34,7 @@ def main() -> int:
     model, wav = sys.argv[1], sys.argv[2]
     decoder_dir = sys.argv[3] if len(sys.argv) > 3 else None
 
-    from qwen2_audio_tpu.audio import read_audio
+    from qwen2_audio_tpu.audio import is_pipe_source, pcm_chunks, read_audio
     from qwen2_audio_tpu.audio.vad import vad_simple
     from qwen2_audio_tpu.runtime import WhisperContext, full_default_params
     from qwen2_audio_tpu.utils.utf8 import StreamingTextDecoder
@@ -36,8 +44,16 @@ def main() -> int:
         from qwen2_audio_tpu.io.hf import load_qwen2_audio
         ctx.decoder = load_qwen2_audio(decoder_dir)["bundle"]
 
-    samples, rate = read_audio(wav)
-    chunk = rate * CHUNK_MS // 1000
+    rate = 16000
+    if is_pipe_source(wav):
+        # live source: blocking chunk reader over the pipe, the role of
+        # audio_async::get() in the reference's SDL capture loop
+        chunks = pcm_chunks(wav, rate=rate, chunk_ms=CHUNK_MS)
+    else:
+        samples, rate = read_audio(wav)
+        step = rate * CHUNK_MS // 1000
+        chunks = (samples[off:off + step]
+                  for off in range(0, len(samples), step))
     buf = np.zeros(0, np.float32)
     t_emitted = 0.0
 
@@ -63,8 +79,8 @@ def main() -> int:
             text = f"<encoded {ctx.state.embd_enc.shape}>"
         print(f"[{t0:7.2f}s] {text}", flush=True)
 
-    for off in range(0, len(samples), chunk):
-        buf = np.concatenate([buf, samples[off:off + chunk]])
+    for piece in chunks:
+        buf = np.concatenate([buf, piece])
         speech_ended = vad_simple(buf, rate, last_ms=400, vad_thold=0.6,
                                   freq_thold=100.0)
         if speech_ended or len(buf) >= rate * MAX_UTTERANCE_S:

@@ -1,3 +1,8 @@
+from qwen2_audio_tpu.audio.capture import (  # noqa: F401
+    decode_pcm,
+    is_pipe_source,
+    pcm_chunks,
+)
 from qwen2_audio_tpu.audio.filters import mel_filterbank, resample  # noqa: F401
 from qwen2_audio_tpu.audio.mel import (  # noqa: F401
     LogMelSpectrogram,
