@@ -239,7 +239,8 @@ def fuse_decoder_params(params: Params) -> Params:
                 if "b" in e:
                     return e["b"]
                 n = (e.get("w") if "w" in e else
-                     e.get("qs", e.get("qs8", e.get("qs4")))).shape[-1]
+                     e.get("qs", e.get("qs8", e.get("qs4",
+                           e.get("qs4b"))))).shape[-1]
                 z = (np.zeros if isinstance(ref, np.ndarray)
                      else jnp.zeros)((L, n), ref.dtype)
                 return z

@@ -262,6 +262,12 @@ def linear_at(x: jax.Array, p: dict, li: jax.Array) -> jax.Array:
 
     if "qs8" in p:
         y = _w8a8(x, {"qs8": at(p["qs8"]), "scale_n": at(p["scale_n"])})
+    elif "qs4b" in p:
+        # word-packed sym q4_0 (Q4Form.b32): packed-domain unpack feeding
+        # s8 MXU dots — the stream-ceiling form (ops/quant_matmul_q4b.py)
+        from qwen2_audio_tpu.ops.quant_matmul_q4b import \
+            quant_linear_q4b_stacked
+        y = quant_linear_q4b_stacked(x, p, li)
     elif "qs_p" in p or "qs4_p" in p or "qs4" in p or "qs" in p:
         mode = group_matmul_mode()
         if "qs_p" not in p and "qs4_p" not in p and mode == "int8" \
@@ -291,6 +297,10 @@ def linear_at(x: jax.Array, p: dict, li: jax.Array) -> jax.Array:
 def linear(x: jax.Array, p: dict) -> jax.Array:
     if "qs8" in p:
         y = _w8a8(x, p)
+    elif "qs4b" in p:
+        # word-packed sym q4_0 (Q4Form.b32) — see linear_at
+        from qwen2_audio_tpu.ops.quant_matmul_q4b import quant_linear_q4b
+        y = quant_linear_q4b(x, p)
     elif "qs_p" in p or "qs4_p" in p:
         # contiguous-panel storage of the ggml-block form (decode HBM
         # streaming; see ops/quant_matmul.py panel section)

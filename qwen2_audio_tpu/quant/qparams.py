@@ -157,18 +157,25 @@ class Q4Form:
 
     Fields: ``packed`` two-nibbles-per-byte storage ("qs4") vs strided
     int8 ("qs"); ``sym`` no-mins (q-8)*d q4_0 form; ``i8`` store the
-    packed stream as int8 instead of uint8 (same bits); ``scale`` group
-    scale storage, one of "f32" | "f16" | "u16".
+    packed stream as int8 instead of uint8 (same bits); ``b32`` store the
+    packed stream as int32 WORDS ("qs4b", 4 byte-rows per word — the
+    stream-ceiling form consumed by ops/quant_matmul_q4b.py s8-dot
+    kernels; sym-only); ``scale`` group scale storage, one of
+    "f32" | "f16" | "u16".
     """
     packed: bool = True
     sym: bool = True
     i8: bool = False
+    b32: bool = False
     scale: str = "f32"
 
     def __post_init__(self):
         if self.scale not in ("f32", "f16", "u16"):
             raise ValueError(f"Q4Form.scale must be f32|f16|u16, "
                              f"got {self.scale!r}")
+        if self.b32 and not (self.packed and self.sym):
+            raise ValueError("Q4Form.b32 requires packed symmetric q4_0 "
+                             "(the word-packed kernel has no mins path)")
 
     def env(self) -> dict[str, str]:
         """The env pins that make a SUBPROCESS quantize in this form."""
@@ -176,6 +183,7 @@ class Q4Form:
             "QA_PACK4": "1" if self.packed else "0",
             "QA_Q4_SYM": "1" if self.sym else "0",
             "QA_Q4_I8": "1" if self.i8 else "0",
+            "QA_Q4_B32": "1" if self.b32 else "0",
             "QA_SCALE16": "1" if self.scale == "f16" else "0",
             "QA_SCALE_U16": "1" if self.scale == "u16" else "0",
         }
@@ -185,10 +193,12 @@ def resolve_q4_form() -> Q4Form:
     """Resolve the ambient q4 payload form (env overrides, then hardware
     markers/backend defaults) into an explicit Q4Form — call once and
     thread the result; do not re-read ambient state per payload."""
+    sym = _q4_sym_enabled()
     return Q4Form(
         packed=_pack4_enabled(),
-        sym=_q4_sym_enabled(),
+        sym=sym,
         i8=_pack4_i8_enabled(),
+        b32=sym and _pack4_b32_enabled(),
         scale=("f16" if _scale16_enabled()
                else "u16" if _scale_u16_enabled(packed4=True) else "f32"),
     )
@@ -224,6 +234,8 @@ def payload_form(qw: dict) -> str:
                                        f"{np.dtype(a.dtype)}sc")
     if "qs8" in qw:
         return "w8a8"
+    if "qs4b" in qw:
+        return "packed4-b32+sym+" + _sc(qw["scales"])
     for qkey, panel in (("qs4", False), ("qs4_p", True)):
         if qkey in qw:
             return "+".join((
@@ -270,6 +282,22 @@ def _pack4_i8_enabled(sym: bool | None = None) -> bool:
     return True
 
 
+_Q4B_MARKER = "/tmp/qa_kernel_ok_qmm_q4b"
+
+
+def _pack4_b32_enabled() -> bool:
+    """Word-packed (int32) nibble stream consumed by the s8-dot kernels
+    (ops/quant_matmul_q4b.py — packed-domain unpack, no per-byte widen).
+    Default OFF everywhere: per the round-3 gating rule a variant may
+    only auto-arm after it WINS an e2e A/B (fa_lite burned us);
+    QA_Q4_B32=1 / Q4Form(b32=True) opts in explicitly."""
+    import os
+    env = os.environ.get("QA_Q4_B32")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return False
+
+
 def _store_scales_np(s: np.ndarray, f16_exact: bool,
                      packed4: bool = False,
                      scale: str | None = None) -> np.ndarray:
@@ -312,6 +340,21 @@ def pack4_device_weight(vals_unsigned: np.ndarray, scales: np.ndarray,
     K, N = vT.shape
     g = vT.reshape(K // QK, QK, N)
     packed = (g[:, :16] | (g[:, 16:] << 4)).reshape(K // 2, N)
+    b32 = (form.b32 if form is not None else _pack4_b32_enabled()) \
+        and mins is None
+    if b32:
+        # word-packed stream-ceiling form: 4 byte-rows per int32 word,
+        # unpacked in the packed i32 domain by the s8-dot kernels
+        # (ops/quant_matmul_q4b.py; sym-only — no mins path there)
+        from qwen2_audio_tpu.ops.quant_matmul_q4b import pack_b32
+        out = {
+            "qs4b": np.ascontiguousarray(pack_b32(packed)),
+            "scales": _store_scales_np(scales.T, f16_exact, packed4=True,
+                                       scale=form.scale if form else None),
+        }
+        if to_device:
+            out = {k: jnp.asarray(v) for k, v in out.items()}
+        return out
     if form.i8 if form is not None else _pack4_i8_enabled():
         # same bits, int8 dtype: the kernels mask-after-shift so the
         # sign-extended widening decodes identically (q4z 'i8cast'

@@ -97,6 +97,13 @@ def main() -> int:
                     help="contiguous-panel weight storage for the "
                          "ggml-block kernels (quant_matmul_panel; one "
                          "contiguous HBM DMA per weight block)")
+    ap.add_argument("--gmm", default="", choices=["", "bf16", "int8",
+                                                  "dequant"],
+                    help="group-matmul mode override (ops/linear.py "
+                         "set_group_matmul_mode): int8 = exact s8xs8 MXU "
+                         "dots with q8_1-style activation quant (ggml-mmq "
+                         "analog), bf16 = dequant-to-bf16 single pass "
+                         "(production default). Empty = auto")
     ap.add_argument("--no-fuse", action="store_true",
                     help="keep separate q/k/v and gate/up projections "
                          "(default: fuse_decoder_params — 7 -> 4 matmuls "
@@ -126,6 +133,10 @@ def main() -> int:
     from qwen2_audio_tpu.runtime.decoding import DecoderBundle
     from qwen2_audio_tpu.runtime.generate import (
         beam_search_device, greedy_decode_device)
+
+    if args.gmm:
+        from qwen2_audio_tpu.ops.linear import set_group_matmul_mode
+        set_group_matmul_mode(args.gmm)   # before the first trace
 
     h, inter, L, H, KV, dh, V = SIZES[args.size]
     if args.layers:
@@ -185,12 +196,15 @@ def main() -> int:
         elif _scale_u16_enabled(packed4=packed4):
             suffix += "-scu16"
         if packed4:
-            from qwen2_audio_tpu.quant.qparams import (_pack4_i8_enabled,
+            from qwen2_audio_tpu.quant.qparams import (_pack4_b32_enabled,
+                                                       _pack4_i8_enabled,
                                                        _q4_sym_enabled)
             if _pack4_i8_enabled():
                 suffix += "-q4i8"   # int8-stored nibble stream (QA_Q4_I8)
             if _q4_sym_enabled():
                 suffix += "-sym"    # no-mins symmetric q4_0 (QA_Q4_SYM)
+                if _pack4_b32_enabled():
+                    suffix += "-b32"   # word-packed s8-dot form (QA_Q4_B32)
         path = os.path.join(args.cache_dir,
                             f"bench-{args.size}-{args.quant}{suffix}.npz")
         params = cached_build(path, build_host)

@@ -48,6 +48,7 @@ def _stream_kernel(c_ref, q_ref, o_ref, *, mode: str):
     """o = c + eps * reduce(q-block). The c operand threads the dependent
     chain through the call; eps keeps the magnitude bounded without letting
     anything fold away (the call is opaque to XLA either way)."""
+    import jax
     import jax.numpy as jnp
 
     # Mosaic rejects unsigned->float casts (lowering.py::_convert_helper
@@ -73,6 +74,35 @@ def _stream_kernel(c_ref, q_ref, o_ref, *, mode: str):
         lo = (w & 0xF) - 8
         hi = ((w >> 4) & 0xF) - 8
         r = jnp.sum(lo + hi).astype(jnp.float32)
+    elif mode in ("dot", "dotb32"):
+        # production-shaped consumption: unpack to int8 nibble values and
+        # feed s8 x s8 -> i32 MXU dots (the quant_matmul_int8/_q4b body).
+        # "dot" = 8-bit-declared storage, per-byte widen then mask/shift
+        # (quant_matmul_int8._kernel_stacked packed path); "dotb32" =
+        # i32-declared words, packed-domain mask + SWAR sub + bitcast
+        # (quant_matmul_q4b). Identical MXU work — the delta is the
+        # unpack ALU the q4 speed-of-light hunt is chasing.
+        from jax.experimental.pallas import tpu as pltpu
+        if mode == "dot":
+            p = q_ref[...].astype(jnp.int32)
+            lo = ((p & 0xF) - 8).astype(jnp.int8)
+            hi = (((p >> 4) & 0xF) - 8).astype(jnp.int8)
+        else:
+            w = q_ref[...]
+            B = -0x7F7F7F80                      # 0x80808080 as i32
+
+            def sw(v):
+                return ((v | B) - 0x08080808) ^ B
+            lo = pltpu.bitcast(sw(w & 0x0F0F0F0F), jnp.int8)
+            hi = pltpu.bitcast(sw((w >> 4) & 0x0F0F0F0F), jnp.int8)
+        br2, bn = lo.shape
+        ones = jnp.ones((8, br2), jnp.int8)
+        dim = (((1,), (0,)), ((), ()))
+        d = (jax.lax.dot_general(ones, lo, dim,
+                                 preferred_element_type=jnp.int32)
+             + jax.lax.dot_general(ones, hi, dim,
+                                   preferred_element_type=jnp.int32))
+        r = jnp.sum(d[0, :128].astype(jnp.float32))
     else:
         raise ValueError(mode)
     o_ref[...] = c_ref[...] + r * jnp.float32(1e-30)
@@ -170,6 +200,10 @@ def main() -> int:
             for mode in modes:
                 if mode == "unpack" and dt == "bf16":
                     continue            # nibble ops on float lanes: no
+                if mode == "dot" and dt not in ("u8", "i8"):
+                    continue            # 8-bit-declared consumption only
+                if mode == "dotb32" and dt != "i32":
+                    continue            # word-packed consumption only
                 step = make_stream_step(R, C, host.dtype, mode, interpret)
                 x0 = jnp.zeros((8, 128), jnp.float32)
                 if interpret:
