@@ -87,6 +87,15 @@ def exp2_ok() -> bool:
     return _env_gate("QA_FA_EXP2", "fa_exp2")
 
 
+def pexp16_ok() -> bool:
+    """bf16-domain softmax exponent in the one-shot kernel (VERDICT r4
+    #8 lever at the ~140 us/layer VPU exp tail): the shifted scores
+    round to bf16 BEFORE the transcendental and the probability tile
+    lands directly in the AV dot's dtype. OFF by default until it wins
+    an e2e A/B (same rule as every variant).  `QA_FA_PEXP16=0/1`."""
+    return _env_gate("QA_FA_PEXP16", "fa_pexp16")
+
+
 def _attn_kernel_single_lite(q_ref, k_ref, v_ref, o_ref, *, d_l: int,
                              exp2: bool = False):
     """One-shot attention with the softmax bookkeeping moved onto the MXU.

@@ -112,7 +112,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref,
 
 def _attn_kernel_single(q_ref, k_ref, v_ref, o_ref,
                         *, sm_scale: float, kv_valid: int, block_k: int,
-                        exp2: bool = False):
+                        exp2: bool = False, pexp16: bool = False):
     """One-shot softmax-attention tile: the whole KV fits in a single
     k block (the encoder regime — T=1500 rides one 1536 tile), so the
     online-softmax machinery of _attn_kernel (m/l scratch, alpha
@@ -129,8 +129,19 @@ def _attn_kernel_single(q_ref, k_ref, v_ref, o_ref,
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
     m = jnp.max(s, axis=1, keepdims=True)
-    p = (jnp.exp2 if exp2 else jnp.exp)(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
+    if pexp16:
+        # bf16-domain exponent (VERDICT r4 #8 lever at the ~140 us/layer
+        # VPU exp tail): the shifted scores round to bf16 BEFORE the
+        # transcendental, so exp runs on half-width vectors and p lands
+        # already in the AV dot's dtype (dropping the separate astype
+        # sweep). Normalization sums the bf16 weights in f32, so the
+        # softmax renormalizes exactly what the dot consumes. Numeric
+        # cost: <= 2^-8 relative on each weight pre-normalization.
+        p = (jnp.exp2 if exp2 else jnp.exp)((s - m).astype(jnp.bfloat16))
+        l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+    else:
+        p = (jnp.exp2 if exp2 else jnp.exp)(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
     v = v_ref[0, 0]                         # (block_k, d)
     acc = jax.lax.dot(p.astype(v.dtype), v,
                       preferred_element_type=jnp.float32)
@@ -141,7 +152,7 @@ def _attn_kernel_single(q_ref, k_ref, v_ref, o_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "causal", "kv_valid", "block_q", "block_k",
-                     "single", "lite", "exp2"))
+                     "single", "lite", "exp2", "pexp16"))
 def flash_attention(
     q: jax.Array,       # (B, Hq, Tq, d)
     k: jax.Array,       # (B, Hkv, Tk, d) — Hkv may divide Hq (GQA)
@@ -155,6 +166,7 @@ def flash_attention(
     single: bool = False,
     lite: bool = False,
     exp2: bool = False,
+    pexp16: bool = False,
 ) -> jax.Array:
     """O = softmax(sm_scale * Q K^T) V, tiled; returns (B, Hq, Tq, d).
 
@@ -202,7 +214,8 @@ def flash_attention(
         # whole KV in one tile: one-shot softmax, no scratch, 3-dim grid
         out = pl.pallas_call(
             functools.partial(_attn_kernel_single, sm_scale=sm_scale,
-                              kv_valid=kv_valid, block_k=block_k, exp2=exp2),
+                              kv_valid=kv_valid, block_k=block_k, exp2=exp2,
+                              pexp16=pexp16),
             out_shape=jax.ShapeDtypeStruct((B, H, TQ, Dq), q.dtype),
             grid_spec=pl.GridSpec(
                 grid=(B, H, TQ // block_q),
@@ -299,7 +312,8 @@ def flash_attention_encoder(q: jax.Array, k: jax.Array, v: jax.Array,
                           block_k=block_k,
                           single=_single_pass_ok(),
                           lite=fa_variants.lite_ok(),
-                          exp2=use_exp2)
+                          exp2=use_exp2,
+                          pexp16=fa_variants.pexp16_ok())
     return out.transpose(0, 2, 1, 3).reshape(B, T, D)
 
 

@@ -230,3 +230,37 @@ def test_encoder_entry_nopad_vs_padded(rng):
     for key, val in outs.items():
         np.testing.assert_allclose(val, base, atol=2e-5, rtol=1e-4,
                                    err_msg=str(key))
+
+
+def test_pexp16_matches_reference(rng):
+    """bf16-exponent one-shot softmax (QA_FA_PEXP16): the probability
+    tile rounds to bf16 before the transcendental, so parity vs the f32
+    kernel sits in the bf16-weight class (~2^-8 per weight), not the
+    usual 2e-5."""
+    T, d = 300, 64
+    q = rng.standard_normal((1, 2, T, d)).astype(np.float32)
+    k = rng.standard_normal((1, 2, T, d)).astype(np.float32)
+    v = rng.standard_normal((1, 2, T, d)).astype(np.float32)
+    kw = dict(sm_scale=d ** -0.5, single=True, block_k=512)
+    base = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                      jnp.asarray(v), **kw))
+    got = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), pexp16=True, **kw))
+    err = np.abs(got - base).max() / (np.abs(base).max() + 1e-9)
+    assert err < 1.5e-2, err
+    # and through the encoder entry via the env gate
+    import os
+    os.environ["QA_FA_PEXP16"] = "1"
+    try:
+        B, D, H = 1, 256, 4
+        q2 = rng.standard_normal((B, T, D)).astype(np.float32)
+        k2 = rng.standard_normal((B, T, D)).astype(np.float32)
+        v2 = rng.standard_normal((B, T, D)).astype(np.float32)
+        got2 = np.asarray(flash_attention_encoder(
+            jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2), H))
+    finally:
+        del os.environ["QA_FA_PEXP16"]
+    base2 = np.asarray(flash_attention_encoder(
+        jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2), H))
+    err2 = np.abs(got2 - base2).max() / (np.abs(base2).max() + 1e-9)
+    assert err2 < 1.5e-2, err2
