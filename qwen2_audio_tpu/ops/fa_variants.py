@@ -91,8 +91,14 @@ def pexp16_ok() -> bool:
     """bf16-domain softmax exponent in the one-shot kernel (VERDICT r4
     #8 lever at the ~140 us/layer VPU exp tail): the shifted scores
     round to bf16 BEFORE the transcendental and the probability tile
-    lands directly in the AV dot's dtype. OFF by default until it wins
-    an e2e A/B (same rule as every variant).  `QA_FA_PEXP16=0/1`."""
+    lands directly in the AV dot's dtype.  MEASURED: 2.9% e2e LOSS
+    (RTF 1558.4 vs 1604.1, round-5 queue r5i) — Mosaic serves bf16
+    `exp` by widening to f32 internally, so the cast buys no lanes and
+    costs a rounding pass.  This closes the r4 #8 exp-tail ledger: of
+    the three levers tried (exp2 neutral, lite -42%, pexp16 -2.9%) none
+    beats the f32 exp; the ~140 us/layer tail stands as the measured
+    cost of the transcendental itself.  OFF by default (only an e2e WIN
+    may flip a default).  `QA_FA_PEXP16=0/1`."""
     return _env_gate("QA_FA_PEXP16", "fa_pexp16")
 
 

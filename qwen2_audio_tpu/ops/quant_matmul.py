@@ -43,8 +43,58 @@ def _q4_u8ops_enabled() -> bool:
     return os.environ.get("QA_Q4_U8", "0") not in ("0", "false", "")
 
 
+def _dq16_enabled() -> bool:
+    """bf16-domain dequant for the fast packed-q4 path: the nibble cast,
+    scale expansion, group broadcast, and dequant multiply all run at
+    bf16 lane width (2 elements/lane) instead of f32. Numerics: nibble
+    values are EXACT in bf16 (|q-8| <= 8) and the f16 scale payload
+    rounds to bf16 (2^-8 rel) — one extra rounding on a path whose
+    weight tile is rounded to bf16 for the MXU anyway. Default OFF until
+    an e2e A/B wins (the round-3 gating rule); env QA_Q4_DQ16=0/1, on
+    TPU additionally requires the qmm_dq16 validation marker."""
+    env = os.environ.get("QA_Q4_DQ16")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return False
+
+
+_DQ16_MARKER = "/tmp/qa_kernel_ok_qmm_dq16"
+
+
+def _dq16_armed() -> bool:
+    if not _dq16_enabled():
+        return False
+    if _use_interpret():
+        return True
+    return os.path.exists(_DQ16_MARKER) or \
+        os.environ.get("QA_Q4_DQ16") is not None
+
+
+def _dequant4_tile(qp: jax.Array, sc: jax.Array, u8ops: bool | None,
+                   off: int, fast: bool, dq16: bool = False) -> jax.Array:
+    """Packed nibbles (bk//2, bn) + group scales -> the (bk, bn) weight
+    tile in the dtype the dot consumes (bf16 when fast, f32 otherwise).
+    One shared body so every packed-q4 kernel picks up the bf16-domain
+    dequant mode together."""
+    bk2, bn = qp.shape
+    bk = bk2 * 2
+    n_g = bk // GROUP
+    if fast and dq16:
+        q = unpack4_f32(qp, u8ops, off, dtype=jnp.bfloat16)
+        s = scales_f32(sc).astype(jnp.bfloat16)
+        s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)
+                                  ).reshape(bk, bn)
+        return q * s_full
+    q = unpack4_f32(qp, u8ops, off)
+    s = scales_f32(sc)
+    s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)
+                              ).reshape(bk, bn)
+    w = q * s_full
+    return w.astype(jnp.bfloat16) if fast else w
+
+
 def unpack4_f32(qp: jax.Array, u8ops: bool | None = None,
-                off: int = 0) -> jax.Array:
+                off: int = 0, dtype=jnp.float32) -> jax.Array:
     """(bk//2, bn) uint8 OR int8 packed nibbles -> (bk, bn) f32 values
     (0..15) - ``off`` in ggml's group-local pairing order (byte g*16+j
     holds values g*32+j low, g*32+j+16 high — ggml-common.h block_q4_0);
@@ -63,13 +113,13 @@ def unpack4_f32(qp: jax.Array, u8ops: bool | None = None,
     if u8ops:
         # interpret-mode only: Mosaic can't legalize 8-bit vector shifts
         lo = ((qp.astype(jnp.uint8) & jnp.uint8(0xF)
-               ).astype(jnp.int32) - off).astype(jnp.float32)
+               ).astype(jnp.int32) - off).astype(dtype)
         hi = ((qp.astype(jnp.uint8) >> 4).astype(jnp.int32)
-              - off).astype(jnp.float32)
+              - off).astype(dtype)
     else:
         p = qp.astype(jnp.int32)
-        lo = ((p & 0xF) - off).astype(jnp.float32)
-        hi = (((p >> 4) & 0xF) - off).astype(jnp.float32)
+        lo = ((p & 0xF) - off).astype(dtype)
+        hi = (((p >> 4) & 0xF) - off).astype(dtype)
     return jnp.concatenate([lo.reshape(n_g, 16, bn),
                             hi.reshape(n_g, 16, bn)], axis=1
                            ).reshape(bk2 * 2, bn)
@@ -568,22 +618,16 @@ def _panel4_block_k(K: int, bn: int) -> int:
 
 
 def _qmm4_panel_kernel(x_ref, qp_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
-                       fast: bool, u8ops: bool = False, off: int = 0):
+                       fast: bool, u8ops: bool = False, off: int = 0,
+                       dq16: bool = False):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    bk2, bn = qp_ref.shape[1:]                     # (1, bk//2, bn)
-    bk = bk2 * 2
-    n_g = bk // GROUP
-    q = unpack4_f32(qp_ref[0], u8ops, off)
-    s = scales_f32(sc_ref[0])
-    s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)).reshape(bk, bn)
-    w = q * s_full
+    w = _dequant4_tile(qp_ref[0], sc_ref[0], u8ops, off, fast, dq16)
     if fast:
-        acc_ref[...] += jnp.dot(
-            x_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
+        acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.bfloat16), w,
+                                preferred_element_type=jnp.float32)
     else:
         acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), w,
                                 preferred_element_type=jnp.float32,
@@ -595,7 +639,7 @@ def _qmm4_panel_kernel(x_ref, qp_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_k", "fast",
-                                              "u8ops", "off"))
+                                              "u8ops", "off", "dq16"))
 def quant_matmul_panel4(
     x: jax.Array,           # (M, K)
     qs4_p: jax.Array,       # (P, K // 2, bn) uint8 — packed nibble panels
@@ -606,6 +650,7 @@ def quant_matmul_panel4(
     fast: bool = False,
     u8ops: bool | None = None,
     off: int = 0,
+    dq16: bool = False,
 ) -> jax.Array:
     """x @ dequant(panels) -> (M, P*bn); min/offset terms are added by the
     caller (quant_linear_panel), exactly as in quant_matmul4."""
@@ -627,7 +672,7 @@ def quant_matmul_panel4(
     grid = (Mp // block_m, P, K // block_k)
     out = pl.pallas_call(
         functools.partial(_qmm4_panel_kernel, out_dtype=x.dtype, fast=fast,
-                          u8ops=u8ops, off=off),
+                          u8ops=u8ops, off=off, dq16=dq16),
         out_shape=jax.ShapeDtypeStruct((P, Mp, bn), x.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -651,23 +696,18 @@ def quant_matmul_panel4(
 
 
 def _qmm4_panel_stacked_kernel(li_ref, x_ref, qp_ref, sc_ref, o_ref, acc_ref,
-                               *, out_dtype, fast: bool, u8ops: bool = False, off: int = 0):
+                               *, out_dtype, fast: bool, u8ops: bool = False,
+                               off: int = 0, dq16: bool = False):
     del li_ref
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    bk2, bn = qp_ref.shape[2:]                     # (1, 1, bk//2, bn)
-    bk = bk2 * 2
-    n_g = bk // GROUP
-    q = unpack4_f32(qp_ref[0, 0], u8ops, off)
-    s = scales_f32(sc_ref[0, 0])
-    s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)).reshape(bk, bn)
-    w = q * s_full
+    w = _dequant4_tile(qp_ref[0, 0], sc_ref[0, 0], u8ops, off, fast,
+                       dq16)
     if fast:
-        acc_ref[...] += jnp.dot(
-            x_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
+        acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.bfloat16), w,
+                                preferred_element_type=jnp.float32)
     else:
         acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), w,
                                 preferred_element_type=jnp.float32,
@@ -679,7 +719,7 @@ def _qmm4_panel_stacked_kernel(li_ref, x_ref, qp_ref, sc_ref, o_ref, acc_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_k", "fast",
-                                              "u8ops", "off"))
+                                              "u8ops", "off", "dq16"))
 def quant_matmul_panel4_stacked(
     x: jax.Array,           # (M, K)
     qs4_p: jax.Array,       # (L, P, K // 2, bn) uint8 — stacked panels
@@ -691,6 +731,7 @@ def quant_matmul_panel4_stacked(
     fast: bool = False,
     u8ops: bool | None = None,
     off: int = 0,
+    dq16: bool = False,
 ) -> jax.Array:
     """Panelized packed-nibble form of quant_matmul4_stacked: one
     contiguous HBM DMA per weight block, layer selected by scalar
@@ -713,7 +754,7 @@ def quant_matmul_panel4_stacked(
     grid = (Mp // block_m, P, K // block_k)
     out = pl.pallas_call(
         functools.partial(_qmm4_panel_stacked_kernel, out_dtype=x.dtype,
-                          fast=fast, u8ops=u8ops, off=off),
+                          fast=fast, u8ops=u8ops, off=off, dq16=dq16),
         out_shape=jax.ShapeDtypeStruct((P, Mp, bn), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -739,23 +780,17 @@ def quant_matmul_panel4_stacked(
 
 
 def _qmm4_stacked_kernel(li_ref, x_ref, qp_ref, sc_ref, o_ref, acc_ref, *,
-                         out_dtype, fast: bool, u8ops: bool = False, off: int = 0):
+                         out_dtype, fast: bool, u8ops: bool = False,
+                         off: int = 0, dq16: bool = False):
     del li_ref
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    bk2, bn = qp_ref.shape[1:]                     # (1, bk//2, bn)
-    bk = bk2 * 2
-    n_g = bk // GROUP
-    q = unpack4_f32(qp_ref[0], u8ops, off)
-    s = scales_f32(sc_ref[0])
-    s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)).reshape(bk, bn)
-    w = q * s_full
+    w = _dequant4_tile(qp_ref[0], sc_ref[0], u8ops, off, fast, dq16)
     if fast:
-        acc_ref[...] += jnp.dot(
-            x_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
+        acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.bfloat16), w,
+                                preferred_element_type=jnp.float32)
     else:
         acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), w,
                                 preferred_element_type=jnp.float32,
@@ -767,7 +802,8 @@ def _qmm4_stacked_kernel(li_ref, x_ref, qp_ref, sc_ref, o_ref, acc_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
-                                              "block_k", "fast", "u8ops", "off"))
+                                              "block_k", "fast", "u8ops",
+                                              "off", "dq16"))
 def quant_matmul4_stacked(
     x: jax.Array,           # (M, K)
     qs4_all: jax.Array,     # (L, K // 2, N) uint8 — packed nibbles
@@ -780,6 +816,7 @@ def quant_matmul4_stacked(
     fast: bool = False,
     u8ops: bool | None = None,   # None = env QA_Q4_U8 at trace time
     off: int = 0,            # 8 = symmetric q4_0 (q-8)*d, no mins stream
+    dq16: bool = False,
 ) -> jax.Array:
     M, K = x.shape
     L, K2, N = qs4_all.shape
@@ -799,7 +836,7 @@ def quant_matmul4_stacked(
     grid = (Mp // block_m, N // block_n, K // block_k)
     out = pl.pallas_call(
         functools.partial(_qmm4_stacked_kernel, out_dtype=x.dtype, fast=fast,
-                          u8ops=u8ops, off=off),
+                          u8ops=u8ops, off=off, dq16=dq16),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -836,13 +873,14 @@ def quant_linear_stacked(x: jax.Array, qw: dict, li: jax.Array,
     off = 8 if ("mins" not in qw and ("qs4" in qw or "qs4_p" in qw)) else 0
     if "qs4_p" in qw:
         y = quant_matmul_panel4_stacked(x2d, qw["qs4_p"], qw["scales_p"], li,
-                                        fast=fast, off=off)
+                                        fast=fast, off=off,
+                                        dq16=_dq16_armed())
     elif "qs_p" in qw:
         y = quant_matmul_panel_stacked(x2d, qw["qs_p"], qw["scales_p"], li,
                                        fast=fast)
     elif "qs4" in qw:
         y = quant_matmul4_stacked(x2d, qw["qs4"], qw["scales"], li, fast=fast,
-                                  off=off)
+                                  off=off, dq16=_dq16_armed())
     else:
         y = quant_matmul_stacked(x2d, qw["qs"], qw["scales"], li, fast=fast)
     if "mins" in qw:
@@ -861,7 +899,8 @@ def quant_linear_panel(x: jax.Array, qw: dict, fast: bool = False
     x2d = x.reshape(-1, K)
     if "qs4_p" in qw:
         y = quant_matmul_panel4(x2d, qw["qs4_p"], qw["scales_p"], fast=fast,
-                                off=8 if "mins" not in qw else 0)
+                                off=8 if "mins" not in qw else 0,
+                                dq16=_dq16_armed())
     else:
         y = quant_matmul_panel(x2d, qw["qs_p"], qw["scales_p"], fast=fast)
     if "mins" in qw:
@@ -929,22 +968,16 @@ def dequantize_weight(qw: dict, dtype=jnp.float32) -> jax.Array:
 # --------------------------------------------------------------------------- #
 
 def _qmm4_kernel(x_ref, qp_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
-                 fast: bool, u8ops: bool = False, off: int = 0):
+                 fast: bool, u8ops: bool = False, off: int = 0,
+                 dq16: bool = False):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    bk2, bn = qp_ref.shape
-    bk = bk2 * 2
-    n_g = bk // GROUP
-    q = unpack4_f32(qp_ref[...], u8ops, off)
-    s = scales_f32(sc_ref[...])                    # (bk//32, bn)
-    s_full = jnp.broadcast_to(s[:, None, :], (n_g, GROUP, bn)).reshape(bk, bn)
-    w = q * s_full
+    w = _dequant4_tile(qp_ref[...], sc_ref[...], u8ops, off, fast, dq16)
     if fast:
-        acc_ref[...] += jnp.dot(
-            x_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
+        acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.bfloat16), w,
+                                preferred_element_type=jnp.float32)
     else:
         acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), w,
                                 preferred_element_type=jnp.float32,
@@ -956,7 +989,8 @@ def _qmm4_kernel(x_ref, qp_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
-                                              "block_k", "fast", "u8ops", "off"))
+                                              "block_k", "fast", "u8ops",
+                                              "off", "dq16"))
 def quant_matmul4(
     x: jax.Array,           # (M, K)
     qs4: jax.Array,         # (K // 2, N) uint8 — two nibbles per byte
@@ -968,6 +1002,7 @@ def quant_matmul4(
     fast: bool = False,
     u8ops: bool | None = None,   # None = env QA_Q4_U8 at trace time
     off: int = 0,            # 8 = symmetric q4_0 (q-8)*d, no mins stream
+    dq16: bool = False,
 ) -> jax.Array:
     """x @ (unpack4(qs4) * scales) -> (M, N); min/offset terms are added
     by the caller (quant_linear4)."""
@@ -991,7 +1026,7 @@ def quant_matmul4(
     grid = (Mp // block_m, N // block_n, K // block_k)
     out = pl.pallas_call(
         functools.partial(_qmm4_kernel, out_dtype=x.dtype, fast=fast,
-                          u8ops=u8ops, off=off),
+                          u8ops=u8ops, off=off, dq16=dq16),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -1024,7 +1059,7 @@ def quant_linear4(x: jax.Array, qw: dict, fast: bool = False) -> jax.Array:
     x2d = x.reshape(-1, K)
     sym = "mins" not in qw
     y = quant_matmul4(x2d, qw["qs4"], qw["scales"], fast=fast,
-                      off=8 if sym else 0)
+                      off=8 if sym else 0, dq16=_dq16_armed())
     if not sym:
         y = y + group_min_term(x2d, qw["mins"]).astype(y.dtype)
     return y.reshape(*lead, -1)

@@ -796,3 +796,44 @@ def test_panelize_skip_gate_up_env(monkeypatch):
     monkeypatch.delenv("QA_PANEL_SKIP_GU")
     out = panelize_decoder_params({"layers": {"gate_up": dict(gu)}})
     assert "qs_p" in out["layers"]["gate_up"]     # default: panelized
+
+
+def test_dq16_bf16_domain_dequant(monkeypatch, rng):
+    """QA_Q4_DQ16: the fast packed-q4 dequant computed at bf16 lane width
+    must track the f32-domain fast path within the one-extra-bf16-rounding
+    class (scales are f16 payloads; nibble values are exact in bf16), on
+    the strided, panel, and stacked kernels."""
+    from qwen2_audio_tpu.ops.quant_matmul import (panelize_weight,
+                                                  quant_linear4,
+                                                  quant_linear_panel,
+                                                  quant_linear_stacked)
+    from qwen2_audio_tpu.quant.qparams import (Q4Form,
+                                               quantize_array_for_device)
+
+    K, N, M = 256, 512, 8
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32) * 0.1
+    qw = quantize_array_for_device(w, GGMLType.Q4_0,
+                                   form=Q4Form(sym=True, scale="f32"))
+    monkeypatch.delenv("QA_Q4_DQ16", raising=False)
+    base = np.asarray(quant_linear4(x, qw, fast=True))
+    base_p = np.asarray(quant_linear_panel(x, panelize_weight(qw),
+                                           fast=True))
+    st = {k: jnp.asarray(v)[None] for k, v in qw.items()}
+    base_s = np.asarray(quant_linear_stacked(x, st, jnp.int32(0),
+                                             fast=True))
+
+    monkeypatch.setenv("QA_Q4_DQ16", "1")
+    got = np.asarray(quant_linear4(x, qw, fast=True))
+    got_p = np.asarray(quant_linear_panel(x, panelize_weight(qw),
+                                          fast=True))
+    got_s = np.asarray(quant_linear_stacked(x, st, jnp.int32(0),
+                                            fast=True))
+    for g, b in ((got, base), (got_p, base_p), (got_s, base_s)):
+        err = np.abs(g - b).max() / (np.abs(b).max() + 1e-9)
+        assert err < 2e-2, err
+    # HIGHEST (fast=False) ignores the gate entirely — bit-identical
+    exact_on = np.asarray(quant_linear4(x, qw, fast=False))
+    monkeypatch.delenv("QA_Q4_DQ16", raising=False)
+    exact_off = np.asarray(quant_linear4(x, qw, fast=False))
+    np.testing.assert_array_equal(exact_on, exact_off)

@@ -990,6 +990,33 @@ def main() -> int:
               "— markers not written, u8 stream remains the default",
               flush=True)
 
+    # 11. word-packed s8-dot q4 form (qmm_q4b/_decoder) and the bf16
+    # softmax exponent (fa_pexp16) — round-5 levers, folded in so ONE
+    # fresh-host run arms everything (tools/validate_q4b.py and
+    # tools/validate_fa_pexp16.py stay as standalone re-arm entries).
+    # Soft-fail: without the markers the env gates stay closed.
+    try:
+        from tools.validate_q4b import main as _q4b_main
+        _q4b_main()
+    except Exception as e:  # noqa: BLE001
+        print(f"[validate] q4b: FAILED ({type(e).__name__}: {e}) — "
+              "markers not written, the b32 form stays unavailable",
+              flush=True)
+    try:
+        from tools.validate_fa_pexp16 import main as _pexp16_main
+        _pexp16_main()
+    except Exception as e:  # noqa: BLE001
+        print(f"[validate] fa_pexp16: FAILED ({type(e).__name__}: {e}) — "
+              "marker not written, f32 exponent remains the default",
+              flush=True)
+    try:
+        from tools.validate_dq16 import main as _dq16_main
+        _dq16_main()
+    except Exception as e:  # noqa: BLE001
+        print(f"[validate] dq16: FAILED ({type(e).__name__}: {e}) — "
+              "marker not written, f32-domain dequant remains the default",
+              flush=True)
+
     print("[validate] ALL OK", flush=True)
     return 0
 
