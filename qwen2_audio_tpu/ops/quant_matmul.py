@@ -93,6 +93,52 @@ def _dequant4_tile(qp: jax.Array, sc: jax.Array, u8ops: bool | None,
     return w.astype(jnp.bfloat16) if fast else w
 
 
+_DQ8_MARKER = "/tmp/qa_kernel_ok_qmm_dq16_q8"
+
+
+def _dq8_enabled() -> bool:
+    """bf16-domain dequant for the int8-valued (q8/k-quant) kernels —
+    the q8 sibling of QA_Q4_DQ16: the i8 value cast (exact in bf16,
+    |q| <= 127 < 2^8-mantissa budget), scale expansion, group broadcast
+    and dequant multiply run at bf16 lane width. Default OFF until an
+    e2e A/B wins (round-3 gating rule); env QA_Q8_DQ16=0/1."""
+    env = os.environ.get("QA_Q8_DQ16")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return False
+
+
+def _dq8_armed() -> bool:
+    if not _dq8_enabled():
+        return False
+    if _use_interpret():
+        return True
+    return os.path.exists(_DQ8_MARKER) or \
+        os.environ.get("QA_Q8_DQ16") is not None
+
+
+def _dequant8_tile(q8: jax.Array, sc: jax.Array, group: int, fast: bool,
+                   dq16: bool = False) -> jax.Array:
+    """(bk, bn) int8 values + group scales -> the dequantized weight
+    tile in the dtype the dot consumes (bf16 when fast, f32 otherwise).
+    One shared body so every int8-valued kernel picks up the bf16-domain
+    dequant mode together (the q8 analog of _dequant4_tile)."""
+    bk, bn = q8.shape
+    n_g = bk // group
+    if fast and dq16:
+        q = q8.astype(jnp.bfloat16)
+        s = scales_f32(sc).astype(jnp.bfloat16)
+        s_full = jnp.broadcast_to(s[:, None, :], (n_g, group, bn)
+                                  ).reshape(bk, bn)
+        return q * s_full
+    q = q8.astype(jnp.float32)
+    s = scales_f32(sc)
+    s_full = jnp.broadcast_to(s[:, None, :], (n_g, group, bn)
+                              ).reshape(bk, bn)
+    w = q * s_full
+    return w.astype(jnp.bfloat16) if fast else w
+
+
 def unpack4_f32(qp: jax.Array, u8ops: bool | None = None,
                 off: int = 0, dtype=jnp.float32) -> jax.Array:
     """(bk//2, bn) uint8 OR int8 packed nibbles -> (bk, bn) f32 values
@@ -152,29 +198,23 @@ def scales_f32(s: jax.Array) -> jax.Array:
 
 
 def _qmm_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
-                fast: bool, group: int = GROUP):
+                fast: bool, group: int = GROUP, dq16: bool = False):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = qs_ref[...].astype(jnp.float32)            # (bk, bn)
-    s = scales_f32(sc_ref[...])                    # (bk//group, bn)
-    # element-wise repeat (row g -> rows g*group..g*group+group-1);
-    # pltpu.repeat would TILE the block instead, which is the wrong
-    # group expansion
-    bk, bn = q.shape
-    s_full = jnp.broadcast_to(s[:, None, :], (bk // group, group, bn)
-                              ).reshape(bk, bn)
-    w = q * s_full                                 # dequantized tile (f32)
+    # element-wise group repeat happens inside _dequant8_tile (row g ->
+    # rows g*group..g*group+group-1; pltpu.repeat would TILE the block
+    # instead, which is the wrong group expansion)
+    w = _dequant8_tile(qs_ref[...], sc_ref[...], group, fast, dq16)
     if fast:
         # one native MXU pass: dequantized weights single-rounded to bf16,
         # activations bf16. Both roundings carry 8 mantissa bits — the
         # same information budget as ggml-mmq's 8-bit q8_1 activations,
         # and finer than its f16 dmmv weights-only path. ~2.5x faster at
         # decode than the HIGHEST path (one pass instead of six).
-        acc_ref[...] += jnp.dot(
-            x_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
+        acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.bfloat16), w,
+                                preferred_element_type=jnp.float32)
     else:
         # HIGHEST: 6 bf16 passes reconstruct the exact f32 product — no
         # rounding beyond the f32 dequant itself
@@ -213,7 +253,7 @@ def _auto_block_k(K: int, block_n: int, bytes_per_k: int = 1) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
-                                              "block_k", "fast"))
+                                              "block_k", "fast", "dq16"))
 def quant_matmul(
     x: jax.Array,           # (M, K)
     qs: jax.Array,          # (K, N) int8 / int4
@@ -223,6 +263,7 @@ def quant_matmul(
     block_n: int = 512,
     block_k: int = 0,       # 0 = auto (see _auto_block_k)
     fast: bool = False,     # one bf16 MXU pass instead of f32-HIGHEST
+    dq16: bool = False,
 ) -> jax.Array:
     """x @ dequant(qs, scales) -> (M, N) in x.dtype (f32 accumulation).
 
@@ -250,7 +291,7 @@ def quant_matmul(
     grid = (Mp // block_m, N // block_n, K // block_k)
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, out_dtype=x.dtype, fast=fast,
-                          group=group),
+                          group=group, dq16=dq16),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -284,21 +325,15 @@ def quant_matmul(
 # --------------------------------------------------------------------------- #
 
 def _qmm_panel_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, out_dtype,
-                      fast: bool, group: int):
+                      fast: bool, group: int, dq16: bool = False):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = qs_ref[0].astype(jnp.float32)              # (bk, bn)
-    s = scales_f32(sc_ref[0])                      # (bk//group, bn)
-    bk, bn = q.shape
-    s_full = jnp.broadcast_to(s[:, None, :], (bk // group, group, bn)
-                              ).reshape(bk, bn)
-    w = q * s_full
+    w = _dequant8_tile(qs_ref[0], sc_ref[0], group, fast, dq16)
     if fast:
-        acc_ref[...] += jnp.dot(
-            x_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
+        acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.bfloat16), w,
+                                preferred_element_type=jnp.float32)
     else:
         acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), w,
                                 preferred_element_type=jnp.float32,
@@ -358,7 +393,8 @@ def panelize_weight(qw: dict, block_n: int = 0) -> dict:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_k", "fast"))
+@functools.partial(jax.jit, static_argnames=("block_m", "block_k", "fast",
+                                              "dq16"))
 def quant_matmul_panel(
     x: jax.Array,           # (M, K)
     qs_p: jax.Array,        # (P, K, bn) int8 — contiguous column panels
@@ -367,6 +403,7 @@ def quant_matmul_panel(
     block_m: int = 256,
     block_k: int = 0,       # 0 = auto (two k-steps, see _auto_block_k)
     fast: bool = False,
+    dq16: bool = False,
 ) -> jax.Array:
     """x @ dequant(panels) -> (M, P*bn) in x.dtype (f32 accumulation).
     Scale-group size derived from shapes (32 legacy / 16 k-quant)."""
@@ -389,7 +426,7 @@ def quant_matmul_panel(
     grid = (Mp // block_m, P, K // block_k)
     out = pl.pallas_call(
         functools.partial(_qmm_panel_kernel, out_dtype=x.dtype, fast=fast,
-                          group=group),
+                          group=group, dq16=dq16),
         out_shape=jax.ShapeDtypeStruct((P, Mp, bn), x.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -428,22 +465,17 @@ def quant_matmul_panel(
 # --------------------------------------------------------------------------- #
 
 def _qmm_stacked_kernel(li_ref, x_ref, qs_ref, sc_ref, o_ref, acc_ref, *,
-                        out_dtype, fast: bool, group: int):
+                        out_dtype, fast: bool, group: int,
+                        dq16: bool = False):
     del li_ref                        # consumed by the index maps
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = qs_ref[0].astype(jnp.float32)              # (bk, bn)
-    s = scales_f32(sc_ref[0])                      # (bk//group, bn)
-    bk, bn = q.shape
-    s_full = jnp.broadcast_to(s[:, None, :], (bk // group, group, bn)
-                              ).reshape(bk, bn)
-    w = q * s_full
+    w = _dequant8_tile(qs_ref[0], sc_ref[0], group, fast, dq16)
     if fast:
-        acc_ref[...] += jnp.dot(
-            x_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
+        acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.bfloat16), w,
+                                preferred_element_type=jnp.float32)
     else:
         acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), w,
                                 preferred_element_type=jnp.float32,
@@ -455,7 +487,7 @@ def _qmm_stacked_kernel(li_ref, x_ref, qs_ref, sc_ref, o_ref, acc_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
-                                              "block_k", "fast"))
+                                              "block_k", "fast", "dq16"))
 def quant_matmul_stacked(
     x: jax.Array,           # (M, K)
     qs_all: jax.Array,      # (L, K, N) int8 — all layers, in place
@@ -466,6 +498,7 @@ def quant_matmul_stacked(
     block_n: int = 512,
     block_k: int = 0,
     fast: bool = False,
+    dq16: bool = False,
 ) -> jax.Array:
     """x @ dequant(qs_all[li], sc_all[li]) with the layer selected inside
     the kernel's block index map — no per-layer weight copy."""
@@ -488,7 +521,7 @@ def quant_matmul_stacked(
     grid = (Mp // block_m, N // block_n, K // block_k)
     out = pl.pallas_call(
         functools.partial(_qmm_stacked_kernel, out_dtype=x.dtype, fast=fast,
-                          group=group),
+                          group=group, dq16=dq16),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -513,22 +546,17 @@ def quant_matmul_stacked(
 
 
 def _qmm_panel_stacked_kernel(li_ref, x_ref, qs_ref, sc_ref, o_ref, acc_ref,
-                              *, out_dtype, fast: bool, group: int):
+                              *, out_dtype, fast: bool, group: int,
+                              dq16: bool = False):
     del li_ref
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = qs_ref[0, 0].astype(jnp.float32)           # (bk, bn)
-    s = scales_f32(sc_ref[0, 0])
-    bk, bn = q.shape
-    s_full = jnp.broadcast_to(s[:, None, :], (bk // group, group, bn)
-                              ).reshape(bk, bn)
-    w = q * s_full
+    w = _dequant8_tile(qs_ref[0, 0], sc_ref[0, 0], group, fast, dq16)
     if fast:
-        acc_ref[...] += jnp.dot(
-            x_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
+        acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.bfloat16), w,
+                                preferred_element_type=jnp.float32)
     else:
         acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), w,
                                 preferred_element_type=jnp.float32,
@@ -539,7 +567,8 @@ def _qmm_panel_stacked_kernel(li_ref, x_ref, qs_ref, sc_ref, o_ref, acc_ref,
         o_ref[0] = acc_ref[...].astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_k", "fast"))
+@functools.partial(jax.jit, static_argnames=("block_m", "block_k", "fast",
+                                              "dq16"))
 def quant_matmul_panel_stacked(
     x: jax.Array,           # (M, K)
     qs_p: jax.Array,        # (L, P, K, bn) int8 — stacked contiguous panels
@@ -549,6 +578,7 @@ def quant_matmul_panel_stacked(
     block_m: int = 256,
     block_k: int = 0,
     fast: bool = False,
+    dq16: bool = False,
 ) -> jax.Array:
     """Panelized form of quant_matmul_stacked: one contiguous HBM DMA per
     weight block, layer selected by scalar prefetch."""
@@ -569,7 +599,7 @@ def quant_matmul_panel_stacked(
     grid = (Mp // block_m, P, K // block_k)
     out = pl.pallas_call(
         functools.partial(_qmm_panel_stacked_kernel, out_dtype=x.dtype,
-                          fast=fast, group=group),
+                          fast=fast, group=group, dq16=dq16),
         out_shape=jax.ShapeDtypeStruct((P, Mp, bn), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -877,12 +907,13 @@ def quant_linear_stacked(x: jax.Array, qw: dict, li: jax.Array,
                                         dq16=_dq16_armed())
     elif "qs_p" in qw:
         y = quant_matmul_panel_stacked(x2d, qw["qs_p"], qw["scales_p"], li,
-                                       fast=fast)
+                                       fast=fast, dq16=_dq8_armed())
     elif "qs4" in qw:
         y = quant_matmul4_stacked(x2d, qw["qs4"], qw["scales"], li, fast=fast,
                                   off=off, dq16=_dq16_armed())
     else:
-        y = quant_matmul_stacked(x2d, qw["qs"], qw["scales"], li, fast=fast)
+        y = quant_matmul_stacked(x2d, qw["qs"], qw["scales"], li, fast=fast,
+                                 dq16=_dq8_armed())
     if "mins" in qw:
         mins = jax.lax.dynamic_index_in_dim(qw["mins"], li, keepdims=False)
         y = y + group_min_term(x2d, mins,
@@ -902,7 +933,8 @@ def quant_linear_panel(x: jax.Array, qw: dict, fast: bool = False
                                 off=8 if "mins" not in qw else 0,
                                 dq16=_dq16_armed())
     else:
-        y = quant_matmul_panel(x2d, qw["qs_p"], qw["scales_p"], fast=fast)
+        y = quant_matmul_panel(x2d, qw["qs_p"], qw["scales_p"], fast=fast,
+                               dq16=_dq8_armed())
     if "mins" in qw:
         y = y + group_min_term(x2d, qw["mins"],
                                group=K // qw["mins"].shape[0]).astype(y.dtype)
@@ -935,7 +967,8 @@ def quant_linear(x: jax.Array, qw: dict, fast: bool = False) -> jax.Array:
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2d = x.reshape(-1, K)
-    y = quant_matmul(x2d, qw["qs"], qw["scales"], fast=fast)
+    y = quant_matmul(x2d, qw["qs"], qw["scales"], fast=fast,
+                     dq16=_dq8_armed())
     if "mins" in qw:
         y = y + group_min_term(x2d, qw["mins"],
                                group=K // qw["mins"].shape[0]).astype(y.dtype)

@@ -837,3 +837,41 @@ def test_dq16_bf16_domain_dequant(monkeypatch, rng):
     monkeypatch.delenv("QA_Q4_DQ16", raising=False)
     exact_off = np.asarray(quant_linear4(x, qw, fast=False))
     np.testing.assert_array_equal(exact_on, exact_off)
+
+
+def test_dq16_q8_bf16_domain_dequant(monkeypatch, rng):
+    """QA_Q8_DQ16: the q8-family (int8-valued) kernels' dequant computed
+    at bf16 lane width must track the f32-domain fast path within the
+    one-extra-bf16-rounding class, on strided, panel, and stacked."""
+    from qwen2_audio_tpu.ops.quant_matmul import (panelize_weight,
+                                                  quant_linear,
+                                                  quant_linear_panel,
+                                                  quant_linear_stacked)
+    from qwen2_audio_tpu.quant.qparams import quantize_array_for_device
+
+    K, N, M = 256, 512, 8
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32) * 0.1
+    qw = quantize_array_for_device(w, GGMLType.Q8_0)
+    monkeypatch.delenv("QA_Q8_DQ16", raising=False)
+    base = np.asarray(quant_linear(x, qw, fast=True))
+    base_p = np.asarray(quant_linear_panel(x, panelize_weight(qw),
+                                           fast=True))
+    st = {k: jnp.asarray(v)[None] for k, v in qw.items()}
+    base_s = np.asarray(quant_linear_stacked(x, st, jnp.int32(0),
+                                             fast=True))
+
+    monkeypatch.setenv("QA_Q8_DQ16", "1")
+    got = np.asarray(quant_linear(x, qw, fast=True))
+    got_p = np.asarray(quant_linear_panel(x, panelize_weight(qw),
+                                          fast=True))
+    got_s = np.asarray(quant_linear_stacked(x, st, jnp.int32(0),
+                                            fast=True))
+    for g, b in ((got, base), (got_p, base_p), (got_s, base_s)):
+        err = np.abs(g - b).max() / (np.abs(b).max() + 1e-9)
+        assert err < 2e-2, err
+    # HIGHEST (fast=False) ignores the gate entirely — bit-identical
+    exact_on = np.asarray(quant_linear(x, qw, fast=False))
+    monkeypatch.delenv("QA_Q8_DQ16", raising=False)
+    exact_off = np.asarray(quant_linear(x, qw, fast=False))
+    np.testing.assert_array_equal(exact_on, exact_off)

@@ -111,12 +111,52 @@ def synth_decoder_qtree(cfg, seed: int = 0) -> dict:
     return p
 
 
-def exact_build(cfg):
-    """The original quantizer-roundtrip build (real q4_0-coded values).
+def _q8dict(g: np.random.Generator, *shape_kn: int) -> dict:
+    """(..., K, N) linear -> q8_0 device dict under the TPU production
+    form (i8 values, u16-stored f16 scale payloads — the marker-gated
+    qmm_scu16 default that won the round-3 e2e A/B)."""
+    *lead, K, N = shape_kn
+    return {
+        "qs": _rand_u8(g, *lead, K, N).view(np.int8),
+        "scales": _rand_scales(g, (*lead, K // QK, N)
+                               ).astype(np.float16).view(np.uint16),
+    }
+
+
+def synth_decoder_qtree_q8(cfg, seed: int = 0) -> dict:
+    """q8_0 sibling of synth_decoder_qtree: same tree, {"qs","scales"}
+    leaves in the u16-scale production layout."""
+    g = _gen(seed)
+    D, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    Nq = cfg.num_attention_heads * cfg.head_dim
+    Nkv = cfg.num_key_value_heads * cfg.head_dim
+    layers = {
+        "ln1": {"w": np.ones((L, D), np.float32)},
+        "q": {"b": _rand_bf16(g, (L, Nq), 0.02), **_q8dict(g, L, D, Nq)},
+        "k": {"b": _rand_bf16(g, (L, Nkv), 0.02), **_q8dict(g, L, D, Nkv)},
+        "v": {"b": _rand_bf16(g, (L, Nkv), 0.02), **_q8dict(g, L, D, Nkv)},
+        "o": _q8dict(g, L, Nq, D),
+        "ln2": {"w": np.ones((L, D), np.float32)},
+        "gate": _q8dict(g, L, D, I),
+        "up": _q8dict(g, L, D, I),
+        "down": _q8dict(g, L, I, D),
+    }
+    p = {"embed": _rand_bf16(g, (cfg.vocab_size, D), 0.02),
+         "layers": layers, "ln_f": {"w": np.ones((D,), np.float32)}}
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = _q8dict(g, D, cfg.vocab_size)
+    return p
+
+
+def exact_build(cfg, quant: str = "q4_0"):
+    """The original quantizer-roundtrip build (real ggml-coded values).
     Env pins are HARD-assigned: a stray exported QA_* must not silently
     change the payload form under the fixed cache filename."""
-    for k, v in (("QA_PACK4", "1"), ("QA_Q4_SYM", "1"), ("QA_Q4_I8", "0"),
-                 ("QA_SCALE16", "0"), ("QA_SCALE_U16", "0")):
+    pins = (("QA_PACK4", "1"), ("QA_Q4_SYM", "1"), ("QA_Q4_I8", "0"),
+            ("QA_SCALE16", "0"), ("QA_SCALE_U16", "0")) \
+        if quant == "q4_0" else \
+           (("QA_SCALE16", "0"), ("QA_SCALE_U16", "1"))
+    for k, v in pins:
         os.environ[k] = v
     import jax.numpy as jnp
     from qwen2_audio_tpu.config import GGMLType
@@ -124,7 +164,8 @@ def exact_build(cfg):
     from qwen2_audio_tpu.quant.qparams import quantize_decoder_params
     rng = np.random.default_rng(0)
     p = random_decoder_params(rng, cfg, dtype=jnp.bfloat16, host=True)
-    return quantize_decoder_params(p, GGMLType.Q4_0, to_device=False)
+    ttype = GGMLType.Q4_0 if quant == "q4_0" else GGMLType.Q8_0
+    return quantize_decoder_params(p, ttype, to_device=False)
 
 
 def _signature(tree, prefix=""):
@@ -132,17 +173,20 @@ def _signature(tree, prefix=""):
     return {k: (v.shape, str(v.dtype)) for k, v in _flatten(tree).items()}
 
 
-def selfcheck_tiny() -> None:
+def selfcheck_tiny(quant: str = "q4_0") -> None:
     """Synth layout must match the exact pipeline's layout on tiny —
     loudly catches qparams.py layout drift before it mis-shapes 7B."""
     cfg = _cfg("tiny")
-    want = _signature(exact_build(cfg))
-    got = _signature(synth_decoder_qtree(cfg))
+    synth = synth_decoder_qtree if quant == "q4_0" else \
+        synth_decoder_qtree_q8
+    want = _signature(exact_build(cfg, quant))
+    got = _signature(synth(cfg))
     if want != got:
         only_w = {k: v for k, v in want.items() if got.get(k) != v}
         only_g = {k: v for k, v in got.items() if want.get(k) != v}
         raise SystemExit(f"LAYOUT DRIFT\n exact: {only_w}\n synth: {only_g}")
-    print("tiny structural self-check vs exact pipeline: OK", flush=True)
+    print(f"tiny structural self-check vs exact pipeline ({quant}): OK",
+          flush=True)
 
 
 def _cfg(size: str):
@@ -158,9 +202,13 @@ def _cfg(size: str):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("size", nargs="?", default="7b")
+    ap.add_argument("--quant", default="q4_0", choices=("q4_0", "q8_0"),
+                    help="payload format to synthesize (q4_0: packed sym "
+                         "nibbles + derived i8 view; q8_0: i8 values + "
+                         "u16 f16-bit scales, the TPU production form)")
     ap.add_argument("--exact", action="store_true",
                     help="old quantizer-roundtrip build (slow; real "
-                         "q4_0-coded values instead of random nibbles)")
+                         "ggml-coded values instead of random payloads)")
     ap.add_argument("--no-selfcheck", action="store_true")
     args = ap.parse_args()
 
@@ -171,10 +219,25 @@ def main() -> int:
     from qwen2_audio_tpu.utils.cache import param_cache_dir
 
     if not args.no_selfcheck and not args.exact:
-        selfcheck_tiny()
+        selfcheck_tiny(args.quant)
 
     cfg = _cfg(args.size)
     cache = param_cache_dir()
+
+    if args.quant == "q8_0":
+        # bench_decode suffix on a TPU host with the qmm_scu16 marker
+        q8_path = os.path.join(cache, f"bench-{args.size}-q8_0-scu16.npz")
+        t0 = time.time()
+        build8 = (lambda: exact_build(cfg, "q8_0")) if args.exact \
+            else (lambda: synth_decoder_qtree_q8(cfg))
+        cached_build(q8_path, build8)
+        print(f"q8_0 cache ready in {time.time()-t0:.1f}s: {q8_path}",
+              flush=True)
+        z = np.load(q8_path, mmap_mode="r", allow_pickle=False)
+        print(f"  {os.path.basename(q8_path)}: {len(z.files)} leaves, "
+              f"{os.path.getsize(q8_path)/1e9:.2f} GB", flush=True)
+        return 0
+
     sym_path = os.path.join(cache, f"bench-{args.size}-q4_0-sym.npz")
     i8_path = os.path.join(cache, f"bench-{args.size}-q4_0-q4i8-sym.npz")
 

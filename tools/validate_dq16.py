@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""On-chip validation for the bf16-domain packed-q4 dequant (QA_Q4_DQ16):
-strided, panel, stacked, and panel-stacked kernels with the dequant
-multiply/broadcast at bf16 lane width. Writes /tmp/qa_kernel_ok_qmm_dq16.
+"""On-chip validation for the bf16-domain dequant modes: packed-q4
+(QA_Q4_DQ16, marker qmm_dq16) and int8-valued q8/k-quant (QA_Q8_DQ16,
+marker qmm_dq16_q8) — strided, panel, stacked, and panel-stacked kernels
+with the dequant multiply/broadcast at bf16 lane width.
 
 Standalone so it can chain in a fresh-host queue (CLAUDE.md playbook).
 Run in the BACKGROUND and never kill it (tunnel-wedge hazard).
@@ -69,6 +70,43 @@ def main() -> int:
     else:
         print("[validate] qmm_dq16: OK (cpu smoke — marker NOT written)",
               flush=True)
+
+    # q8 family (int8-valued kernels) — same lever, own gate/marker
+    from qwen2_audio_tpu.ops.quant_matmul import quant_linear
+    qw8 = quantize_array_for_device(w, GGMLType.Q8_0)
+    old8 = os.environ.get("QA_Q8_DQ16")
+    try:
+        os.environ["QA_Q8_DQ16"] = "0"
+        base8 = np.asarray(quant_linear(x, qw8, fast=True))
+        os.environ["QA_Q8_DQ16"] = "1"
+        pairs = [("strided", quant_linear(x, qw8, fast=True))]
+        pairs.append(("panel", quant_linear_panel(
+            x, panelize_weight(qw8), fast=True)))
+        st8 = {k: jnp.asarray(v)[None] for k, v in qw8.items()}
+        pairs.append(("stacked", quant_linear_stacked(
+            x, st8, jnp.asarray(0, jnp.int32), fast=True)))
+        stp8 = {k: jnp.asarray(v)[None]
+                for k, v in panelize_weight(qw8).items()}
+        pairs.append(("panel-stacked", quant_linear_stacked(
+            x, stp8, jnp.asarray(0, jnp.int32), fast=True)))
+        for name, got in pairs:
+            got = np.asarray(got)
+            err = np.abs(got - base8).max() / (np.abs(base8).max() + 1e-9)
+            assert err < 2e-2, (name, err)
+            print(f"[validate] dq16-q8 {name}: rel-err {err:.2e}",
+                  flush=True)
+    finally:
+        if old8 is None:
+            os.environ.pop("QA_Q8_DQ16", None)
+        else:
+            os.environ["QA_Q8_DQ16"] = old8
+
+    if jax.default_backend() in ("tpu", "axon"):
+        Path("/tmp/qa_kernel_ok_qmm_dq16_q8").write_text(str(time.time()))
+        print("[validate] qmm_dq16_q8: OK (marker written)", flush=True)
+    else:
+        print("[validate] qmm_dq16_q8: OK (cpu smoke — marker NOT "
+              "written)", flush=True)
     return 0
 
 
