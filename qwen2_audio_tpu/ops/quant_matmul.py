@@ -49,9 +49,13 @@ def _dq16_enabled() -> bool:
     bf16 lane width (2 elements/lane) instead of f32. Numerics: nibble
     values are EXACT in bf16 (|q-8| <= 8) and the f16 scale payload
     rounds to bf16 (2^-8 rel) — one extra rounding on a path whose
-    weight tile is rounded to bf16 for the MXU anyway. Default OFF until
-    an e2e A/B wins (the round-3 gating rule); env QA_Q4_DQ16=0/1, on
-    TPU additionally requires the qmm_dq16 validation marker."""
+    weight tile is rounded to bf16 for the MXU anyway.  MEASURED: 12%
+    e2e LOSS (7B q4_0 --spec 6: 102.6 vs 116.9 tok/s, r5 queue r5k) —
+    same failure mode as the fa_pexp16 softmax variant: Mosaic widens
+    bf16 VPU arithmetic to f32 internally, so the halved lane width
+    never materializes and the extra cast passes cost real time.  Stays
+    default OFF (round-3 gating rule); env QA_Q4_DQ16=0/1, on TPU
+    additionally requires the qmm_dq16 validation marker."""
     env = os.environ.get("QA_Q4_DQ16")
     if env is not None:
         return env not in ("0", "false", "")
