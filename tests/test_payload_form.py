@@ -116,3 +116,28 @@ def test_q41_form_controls_stream_dtype(w):
     qw = quantize_array_for_device(w, GGMLType.Q4_1, to_device=False,
                                    form=Q4Form(i8=True, scale="f32"))
     assert payload_form(qw) == "packed4+mins+i8+f32sc"
+
+
+def test_prebuild_synth_layout_matches_exact_pipeline():
+    """The direct-synthesis bench prebuild must keep emitting exactly the
+    layout the real quantize pipeline produces — for BOTH synthesized
+    formats (q4_0 sym/packed and q8_0 u16-scale). Guards the 7B cache
+    shape against qparams.py drift from inside the suite, not just at
+    tool runtime (tools/prebuild_param_cache.py::selfcheck_tiny)."""
+    import subprocess
+    import sys
+    for quant in ("q4_0", "q8_0"):
+        # subprocess: selfcheck_tiny hard-assigns QA_* env pins, which
+        # must not leak into this test process's ambient defaults
+        env = {k: v for k, v in os.environ.items()
+               if k != "PALLAS_AXON_POOL_IPS"}   # sitecustomize clobbers
+        env["JAX_PLATFORMS"] = "cpu"             # JAX_PLATFORMS otherwise
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, '.');"
+             "import jax; jax.config.update('jax_platforms', 'cpu');"
+             "from tools.prebuild_param_cache import selfcheck_tiny;"
+             f"selfcheck_tiny({quant!r})"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env, capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, (quant, r.stdout[-800:], r.stderr[-800:])
