@@ -104,8 +104,11 @@ def _dq8_enabled() -> bool:
     """bf16-domain dequant for the int8-valued (q8/k-quant) kernels —
     the q8 sibling of QA_Q4_DQ16: the i8 value cast (exact in bf16,
     |q| <= 127 < 2^8-mantissa budget), scale expansion, group broadcast
-    and dequant multiply run at bf16 lane width. Default OFF until an
-    e2e A/B wins (round-3 gating rule); env QA_Q8_DQ16=0/1."""
+    and dequant multiply run at bf16 lane width.  MEASURED: 2.5% e2e
+    LOSS (7B q8_0 --spec 6: 89.1 vs 91.4 tok/s, r5 queue r5l) — same
+    Mosaic bf16-widening mechanism as the q4 lever's 12% loss, smaller
+    because q8 has no nibble unpack.  Stays default OFF (round-3 gating
+    rule); env QA_Q8_DQ16=0/1."""
     env = os.environ.get("QA_Q8_DQ16")
     if env is not None:
         return env not in ("0", "false", "")
